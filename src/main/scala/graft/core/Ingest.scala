@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest / envelope operators — SURVEY.md §2.1-§2.2 (S1, P1-P4).
+  *
+  * The reference ingests a JSON envelope `{user_id, emoji_type, timestamp}`
+  * over Kafka and parses it in three places with slightly different
+  * leniency (`api_server.py:52-66`, `spark_consumer.py:27-35`,
+  * `analytical_server.py:22-27`). We centralize that as pure
+  * `DataFrame => DataFrame` transforms so the same code path serves batch
+  * (parquet) and streaming (Kafka `value` bytes).
+  *
+  * All expressions here are built-in Catalyst functions — codegen'd, no
+  * UDFs — so whole-stage codegen spans the parse (SURVEY.md §2.7).
+  */
+object Ingest {
+
+  /** Timestamp formats the producers actually emit (FIXTURES.md §1):
+    *  - python `datetime.now().isoformat()` → `2024-11-19T12:34:56.789123`
+    *  - JS `new Date().toISOString()`       → `2024-11-19T12:34:56.789Z`
+    */
+  private val isoMicros = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+  private val isoMillisZ = "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+
+  /** P3+P4: lenient multi-format ISO-8601 parse with processing-time
+    * fallback (`spark_consumer.py:32-35`, `analytical_server.py:23-27`).
+    * `try_to_timestamp` semantics via legacy-safe coalesce chain.
+    */
+  def lenientTimestamp(ts: Column): Column =
+    coalesce(
+      try_to_timestamp(ts, lit(isoMicros)),
+      try_to_timestamp(ts, lit(isoMillisZ)),
+      try_to_timestamp(ts), // default ISO parser, covers second granularity
+      current_timestamp()   // W8: unparsable → wall clock (analytical_server.py:26-27)
+    )
+
+  /** P1+P2: Kafka `value: binary` → typed columns. One `from_json` pass
+    * (preferred over the reference's `json_tuple`: typed, single parse).
+    */
+  def parseEnvelope(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol).cast("string"), Schemas.emojiEventSchema).as("e"))
+      .select(col("e.user_id"), col("e.emoji_type"), col("e.timestamp"))
+      .withColumn("event_time", lenientTimestamp(col("timestamp")))
+
+  /** S1 validation: presence of all three fields (`api_server.py:55-56`).
+    * Returns (valid, rejected) — the reject path is the 400 side output.
+    */
+  def validate(parsed: DataFrame): (DataFrame, DataFrame) = {
+    val ok = col("user_id").isNotNull && col("emoji_type").isNotNull &&
+      col("timestamp").isNotNull
+    (parsed.filter(ok), parsed.filter(!ok))
+  }
+
+  /** Serialize back to the wire envelope (Kafka sink K2 / SSE relay shape). */
+  def toEnvelope(df: DataFrame): DataFrame =
+    df.select(to_json(struct(col("user_id"), col("emoji_type"), col("timestamp"))).as("value"))
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{Ingest, Schemas, Tables, WindowAgg}
+
+/** Reference-parity queries (SURVEY.md §2.1-§2.4) expressed as batch
+  * queries over the driver's `events` table (`event_type` plays the role
+  * of `emoji_type`, `ts` is the pre-parsed event time — TESTDATA/FIXTURES
+  * §2). The streaming twins of these plans live in `graft.streaming`.
+  */
+object Parity {
+
+  private def minuteStr(c: String) =
+    date_format(col(c), "yyyy-MM-dd HH:mm:ss").as("window_start")
+
+  /** DuckDB-side minute-to-string, kept in lockstep with [[minuteStr]]. */
+  private val duckMinute =
+    "strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')"
+
+  /** Flagship (spark_consumer.py:19-53): per-(minute, type) counts with the
+    * piecewise scaled_count (P5+A1+P6+P7). */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.minuteTypeCounts(Tables.events(spark, dir), "event_type")
+      .select(
+        minuteStr("minute"),
+        col("event_type"),
+        WindowAgg.scaledCount(col("cnt")).as("scaled_count"))
+      .orderBy("window_start", "event_type")
+
+  /** P1-P4 roundtrip: serialize events to the reference's JSON wire
+    * envelope, re-parse with `from_json` + lenient timestamp + presence
+    * validation, aggregate. Oracle sees only the (identity) end state. */
+  def parseEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir).select(
+      to_json(struct(
+        col("user_id").cast("string").as("user_id"),
+        col("event_type").as("emoji_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")
+      )).as("value"))
+    val parsed = Ingest.parseEnvelope(wire)
+    val (valid, _) = Ingest.validate(parsed)
+    valid.filter(col("event_time").isNotNull)
+      .groupBy(col("emoji_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("emoji_type")
+  }
+
+  /** A3: per-minute totals. */
+  def minuteTotals(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.minuteTotals(Tables.events(spark, dir))
+      .select(minuteStr("minute"), col("total_count"))
+      .orderBy("window_start")
+
+  /** A4+A6: per-type totals over the rolling 3-minute retention window. */
+  def retention3m(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.retained(Tables.events(spark, dir))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** A5+A7: the /api/stats scalar row over the retention window. */
+  def statsWindow(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.windowStats(WindowAgg.retained(Tables.events(spark, dir)), "event_type")
+
+  /** §2.6 dashboard align+pivot: minute × type matrix. */
+  def pivotMinute(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.pivotMinuteByType(
+        Tables.events(spark, dir), "event_type", Schemas.eventTypeVocab)
+      .select(minuteStr("minute") +: Schemas.eventTypeVocab.map(col): _*)
+      .orderBy("window_start")
+
+  /** §2.6 top-k (`slice(-10)` table): top-10 (minute,type) cells by count. */
+  def topMinutes(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.minuteTypeCounts(Tables.events(spark, dir), "event_type")
+      .select(minuteStr("minute"), col("event_type"), col("cnt"))
+      .orderBy(col("cnt").desc, col("window_start"), col("event_type"))
+      .limit(10)
+
+  /** Measure aggregation over the extra `value` column (exact decimal
+    * arithmetic → bit-stable doubles, see QueryDef.decimalNote). */
+  def valueStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = col("value").cast(DecimalType(18, 4))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(dec).cast("double").as("sum_value"),
+        (sum(dec).cast("double") / count(lit(1))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** P2 on real JSON: extract `props.k`, aggregate per type. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), Schemas.propsSchema).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+      .orderBy("event_type")
+
+  /** A7 at user grain: exact distinct users per type (10-ish value domain
+    * in the reference; `approx_count_distinct` is the 100 TB variant and is
+    * exercised rows-only in the bench set). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("flagship", flagship, Some(s"""
+      SELECT $duckMinute AS window_start, event_type,
+             CAST(CASE WHEN count(*) <= 1000 THEN 1.0
+                       ELSE count(*) / 1000.0 END AS DOUBLE) AS scaled_count
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+    GQuery("parse_envelope", parseEnvelope, Some("""
+      SELECT event_type AS emoji_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("minute_totals", minuteTotals, Some(s"""
+      SELECT $duckMinute AS window_start, CAST(count(*) AS BIGINT) AS total_count
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("retention_3m", retention3m, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events
+      WHERE date_trunc('minute', ts) >=
+            (SELECT date_trunc('minute', max(ts)) - INTERVAL 3 MINUTE FROM events)
+      GROUP BY 1 ORDER BY 1""")),
+    GQuery("stats_window", statsWindow, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS total_events,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types
+      FROM events
+      WHERE date_trunc('minute', ts) >=
+            (SELECT date_trunc('minute', max(ts)) - INTERVAL 3 MINUTE FROM events)""")),
+    GQuery("pivot_minute", pivotMinute, Some(s"""
+      SELECT $duckMinute AS window_start,
+             CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+             CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+             CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+             CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("top_minutes", topMinutes, Some(s"""
+      SELECT $duckMinute AS window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+      ORDER BY cnt DESC, window_start, event_type LIMIT 10""")),
+    GQuery("value_stats", valueStats, Some("""
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_value,
+             min(value) AS min_value,
+             max(value) AS max_value,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("props_extract", propsExtract, Some("""
+      SELECT event_type,
+             CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_k
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("distinct_users", distinctUsers, Some("""
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1"""))
+  )
+}
