@@ -1,23 +1,44 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Measurement contract (round-1 verdict fix): each query executes its
+  * FULL physical plan by writing to the built-in `noop` sink — `count()`
+  * would let Catalyst prune final projections and output sorts. A warm-up
+  * pass (flagship, untimed) absorbs one-time JVM/codegen/parquet-footer
+  * cost so per-query numbers reflect plan cost, not first-query warm-up.
+  */
 object Bench {
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    try exec(SparkEntry.queries("flagship")(spark, sfDir)) // warm-up, untimed
+    catch { case _: Throwable => () }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -24,26 +24,39 @@ object Ingest {
   private val isoMicros = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
   private val isoMillisZ = "yyyy-MM-dd'T'HH:mm:ss.SSSX"
 
-  /** P3+P4: lenient multi-format ISO-8601 parse with processing-time
-    * fallback (`spark_consumer.py:32-35`, `analytical_server.py:23-27`).
-    * `try_to_timestamp` semantics via legacy-safe coalesce chain.
+  /** P3+P4: lenient multi-format ISO-8601 parse (`spark_consumer.py:32-35`,
+    * `analytical_server.py:23-27`) via a `try_to_timestamp` coalesce chain.
+    *
+    * The `fallback` is what an unparsable string becomes. Batch queries use
+    * the default `null` so results stay deterministic (the GQuery contract);
+    * the streaming pipeline passes [[processingTimeFallback]] to reproduce
+    * the reference's W8 wall-clock behavior (`analytical_server.py:26-27`).
     */
-  def lenientTimestamp(ts: Column): Column =
+  def lenientTimestamp(
+      ts: Column,
+      fallback: Column = lit(null).cast("timestamp")): Column =
     coalesce(
       try_to_timestamp(ts, lit(isoMicros)),
       try_to_timestamp(ts, lit(isoMillisZ)),
       try_to_timestamp(ts), // default ISO parser, covers second granularity
-      current_timestamp()   // W8: unparsable → wall clock (analytical_server.py:26-27)
-    )
+      fallback)
+
+  /** W8: unparsable event time → wall clock (`analytical_server.py:26-27`).
+    * Nondeterministic by design — streaming path only, never in a batch
+    * oracle query. */
+  def processingTimeFallback: Column = current_timestamp()
 
   /** P1+P2: Kafka `value: binary` → typed columns. One `from_json` pass
     * (preferred over the reference's `json_tuple`: typed, single parse).
     */
-  def parseEnvelope(raw: DataFrame, valueCol: String = "value"): DataFrame =
+  def parseEnvelope(
+      raw: DataFrame,
+      valueCol: String = "value",
+      tsFallback: Column = lit(null).cast("timestamp")): DataFrame =
     raw
       .select(from_json(col(valueCol).cast("string"), Schemas.emojiEventSchema).as("e"))
       .select(col("e.user_id"), col("e.emoji_type"), col("e.timestamp"))
-      .withColumn("event_time", lenientTimestamp(col("timestamp")))
+      .withColumn("event_time", lenientTimestamp(col("timestamp"), tsFallback))
 
   /** S1 validation: presence of all three fields (`api_server.py:55-56`).
     * Returns (valid, rejected) — the reject path is the 400 side output.

@@ -13,14 +13,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for: read it as raw nanos (legacy long) and truncate to the
+  /** Session conf required to read `events.parquet` (TIMESTAMP(NANOS), which
+    * Spark has no native type for). Our own entry points (Verify, Bench,
+    * the test fixture) set it at session build; [[events]] also sets it
+    * defensively because the driver may call `SparkEntry.entry`/`queries`
+    * with a session it built itself.
+    *
+    * GLOBAL EFFECT (documented per round-1 advice): while set, any other
+    * nanos-timestamp parquet read in the same session yields raw longs
+    * instead of timestamps. The driver testdata has exactly one nanos
+    * column (`events.ts`), so this is safe here; idempotent thereafter.
+    */
+  val nanosAsLongConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+
+  /** Read `events.ts` as raw nanos (legacy long) and truncate to the
     * engine's microsecond TimestampType with integer division (a double
     * division would lose precision above 2^53 ns). DuckDB's TIMESTAMP_NS →
     * µs truncation matches exactly.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(nanosAsLongConf._1).forall(_ != "true"))
+      spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

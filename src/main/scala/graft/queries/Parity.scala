@@ -9,7 +9,8 @@ import graft.core.{Ingest, Schemas, Tables, WindowAgg}
 /** Reference-parity queries (SURVEY.md §2.1-§2.4) expressed as batch
   * queries over the driver's `events` table (`event_type` plays the role
   * of `emoji_type`, `ts` is the pre-parsed event time — TESTDATA/FIXTURES
-  * §2). The streaming twins of these plans live in `graft.streaming`.
+  * §2). The streaming twins of the shared `Ingest`/`WindowAgg` transforms
+  * are wired in `graft.stream.Pipeline`.
   */
 object Parity {
 
@@ -102,13 +103,24 @@ object Parity {
       .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
       .orderBy("event_type")
 
-  /** A7 at user grain: exact distinct users per type (10-ish value domain
-    * in the reference; `approx_count_distinct` is the 100 TB variant and is
-    * exercised rows-only in the bench set). */
+  /** A7 at user grain: exact distinct users per type. Standard two-phase
+    * expand-shuffle plan; correct, but the heaviest shuffle in this set at
+    * scale — [[approxDistinctUsers]] is the 100 TB variant. */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** A7 scale variant: HyperLogLog++ distinct users per type. One regular
+    * hash-agg shuffle of fixed-size sketches instead of [[distinctUsers]]'s
+    * (type, user_id) expand-shuffle — the plan that survives 100 TB. No
+    * DuckDB oracle (different HLL implementations disagree on estimates) →
+    * rows-only check. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
   val queries: Seq[GQuery] = Seq(
@@ -162,6 +174,7 @@ object Parity {
       FROM events GROUP BY 1 ORDER BY 1""")),
     GQuery("distinct_users", distinctUsers, Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-      FROM events GROUP BY 1 ORDER BY 1"""))
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("approx_distinct_users", approxDistinctUsers, None)
   )
 }
