@@ -1,0 +1,114 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.core.{Ingest, WindowAgg}
+
+/** The flagship streaming pipeline — SURVEY.md §2.4 (W1-W8) — wiring the
+  * same pure `Ingest`/`WindowAgg` transforms the batch oracle queries use.
+  * Plan parity with `spark_consumer.py:19-53`:
+  *
+  * {{{
+  * source (value json)            S4/S6
+  *  → parse                       P1-P4 (+S1 validity filter)
+  *  → withWatermark 1 minute      W1
+  *  → groupBy(window 1m, emoji)   W2 + A1
+  *  → count → scaled_count        P6
+  *  → select(emoji, scaled, win)  P7
+  * }}}
+  */
+object Pipeline {
+
+  /** Parsed event as a typed row (the streaming state ops need a Dataset). */
+  final case class PEvent(
+      user_id: String,
+      emoji_type: String,
+      event_time: java.sql.Timestamp)
+
+  final case class StreamConfig(
+      watermarkDelay: String = "1 minute", // W1 (spark_consumer.py:38)
+      windowLength: String = "1 minute",   // W2 (spark_consumer.py:41)
+      wallClockFallback: Boolean = true,   // W8 (analytical_server.py:26-27)
+      lateToOpenMinute: Boolean = false)   // W6 quirk (analytical_server.py:33-39), default OFF
+
+  /** P1-P4 + S1 on the wire column: JSON envelope → (user_id, emoji_type,
+    * event_time), invalid rows dropped (the reference 400s them). W8 wall
+    * clock fallback for unparsable timestamps is on by default here — this
+    * is the streaming path; batch oracle queries use the deterministic
+    * null default instead. */
+  def parse(wire: DataFrame, cfg: StreamConfig = StreamConfig()): DataFrame = {
+    val fallback =
+      if (cfg.wallClockFallback) Ingest.processingTimeFallback
+      else lit(null).cast("timestamp")
+    val (valid, _) = Ingest.validate(Ingest.parseEnvelope(wire, "value", fallback))
+    valid.filter(col("event_time").isNotNull)
+      .select(col("user_id"), col("emoji_type"), col("event_time"))
+  }
+
+  /** W1+W2+A1+P6+P7: the flagship windowed aggregate
+    * (`spark_consumer.py:37-47`). Output column order matches the
+    * reference's final projection. */
+  def flagship(events: DataFrame, cfg: StreamConfig = StreamConfig()): DataFrame =
+    events
+      .withWatermark("event_time", cfg.watermarkDelay)
+      .groupBy(window(col("event_time"), cfg.windowLength), col("emoji_type"))
+      .agg(count(lit(1)).as("count"))
+      .select(
+        col("emoji_type"),
+        WindowAgg.scaledCount(col("count")).as("scaled_count"),
+        col("window"))
+
+  /** A3 streaming twin: per-window global totals. */
+  def minuteTotals(events: DataFrame, cfg: StreamConfig = StreamConfig()): DataFrame =
+    events
+      .withWatermark("event_time", cfg.watermarkDelay)
+      .groupBy(window(col("event_time"), cfg.windowLength))
+      .agg(count(lit(1)).as("total_count"))
+
+  /** Full wire→aggregate pipeline, applying the W6 quirk when configured. */
+  def flagshipFromWire(wire: DataFrame, cfg: StreamConfig = StreamConfig()): DataFrame = {
+    val events = parse(wire, cfg)
+    val adjusted =
+      if (cfg.lateToOpenMinute) {
+        import events.sparkSession.implicits._
+        creditLateToOpenMinute(events.as[PEvent]).toDF()
+      } else events
+    flagship(adjusted, cfg)
+  }
+
+  /** W6 — the reference's late-data quirk (`analytical_server.py:33-39`),
+    * OFF by default: its hand-rolled accumulator only rolls the "current
+    * minute" forward, so an event whose minute is ≤ the last minute seen is
+    * credited to the currently OPEN minute — never back-dated, never
+    * dropped. Equivalently: each event's effective minute is the running
+    * max of minute buckets in arrival order.
+    *
+    * Faithful twin: single-key `flatMapGroupsWithState` holding that
+    * running max. The reference's accumulator is one Python thread; this
+    * flag reproduces that single-writer semantics and therefore serializes
+    * through one task ON PURPOSE — it exists for byte-parity experiments,
+    * not the 100 TB path (which uses correct event-time assignment, flag
+    * off). Within a micro-batch we approximate Kafka arrival order by
+    * event_time order (the reference's producers emit in timestamp order).
+    */
+  def creditLateToOpenMinute(events: Dataset[PEvent]): Dataset[PEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Long, PEvent](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: Int, batch: Iterator[PEvent], state: GroupState[Long]) =>
+          var openMinuteMs = state.getOption.getOrElse(Long.MinValue)
+          val out = batch.toSeq.sortBy(_.event_time.getTime).map { e =>
+            val minuteMs = e.event_time.getTime / 60000L * 60000L
+            if (minuteMs > openMinuteMs) openMinuteMs = minuteMs
+            e.copy(event_time = new java.sql.Timestamp(openMinuteMs))
+          }
+          if (openMinuteMs != Long.MinValue) state.update(openMinuteMs)
+          out.iterator
+      }
+  }
+}

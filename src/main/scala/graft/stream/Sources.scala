@@ -1,0 +1,68 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+
+import graft.core.Schemas
+
+/** Streaming sources — SURVEY.md §2.1 (S2, S4-S6).
+  *
+  * All sources produce the same wire shape the reference puts on Kafka: a
+  * single string column `value` holding the JSON envelope
+  * `{user_id, emoji_type, timestamp}` (`api_server.py:13`). Downstream
+  * (`Pipeline.parse`) is therefore source-agnostic — swapping
+  * rate/memory/kafka changes nothing in the query plan after the parse.
+  */
+object Sources {
+
+  /** S4/S5: Kafka source, configured like `spark_consumer.py:19-25`
+    * (subscribe one topic, latest offsets) plus S2 bounded admission:
+    * `maxOffsetsPerTrigger` is the engine-side twin of the reference's
+    * bounded ingest queue (`api_server.py:10,59-64` — 10k cap) — it caps
+    * rows per micro-batch so a backlog can't blow out executor memory.
+    *
+    * Returns the configured reader; `.load()` needs the
+    * spark-sql-kafka connector on the classpath (not in this sandbox —
+    * exercised in tests only up to the option map).
+    */
+  def kafkaReader(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String = "emoji_topic",
+      startingOffsets: String = "latest",
+      maxOffsetsPerTrigger: Option[Long] = Some(10000L)): DataStreamReader = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
+  }
+
+  /** Kafka `value` bytes → the engine wire column. Split out so tests can
+    * apply it to a static frame with the Kafka schema. */
+  def kafkaValue(df: DataFrame): DataFrame =
+    df.select(col("value").cast("string").as("value"))
+
+  /** S6: synthetic generator twin of `client.py:43-53,105-119` — the rate
+    * source's (timestamp, value) rows become JSON envelopes: uuid-ish user
+    * ids, round-robin pick from the 10-emoji vocabulary, ISO-micros
+    * timestamps. Works on both `spark.readStream.format("rate")` output and
+    * any static frame with the same two columns (used by tests/bench).
+    */
+  def envelopeFromRate(rate: DataFrame): DataFrame =
+    rate.select(
+      to_json(struct(
+        concat(lit("user-"), pmod(col("value"), lit(1000L))).as("user_id"),
+        element_at(
+          array(Schemas.emojiVocab.map(lit): _*),
+          (pmod(col("value"), lit(10L)) + 1).cast("int")).as("emoji_type"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")
+      )).as("value"))
+
+  /** S6: ready-to-run rate source of emoji envelopes. */
+  def rateEnvelopes(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    envelopeFromRate(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString).load())
+}
