@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents.text` — the training-data
+  * pipeline extensions (north star; SURVEY.md §7.4). All built-in Catalyst
+  * expressions (regexp/array higher-order functions), no UDFs: every
+  * transform stays inside whole-stage codegen and scales linearly with
+  * input — no shuffle is introduced before the explicit aggregations in
+  * the query layer.
+  */
+object Text {
+
+  /** Word tokenizer shared by every operator (and mirrored verbatim in the
+    * DuckDB oracles): lowercase, runs of [a-z0-9]. Deliberately simple so
+    * both engines' regex dialects (Java util.regex vs RE2) agree. */
+  val tokenPattern: String = "[a-z0-9]+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(tokenPattern), lit(0))
+
+  /** BPE-ish token estimator: words stay whole, digits and punctuation
+    * split one-per-token — a cheap stand-in for subword token counting
+    * with the same regex on both engines. */
+  val bpePattern: String = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  /** Adjacent-pair n-grams from a token array (n=2 default). Guarded so
+    * short docs yield an empty array (Spark's `sequence` would otherwise
+    * run descending). */
+  def ngrams(toks: Column, n: Int = 2): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array())
+
+  /** Minimal stopword list present in the synthetic corpus; used by the
+    * quality score. Kept tiny and explicit so the oracle SQL can inline it. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Per-language stopword profiles for the language-ID heuristic. A real
+    * deployment would use char-n-gram profiles; function-word hits are the
+    * deterministic, shuffle-free core of that idea. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "un"),
+    "es" -> Seq("el", "los", "y", "que", "es", "un"),
+    "it" -> Seq("il", "la", "e", "che", "di", "un"))
+
+  /** Language-ID: argmax of profile hits, ties and zero-hit docs → "und"
+    * (undetermined). Pure expression tree — no shuffle, no UDF. */
+  def langId(toks: Column): Column = {
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: digest of the normalized token stream. Two docs
+    * that differ only in case/punctuation/whitespace fingerprint the same;
+    * a reordered document fingerprints differently. md5 on both engines →
+    * identical lowercase hex, so this is fully oracle-checkable. */
+  def fingerprint(toks: Column): Column =
+    md5(concat_ws(" ", toks).cast("binary"))
+}

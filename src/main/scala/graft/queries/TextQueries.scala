@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.Text
+
+/** Text-analysis queries over `documents` (north-star extension set).
+  * The DuckDB oracles re-express the same tokenizer regex verbatim, so
+  * both engines tokenize identically. */
+object TextQueries {
+
+  /** Shared projection: documents + token array. */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+
+  /** Oracle-side tokenizer, kept in lockstep with [[Text.tokenPattern]]. */
+  private val duckToks = s"regexp_extract_all(lower(text), '${Text.tokenPattern}')"
+
+  /** Top-20 token frequencies (explode → count; the classic word-count). */
+  def tokensTop(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** Top-20 bigram frequencies. */
+  def bigramsTop(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(Text.ngrams(col("toks"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bg"))
+      .limit(20)
+
+  /** Per-language corpus stats: docs, chars, tokens, mean tokens/doc. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(size(col("toks")).cast("long")).as("sum_tokens"),
+        (sum(size(col("toks")).cast("long")) / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Per-doc quality scoring: token counts (word + BPE-ish), stopword
+    * ratio, bucket label. Per-doc output on purpose — no cross-row double
+    * summation, so every value is bit-stable (ints + one IEEE division). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(Text.bpeTokens(col("text"))).cast("long").as("n_bpe"),
+        Text.stopwordCount(col("toks")).cast("long").as("n_stop"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop") / col("n_tokens")))
+      .withColumn("quality",
+        when(col("n_tokens") >= 40 && col("stop_ratio") < 0.3, "good")
+          .when(col("n_tokens") >= 10, "fair")
+          .otherwise("poor"))
+      .orderBy("doc_id")
+
+  /** Per-doc fingerprint: md5 of the normalized token stream. */
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(col("toks")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (stopword-profile argmax). The corpus labels
+    * (`lang` column) are synthetic — the text itself is English-ish for
+    * every label — so this has no SQL oracle; its correctness gate is the
+    * unit test on real per-language sentences. Rows-only here. */
+  def langIdQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), Text.langId(col("toks")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val stopList = Text.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("text_tokens_top", tokensTop, Some(s"""
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest($duckToks) AS token FROM documents)
+      GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""")),
+    GQuery("text_bigrams_top", bigramsTop, Some(s"""
+      WITH t AS (SELECT $duckToks AS toks FROM documents)
+      SELECT bg, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t)
+      GROUP BY 1 ORDER BY cnt DESC, bg LIMIT 20""")),
+    GQuery("text_lang_stats", langStats, Some(s"""
+      WITH t AS (SELECT lang, n_chars, len($duckToks) AS n_toks FROM documents)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_toks) AS BIGINT) / count(*) AS avg_tokens
+      FROM t GROUP BY 1 ORDER BY 1""")),
+    GQuery("text_quality", quality, Some(s"""
+      WITH t AS (SELECT doc_id,
+                        CAST(len($duckToks) AS BIGINT) AS n_tokens,
+                        CAST(len(regexp_extract_all(lower(text), '${Text.bpePattern}')) AS BIGINT) AS n_bpe,
+                        CAST(len(list_filter($duckToks,
+                               t -> list_contains($stopList, t))) AS BIGINT) AS n_stop
+                 FROM documents)
+      SELECT doc_id, n_tokens, n_bpe, n_stop,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+             CASE WHEN n_tokens >= 40 AND
+                       (CASE WHEN n_tokens = 0 THEN 0.0
+                             ELSE CAST(n_stop AS DOUBLE) / n_tokens END) < 0.3
+                    THEN 'good'
+                  WHEN n_tokens >= 10 THEN 'fair'
+                  ELSE 'poor' END AS quality
+      FROM t ORDER BY doc_id""")),
+    GQuery("text_fingerprint", fingerprintQ, Some(s"""
+      SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
+      FROM documents ORDER BY doc_id""")),
+    GQuery("text_lang_id", langIdQ, None)
+  )
+}

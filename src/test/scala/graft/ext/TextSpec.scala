@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text-analysis operators on hand-built sentences (the lang-ID heuristic
+  * has no SQL oracle — this suite is its gate). */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(s: String) =
+    Seq(s).toDF("text").select(Text.tokens(col("text")).as("t"))
+
+  test("tokenizer lowercases and strips punctuation") {
+    toks("Hello, World! 42").select(col("t")).as[Seq[String]].collect()(0) shouldBe
+      Seq("hello", "world", "42")
+  }
+
+  test("ngrams builds adjacent pairs; short docs yield empty") {
+    toks("a b c").select(Text.ngrams(col("t"))).as[Seq[String]].collect()(0) shouldBe
+      Seq("a b", "b c")
+    toks("solo").select(Text.ngrams(col("t"))).as[Seq[String]].collect()(0) shouldBe
+      Seq.empty
+  }
+
+  test("bpe estimator splits digits and punctuation one-per-token") {
+    Seq("ab12, c!").toDF("text")
+      .select(Text.bpeTokens(col("text"))).as[Seq[String]].collect()(0) shouldBe
+      Seq("ab", "1", "2", ",", "c", "!")
+  }
+
+  test("lang-ID picks the profile with the most function-word hits") {
+    val cases = Seq(
+      "the cat and the dog of a house is here" -> "en",
+      "der hund und die katze das ist ein haus" -> "de",
+      "le chat et les chiens est un animal" -> "fr",
+      "el perro y los gatos es un animal que" -> "es",
+      "il gatto e che di un cane" -> "it")
+    cases.foreach { case (sentence, expect) =>
+      val got = toks(sentence).select(Text.langId(col("t"))).as[String].collect()(0)
+      withClue(sentence)(got shouldBe expect)
+    }
+  }
+
+  test("lang-ID returns 'und' when nothing matches") {
+    toks("zzz qqq xxx").select(Text.langId(col("t"))).as[String].collect()(0) shouldBe "und"
+  }
+
+  test("fingerprint is case/punctuation-insensitive but order-sensitive") {
+    def fp(s: String) =
+      toks(s).select(Text.fingerprint(col("t"))).as[String].collect()(0)
+    fp("Hello, World!") shouldBe fp("hello world")
+    fp("hello world") should not be fp("world hello")
+  }
+}
