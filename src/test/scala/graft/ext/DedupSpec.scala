@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup operators on a planted corpus: A ≈ B (one token changed),
+  * D == A up to case/punctuation, C unrelated. These are the correctness
+  * gates for the hash-based ops that have no DuckDB oracle. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseText =
+    "spark table scan filter join group window agg sort merge shuffle " +
+      "partition broadcast hash value column row batch stream state"
+  private val nearText = baseText.replace("shuffle", "exchange") // 1 token differs
+  private val unrelated =
+    "quick brown fox jumps over lazy dog again and again with zeal " +
+      "purple monkey dishwasher banana umbrella xylophone quartz vivid"
+
+  private val docs = Seq(
+    (1L, baseText),
+    (2L, nearText),
+    (3L, unrelated),
+    (4L, baseText.toUpperCase + "!!!") // exact dup of 1 after normalization
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: normalized exact duplicates collapse to the min doc_id") {
+    val groups = Dedup.exactGroups(docs).collect()
+    groups should have length 3
+    val g = groups.find(_.getAs[Long]("n_dups") == 2L).get
+    g.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("MinHash LSH: near-dup pair is a candidate; unrelated docs are not") {
+    val pairs = Dedup.candidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+  }
+
+  test("nearDupPairs: jaccard-verified pairs at 0.5 include (1,2) and the exact dup") {
+    val verified = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    verified should contain((1L, 2L))
+    verified should contain((1L, 4L)) // exact dup: jaccard 1.0
+    verified should not contain ((1L, 3L))
+  }
+
+  test("jaccard: exact set math on small arrays") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect()(0)
+    j shouldBe 0.5 // |{b,c}| / |{a,b,c,d}|
+  }
+
+  test("SimHash: near-dups within a few bits, unrelated docs far apart") {
+    val th = docs.withColumn("th", Dedup.tokenHashes(Text.tokens(col("text"))))
+      .select(col("doc_id"), Dedup.simhash64(col("th")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(th(1L), th(4L)) shouldBe 0 // normalized-identical
+    ham(th(1L), th(2L)) should be < 12
+    ham(th(1L), th(3L)) should be > 16
+  }
+
+  test("simhashBands: identical fingerprints share all bands; near-dups share ≥1") {
+    val sims = docs.withColumn("th", Dedup.tokenHashes(Text.tokens(col("text"))))
+      .withColumn("sim", Dedup.simhash64(col("th")))
+      .select(col("doc_id"), explode(Dedup.simhashBands(col("sim"))).as("k"))
+      .select(col("doc_id"), col("k.band"), col("k.bucket"))
+      .as[(Long, Int, Long)].collect()
+    val byDoc = sims.groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    (byDoc(1L) intersect byDoc(4L)).size shouldBe 4
+    (byDoc(1L) intersect byDoc(2L)).size should be >= 1
+  }
+
+  test("LSH bucket cap drops pathological buckets") {
+    // 5 identical docs → every bucket has 5 members; cap 4 → no pairs survive
+    val clones = (1L to 5L).map(i => (i, baseText)).toDF("doc_id", "text")
+    Dedup.candidatePairs(clones, maxBucketSize = 4).count() shouldBe 0L
+    Dedup.candidatePairs(clones, maxBucketSize = 5).count() shouldBe 10L // C(5,2)
+  }
+}
