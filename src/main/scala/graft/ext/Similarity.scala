@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedTopK
+
+/** Similarity search over `embeddings.embedding: array<float>` (north
+  * star; SURVEY.md §7.4).
+  *
+  * Scale design:
+  *  - probes are BROADCAST (a probe set is small by definition); the
+  *    corpus is never shuffled for brute-force scoring — the cross join is
+  *    map-side, scoring stays in whole-stage codegen.
+  *  - top-k per probe goes through [[BoundedTopK]] (k-entry heap through
+  *    partial/final agg) rather than a per-probe window sort.
+  *  - the ANN path prunes candidates with SRP-LSH (sign-random-projection)
+  *    bucket equi-joins — bucket keys are computed per row with literal
+  *    hyperplanes, no shuffle beyond the join itself.
+  *
+  * All arithmetic is double-precision from the first multiply (floats are
+  * widened first), matching the DuckDB oracle's `::DOUBLE[]` casts.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product of two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, null-safe for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Brute-force exact k-NN: every (probe, corpus) pair scored, window
+    * rank per probe. Correct baseline; the window sorts each probe's
+    * full candidate list — use [[knnTopKAgg]] for the scale path. */
+  def knnExact(corpus: DataFrame, probes: DataFrame, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = scoreAll(corpus, probes, idCol, vecCol)
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Same pairs, same scores — but the per-probe top-k comes from the
+    * bounded-heap aggregate: shuffle carries ≤ k rows per probe. */
+  def knnTopKAgg(corpus: DataFrame, probes: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    scoreAll(corpus, probes, idCol, vecCol)
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), k).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
+
+  /** All (probe, corpus) cosine scores, probes broadcast, self-pairs out. */
+  def scoreAll(corpus: DataFrame, probes: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+  }
+
+  /** Deterministic SRP hyperplanes: `nPlanes` × `dim` from a fixed-seed
+    * RNG. Literal columns — identical on every executor, no broadcast
+    * needed. */
+  def srpPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** SRP-LSH bucket: bit r = sign(vec · plane_r), packed into an int.
+    * Vectors with high cosine land in the same bucket with probability
+    * (1 - θ/π)^nPlanes. */
+  def srpBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, r) =>
+      when(dot(vec, array(plane.map(lit): _*)) >= 0.0, lit(1 << r)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN k-NN: candidates = corpus rows sharing the probe's SRP bucket;
+    * exact cosine + heap top-k only within the bucket. Trades recall for
+    * a candidate set ~ |corpus| / 2^nPlanes per probe. */
+  def knnLsh(corpus: DataFrame, probes: DataFrame, k: Int, nPlanes: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = srpPlanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    c.join(broadcast(p), "bucket")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), k).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
+  }
+
+  /** Embedding-level near-dup pairs: SRP bucket equi-join (never
+    * all-pairs), verified with exact cosine ≥ `threshold`. The
+    * embedding-space twin of MinHash near-dup dedup. */
+  def embNearDupPairs(corpus: DataFrame, threshold: Double = 0.95, nPlanes: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = srpPlanes(nPlanes, dim, seed)
+    val b = corpus.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

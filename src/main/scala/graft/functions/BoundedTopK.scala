@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Bounded min-heap holding the k best (score, id) pairs seen so far.
+  * "Best" = highest score; ties broken toward the smaller id so results
+  * are deterministic. O(k) memory regardless of input size.
+  */
+final class TopKHeap(val k: Int) {
+  // head = the entry to evict first: lowest score, then largest id
+  private val evictFirst: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  private[functions] val q = scala.collection.mutable.PriorityQueue.empty(evictFirst)
+
+  def insert(score: Double, id: Long): Unit =
+    if (q.size < k) q.enqueue((score, id))
+    else if (evictFirst.compare((score, id), q.head) < 0) { q.dequeue(); q.enqueue((score, id)) }
+
+  def mergeFrom(other: TopKHeap): Unit =
+    other.q.foreach { case (s, i) => insert(s, i) }
+
+  /** Entries best-first: score desc, id asc. */
+  def sorted: Seq[(Double, Long)] =
+    q.toSeq.sortBy { case (s, i) => (-s, i) }
+}
+
+/** Top-k by score as a native Catalyst aggregate — the scale-path
+  * replacement for `orderBy(desc).limit(k)` *per group*: a window
+  * row_number ranks every candidate (full sort of each partition), while
+  * this keeps a k-entry heap per group through the normal partial/final
+  * aggregation flow, so the shuffle carries at most k pairs per group.
+  *
+  * Output: array<struct<score double, id bigint>>, best-first,
+  * deterministic (ties → smaller id).
+  */
+case class BoundedTopK(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKHeap, other: TopKHeap): TopKHeap = {
+    buffer.mergeFrom(other); buffer
+  }
+
+  override def eval(buffer: TopKHeap): Any =
+    new GenericArrayData(buffer.sorted.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i))
+    }.toArray[Any])
+
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
+    val entries = buffer.sorted
+    val bb = ByteBuffer.allocate(4 + entries.size * 16)
+    bb.putInt(entries.size)
+    entries.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKHeap(k)
+    (0 until n).foreach(_ => h.insert(bb.getDouble, bb.getLong))
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def prettyName: String = "bounded_top_k"
+}
+
+object BoundedTopK {
+  /** `topk(score, id, k)` aggregate column. */
+  def topk(score: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      BoundedTopK(
+        GraftColumnBridge.expression(score),
+        GraftColumnBridge.expression(id),
+        k).toAggregateExpression())
+}

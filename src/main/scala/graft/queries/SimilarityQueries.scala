@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.Similarity
+
+/** Similarity-search queries over `embeddings`. The exact-kNN oracle is
+  * DuckDB `list_cosine_similarity` on `::DOUBLE[]` casts — both engines
+  * compute double-precision cosine and the outputs are rounded to 6
+  * decimals, so the hash compare is stable while ranks use full
+  * precision. */
+object SimilarityQueries {
+
+  private val K = 10
+  private val NProbes = 5
+
+  private def probes(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < NProbes)
+
+  private def finish(knn: DataFrame): DataFrame =
+    knn.select(col("probe_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id"))
+
+  /** Brute-force exact kNN (window-ranked baseline). */
+  def knnExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnExact(e, probes(spark, dir), K))
+  }
+
+  /** Same answer through the bounded-heap TypedImperativeAggregate — the
+    * scale path (shuffle carries ≤ k rows per probe). Shares the exact-kNN
+    * oracle: equivalence is hash-proved every round. */
+  def knnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnTopKAgg(e, probes(spark, dir), K))
+  }
+
+  /** SRP-LSH approximate kNN: bucket-pruned candidates, exact cosine
+    * within the bucket. Spark-hash bucketing → rows-only; recall is gated
+    * by SimilaritySpec's planted clusters. */
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnLsh(e, probes(spark, dir), K))
+  }
+
+  /** SRP bucket occupancy — the partition-pruning histogram an operator
+    * would use to pick nPlanes at scale. Rows-only. */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+    Tables.embeddings(spark, dir)
+      .select(Similarity.srpBucket(col("embedding"), planes).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+  }
+
+  private val knnOracle: String = s"""
+      WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+                 FROM embeddings WHERE vec_id < $NProbes)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pv::DOUBLE[]) DESC,
+                          e.vec_id) AS rk
+        FROM embeddings e, p
+        WHERE e.vec_id <> p.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("knn_exact", knnExact, Some(knnOracle)),
+    GQuery("knn_topk_agg", knnTopK, Some(knnOracle)),
+    GQuery("knn_lsh", knnLsh, None),
+    GQuery("emb_bucket_stats", bucketStats, None)
+  )
+}

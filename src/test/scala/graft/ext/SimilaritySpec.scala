@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.BoundedTopK
+
+/** Similarity operators + the BoundedTopK aggregate. The LSH recall gate
+  * uses planted clusters (the sf corpus is uniform noise, where ANN recall
+  * is meaningless by construction). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: orthogonal → 0, identical → 1, opposite → -1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f), 0.0),
+      (Seq(1f, 1f), Seq(1f, 1f), 1.0),
+      (Seq(1f, 0f), Seq(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expect")
+    df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expect"))
+      .as[(Double, Double)].collect()
+      .foreach { case (c, e) => c shouldBe e +- 1e-12 }
+  }
+
+  test("cosine: zero vector is null-safe (0.0, not NaN)") {
+    Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()(0) shouldBe 0.0
+  }
+
+  test("knnTopKAgg returns exactly the window-ranked exact answer") {
+    val rng = new scala.util.Random(7)
+    val corpus = vecDf((0L until 120L).map(i => i -> Seq.fill(16)(rng.nextFloat() - 0.5f)))
+    val probes = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.knnExact(corpus, probes, 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val heap = Similarity.knnTopKAgg(corpus, probes, 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    heap shouldBe exact
+    heap.size shouldBe 30
+  }
+
+  test("BoundedTopK: deterministic tie-break toward smaller ids, capped at k") {
+    val df = (1L to 20L).map(i => (1.0, i)).toDF("score", "id")
+    val got = df.agg(BoundedTopK.topk(col("score"), col("id"), 5).as("nn"))
+      .select(explode(col("nn.id"))).as[Long].collect().toSeq
+    got shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("BoundedTopK: orders best-first with mixed scores") {
+    val df = Seq((0.2, 10L), (0.9, 20L), (0.5, 30L), (0.9, 5L)).toDF("score", "id")
+    val got = df.agg(BoundedTopK.topk(col("score"), col("id"), 3).as("nn"))
+      .select(explode(col("nn"))).select("col.score", "col.id")
+      .as[(Double, Long)].collect().toSeq
+    got shouldBe Seq((0.9, 5L), (0.9, 20L), (0.5, 30L))
+  }
+
+  /** Planted clusters: 8 unit-ish base vectors, 6 noisy copies each
+    * (cos ≈ 0.99+). Probing with a clean base must recover mostly its own
+    * cluster through the SRP buckets. */
+  test("knnLsh: high recall on genuinely clustered vectors") {
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    val bases = Seq.fill(8)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 6
+    } yield {
+      val noisy = b.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      (ci * 100L + j + 1, noisy.toSeq)
+    }
+    val probes = bases.zipWithIndex.map { case (b, ci) => (ci * 100L, b.toSeq) }
+    val corpusDf = vecDf(corpus ++ probes) // probes in corpus too (excluded as self)
+    val probesDf = vecDf(probes)
+    val got = Similarity.knnLsh(corpusDf, probesDf, k = 6, nPlanes = 4, dim = dim)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    val hits = got.count { case (p, n) => n / 100L == p / 100L }
+    val recall = hits.toDouble / (8 * 6)
+    withClue(s"recall=$recall") { recall should be >= 0.6 }
+  }
+
+  test("embNearDupPairs: planted duplicate found, unrelated pair not") {
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val nearDup = base.map(x => x * 1.001f + 0.001f * rng.nextGaussian().toFloat)
+    val others = (3L to 30L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val corpus = vecDf(Seq((1L, base.toSeq), (2L, nearDup.toSeq)) ++ others)
+    val pairs = Similarity.embNearDupPairs(corpus, threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.size shouldBe 1
+  }
+}
