@@ -136,6 +136,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("W6 quirk: randomized batches match the hand-rolled accumulator model") {
+    // model of analytical_server.py:33-39: per arrival, effective minute =
+    // running max of minute buckets (within a batch, arrival ≈ time order)
+    val rng = new scala.util.Random(99)
+    val batches = Seq.fill(4)(Seq.fill(8) {
+      val minute = 100 + rng.nextInt(10)
+      val sec = rng.nextInt(60)
+      (minute * 60L + sec) * 1000L // epoch millis
+    }.sorted)
+    var openMinuteMs = Long.MinValue
+    val expected = batches.flatMap { b =>
+      b.map { ms =>
+        val minuteMs = ms / 60000L * 60000L
+        if (minuteMs > openMinuteMs) openMinuteMs = minuteMs
+        (ms, openMinuteMs)
+      }
+    }.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+
+    val in = MemoryStream[PEvent]
+    val q = Sinks.memory(
+      Pipeline.creditLateToOpenMinute(in.toDS()).toDF(), "w6_model", OutputMode.Append())
+    try {
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        in.addData(b.zipWithIndex.map { case (ms, i) =>
+          PEvent(s"u$bi-$i", "👍", new java.sql.Timestamp(ms))
+        })
+        q.processAllAvailable()
+      }
+      val got = spark.table("w6_model")
+        .select(unix_millis(col("event_time")))
+        .as[Long].collect().toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got shouldBe expected
+    } finally q.stop()
+  }
+
   test("K3: broadcast fan-out replicates every micro-batch to ALL subscribers") {
     val in = MemoryStream[String]
     val seen = Seq.fill(3)(mutable.Set.empty[String])
