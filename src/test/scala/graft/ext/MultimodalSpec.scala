@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Multimodal._
+
+/** The multimodal pipeline's Spark-side contract: schema, batch shape,
+  * determinism, resize/frame-sample math. (The decode itself is a
+  * documented stub — these tests pin the plumbing a real codec would
+  * drop into.) */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (0L, "alpha beta gamma delta"),
+    (1L, "a" * 100),
+    (2L, "short"),
+    (3L, "x" * 4096)
+  ).toDF("doc_id", "text")
+
+  test("asMedia: typed schema with binary payload and round-robin kinds") {
+    val m = asMedia(docsDf)
+    m.schema("payload").dataType.typeName shouldBe "binary"
+    val kinds = m.select("media_id", "kind").as[(Long, String)].collect().toMap
+    kinds(0L) shouldBe "image"
+    kinds(1L) shouldBe "audio"
+    kinds(2L) shouldBe "video"
+    kinds(3L) shouldBe "image"
+  }
+
+  test("decodeFeatures: one feature row per media, payload-derived values") {
+    val f = decodeFeatures(asMedia(docsDf).as[MediaRecord], batchSize = 2)
+      .collect().map(x => x.media_id -> x).toMap
+    f should have size 4
+    f(3L).width shouldBe 64 // sqrt(4096)
+    f(3L).mean_intensity shouldBe 'x'.toDouble
+    f(1L).kind shouldBe "audio"
+    f(1L).width shouldBe 16000
+  }
+
+  test("decodeFeatures: batch size does not change results (shape-only knob)") {
+    val a = decodeFeatures(asMedia(docsDf).as[MediaRecord], batchSize = 1)
+      .collect().sortBy(_.media_id).toSeq
+    val b = decodeFeatures(asMedia(docsDf).as[MediaRecord], batchSize = 100)
+      .collect().sortBy(_.media_id).toSeq
+    a shouldBe b
+  }
+
+  test("resize caps the longest side, preserving at least 1px") {
+    val f = resize(decodeFeatures(asMedia(docsDf).as[MediaRecord]), maxDim = 10)
+      .collect().map(x => x.media_id -> x).toMap
+    f(3L).width shouldBe 10
+    f(3L).height shouldBe 10
+    f(1L).width shouldBe 10 // audio 16000 → capped too (width=sample rate)
+  }
+
+  test("frameSample reduces only video frame counts by the stride") {
+    val before = decodeFeatures(asMedia(docsDf).as[MediaRecord])
+    val after = frameSample(before, stride = 4)
+      .collect().map(x => x.media_id -> x.n_frames).toMap
+    val orig = before.collect().map(x => x.media_id -> x.n_frames).toMap
+    after(2L) shouldBe math.max(1, (orig(2L) + 3) / 4)
+    after(0L) shouldBe orig(0L) // image untouched
+  }
+}
