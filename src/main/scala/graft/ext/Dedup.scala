@@ -36,13 +36,21 @@ object Dedup {
 
   /** MinHash signature: `numHashes` independent permutations simulated by
     * seeding murmur3 with the permutation index; each signature slot is the
-    * min over the doc's shingle hashes. Empty docs sign as Int.MaxValue. */
+    * min over the doc's shingle hashes. Empty docs sign as Int.MaxValue.
+    *
+    * Computed as ONE fold over the shingle array (accumulator = the
+    * signature vector). The naive form — numHashes separate
+    * `array_min(transform(...))` expressions — lets `CollapseProject`
+    * inline the upstream shingle construction into every one of them,
+    * re-tokenizing each document 64 times; measured 25× slower at sf0.1. */
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { i =>
-      coalesce(
-        array_min(transform(shingles, h => hash(lit(i), h))),
-        lit(Int.MaxValue))
-    }: _*)
+    aggregate(
+      shingles,
+      array_repeat(lit(Int.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        sequence(lit(0), lit(numHashes - 1)),
+        (best, i) => least(best, hash(i, s))))
 
   /** Banded LSH keys: split the signature into `bands` equal slices and
     * hash each slice. Docs sharing ANY (band, hash) key are candidates.
@@ -57,12 +65,22 @@ object Dedup {
     }: _*)
   }
 
-  /** (id, band, bucket) exploded LSH keys for a document frame. */
+  /** (id, band, bucket) exploded LSH keys for a document frame.
+    *
+    * The signature is materialized behind an explicit repartition BEFORE
+    * the band explode: `Generate` re-evaluates its input per output row,
+    * and `CollapseProject` would otherwise inline the whole
+    * tokenize→shingle→signature expression into it — measured 8× slower
+    * at sf0.1. The barrier shuffle carries only (id, 64 ints) per doc, and
+    * `ReuseExchange` shares it between the two sides of the candidate
+    * self-join. */
   def bandTable(docs: DataFrame, idCol: String = "doc_id", k: Int = 3,
                 numHashes: Int = 64, bands: Int = 16): DataFrame =
     docs
-      .withColumn("__sh", shingleHashes(Text.tokens(col("text")), k))
-      .withColumn("__key", explode(lshBandKeys(minhashSignature(col("__sh"), numHashes), bands, numHashes)))
+      .select(col(idCol),
+        minhashSignature(shingleHashes(Text.tokens(col("text")), k), numHashes).as("__sig"))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(lshBandKeys(col("__sig"), bands, numHashes)).as("__key"))
       .select(col(idCol), col("__key.band").as("band"), col("__key.bucket").as("bucket"))
 
   /** Candidate near-dup pairs (a < b) via the band-bucket equi-join, with

@@ -20,11 +20,15 @@ object DedupQueries {
     Dedup.exactGroups(Tables.documents(spark, dir))
       .orderBy("fp")
 
-  /** Same-source n-gram Jaccard: top-20 most similar in-bucket pairs.
-    * Bucketing by `source` stands in for the LSH bucket at oracle scale —
-    * the pair join is equi-keyed, never a cross product. */
+  /** Same-source n-gram Jaccard: top-20 most similar in-bucket pairs over
+    * a deterministic 1-in-10 document sample. Bucketing by `source` stands
+    * in for the LSH bucket at oracle scale — the pair join is equi-keyed,
+    * never a cross product — and the sample keeps the demonstration
+    * query's in-bucket pair count bounded as sf grows (the production
+    * path, `Dedup.nearDupPairs`, only ever scores LSH candidates). */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id"), col("source"),
         array_distinct(Text.ngrams(Text.tokens(col("text")), 3)).as("sh"))
     d.as("x").join(d.as("y"),
@@ -68,7 +72,8 @@ object DedupQueries {
         SELECT doc_id, source,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        FROM (SELECT doc_id, source, $duckToks AS toks FROM documents))
+        FROM (SELECT doc_id, source, $duckToks AS toks FROM documents
+              WHERE doc_id % 10 = 0))
       SELECT x.doc_id AS a_id, y.doc_id AS b_id,
              CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
                   ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
