@@ -123,6 +123,26 @@ object Parity {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** A8: the ingest success/total counters (`api_server.py:16-17,35-36`,
+    * `client.py:64`) as a query over the envelope roundtrip: total
+    * attempts, accepted (all three fields present ⇒ the 200 path),
+    * rejected (the 400 side output). The reject path is exercised with
+    * planted bad envelopes in IngestSpec; on the well-formed events table
+    * it is structurally zero. */
+  def ingestCounters(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Tables.events(spark, dir).select(
+      to_json(struct(
+        col("user_id").cast("string").as("user_id"),
+        col("event_type").as("emoji_type"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")
+      )).as("value"))
+    val parsed = Ingest.parseEnvelope(wire)
+    val (valid, _) = Ingest.validate(parsed)
+    parsed.agg(count(lit(1)).as("n_total"))
+      .crossJoin(valid.agg(count(lit(1)).as("n_accepted")))
+      .withColumn("n_rejected", col("n_total") - col("n_accepted"))
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("flagship", flagship, Some(s"""
       SELECT $duckMinute AS window_start, event_type,
@@ -175,6 +195,16 @@ object Parity {
     GQuery("distinct_users", distinctUsers, Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY 1 ORDER BY 1""")),
-    GQuery("approx_distinct_users", approxDistinctUsers, None)
+    GQuery("approx_distinct_users", approxDistinctUsers, None),
+    GQuery("ingest_counters", ingestCounters, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(*) FILTER (WHERE user_id IS NOT NULL
+                                     AND event_type IS NOT NULL
+                                     AND ts IS NOT NULL) AS BIGINT) AS n_accepted,
+             CAST(count(*) AS BIGINT)
+               - CAST(count(*) FILTER (WHERE user_id IS NOT NULL
+                                         AND event_type IS NOT NULL
+                                         AND ts IS NOT NULL) AS BIGINT) AS n_rejected
+      FROM events"""))
   )
 }

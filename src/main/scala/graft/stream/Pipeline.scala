@@ -78,6 +78,18 @@ object Pipeline {
     flagship(adjusted, cfg)
   }
 
+  /** Streaming exact dedup (SURVEY.md §7.4): drop events whose
+    * (user_id, emoji_type, event_time) was already seen, with state bounded
+    * by the watermark horizon — `dropDuplicatesWithinWatermark` evicts
+    * dedup state once the watermark passes, so memory is O(events per
+    * watermark window), not O(stream). The streaming twin of
+    * `Dedup.exactGroups`. */
+  def dedupWithinWatermark(events: DataFrame,
+                           cfg: StreamConfig = StreamConfig()): DataFrame =
+    events
+      .withWatermark("event_time", cfg.watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "emoji_type", "event_time")
+
   /** W6 — the reference's late-data quirk (`analytical_server.py:33-39`),
     * OFF by default: its hand-rolled accumulator only rolls the "current
     * minute" forward, so an event whose minute is ≤ the last minute seen is

@@ -31,12 +31,19 @@ object Sources {
       bootstrapServers: String,
       topic: String = "emoji_topic",
       startingOffsets: String = "latest",
-      maxOffsetsPerTrigger: Option[Long] = Some(10000L)): DataStreamReader = {
+      maxOffsetsPerTrigger: Option[Long] = Some(10000L),
+      groupId: Option[String] = None): DataStreamReader = {
     val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-    maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
+    val withCap =
+      maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
+    // S5: the reference runs one consumer GROUP per downstream role
+    // (analytics_consumer, cluster_consumer_<uuid>) so each role sees the
+    // full stream; the Spark twin is one streaming query per role, with
+    // the group id pinned for broker-side quota/monitoring parity.
+    groupId.fold(withCap)(g => withCap.option("kafka.group.id", g))
   }
 
   /** Kafka `value` bytes → the engine wire column. Split out so tests can

@@ -1,0 +1,27 @@
+package graft
+
+/** The SQL surface of the native aggregate, via live-session
+  * registration (the `spark.sql.extensions` path uses the same builder
+  * triple). */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded_top_k is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq((1, 0.5, 10L), (1, 0.9, 20L), (1, 0.7, 30L), (2, 0.1, 40L))
+      .toDF("g", "score", "id").createOrReplaceTempView("scored")
+    val got = spark.sql(
+      "SELECT g, bounded_top_k(score, id, 2) AS nn FROM scored GROUP BY g ORDER BY g")
+      .selectExpr("g", "transform(nn, x -> x.id) AS ids")
+      .as[(Int, Seq[Long])].collect().toSeq
+    got shouldBe Seq((1, Seq(20L, 30L)), (2, Seq(40L)))
+  }
+
+  test("bounded_top_k rejects a non-literal k") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT bounded_top_k(1.0, 1L, id) FROM range(3)").collect()
+    }
+    e.getMessage should include("integer literal")
+  }
+}

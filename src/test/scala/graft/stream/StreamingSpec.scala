@@ -206,6 +206,23 @@ class StreamingSpec extends SparkSpec {
       Sources.kafkaReader(spark, "localhost:9092", maxOffsetsPerTrigger = Some(10000L))
   }
 
+  test("streaming exact dedup drops repeats across batches within the watermark") {
+    val in = MemoryStream[String]
+    val q = Sinks.memory(
+      Pipeline.dedupWithinWatermark(Pipeline.parse(in.toDF())),
+      "dedup_stream", OutputMode.Append())
+    try {
+      in.addData(
+        envelope("u1", "👍", "19:00:01"),
+        envelope("u1", "👍", "19:00:01"), // intra-batch dup
+        envelope("u2", "❤️", "19:00:02"))
+      q.processAllAvailable()
+      in.addData(envelope("u1", "👍", "19:00:01")) // cross-batch dup
+      q.processAllAvailable()
+      spark.table("dedup_stream").count() shouldBe 2L
+    } finally q.stop()
+  }
+
   test("W9: graceful shutdown drains in-flight work before stopping") {
     val in = MemoryStream[String]
     val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "w9", OutputMode.Update())
