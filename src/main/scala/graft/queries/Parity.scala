@@ -143,6 +143,30 @@ object Parity {
       .withColumn("n_rejected", col("n_total") - col("n_accepted"))
   }
 
+  /** A2+A3 in one pass via ROLLUP (SURVEY §2.3 A3's grouping-sets
+    * alternative): per-(minute, type) counts plus per-minute subtotals
+    * plus the grand total, one shuffle. */
+  def rollupMinuteType(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.withMinute(Tables.events(spark, dir))
+      .rollup(col("minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** §2.6 ranking window function: top-3 types per minute by count (the
+    * dashboard's per-minute leaderboard shape). */
+  def topTypesPerMinute(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    WindowAgg.minuteTypeCounts(Tables.events(spark, dir), "event_type")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("minute").orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+      .select(minuteStr("minute"), col("event_type"), col("cnt"), col("rk"))
+      .orderBy("window_start", "rk")
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("flagship", flagship, Some(s"""
       SELECT $duckMinute AS window_start, event_type,
@@ -205,6 +229,20 @@ object Parity {
                - CAST(count(*) FILTER (WHERE user_id IS NOT NULL
                                          AND event_type IS NOT NULL
                                          AND ts IS NOT NULL) AS BIGINT) AS n_rejected
-      FROM events"""))
+      FROM events""")),
+    GQuery("rollup_minute_type", rollupMinuteType, Some(s"""
+      SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT $duckMinute AS window_start, event_type FROM events)
+      GROUP BY ROLLUP (window_start, event_type)
+      ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
+    GQuery("top_types_per_minute", topTypesPerMinute, Some(s"""
+      SELECT window_start, event_type, cnt, rk FROM (
+        SELECT $duckMinute AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(row_number() OVER (
+                 PARTITION BY date_trunc('minute', ts)
+                 ORDER BY count(*) DESC, event_type) AS INT) AS rk
+        FROM events GROUP BY date_trunc('minute', ts), event_type)
+      WHERE rk <= 3 ORDER BY window_start, rk"""))
   )
 }

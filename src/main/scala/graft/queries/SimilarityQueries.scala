@@ -56,6 +56,21 @@ object SimilarityQueries {
       .orderBy("bucket")
   }
 
+  /** Per-label vector stats: count + exact-decimal sum of L2 norms (norms
+    * are per-row IEEE doubles, identical in both engines; the cross-row
+    * sum goes through DECIMAL so aggregation order can't perturb it). */
+  def normStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        Similarity.norm(col("embedding")).cast(DecimalType(18, 6)).as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum(col("nrm")).cast("double").as("sum_norm"))
+      .orderBy("label")
+  }
+
   private val knnOracle: String = s"""
       WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
                  FROM embeddings WHERE vec_id < $NProbes)
@@ -75,6 +90,11 @@ object SimilarityQueries {
     GQuery("knn_exact", knnExact, Some(knnOracle)),
     GQuery("knn_topk_agg", knnTopK, Some(knnOracle)),
     GQuery("knn_lsh", knnLsh, None),
-    GQuery("emb_bucket_stats", bucketStats, None)
+    GQuery("emb_bucket_stats", bucketStats, None),
+    GQuery("emb_norm_stats", normStats, Some("""
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                           AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+      FROM embeddings GROUP BY 1 ORDER BY 1"""))
   )
 }
