@@ -167,6 +167,45 @@ object Parity {
       .orderBy("window_start", "rk")
   }
 
+  /** Exact interpolated quantiles of `value` per type (Spark `percentile`
+    * = DuckDB `quantile_cont`; rounded to 6 dp so the two engines'
+    * interpolation association can't flip the hash). */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"))
+      .orderBy("event_type")
+
+  /** W2 extension: sliding 5-minute window with 1-minute slide — each
+    * event lands in 5 overlapping windows. (The reference uses only
+    * tumbling windows; SURVEY §2.4 W2 lists sliding as the optional
+    * extension.) */
+  def sliding5m(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("cnt"))
+      .orderBy("window_start")
+
+  /** W2 extension: session windows — per-user sessions closed by a 30 s
+    * inactivity gap; sessions counted per event type of the session's
+    * first event... kept simpler: session count and mean length per user
+    * bucket (user_id % 10) so output stays small and deterministic. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("user_bucket")
+
   val queries: Seq[GQuery] = Seq(
     GQuery("flagship", flagship, Some(s"""
       SELECT $duckMinute AS window_start, event_type,
@@ -243,6 +282,30 @@ object Parity {
                  PARTITION BY date_trunc('minute', ts)
                  ORDER BY count(*) DESC, event_type) AS INT) AS rk
         FROM events GROUP BY date_trunc('minute', ts), event_type)
-      WHERE rk <= 3 ORDER BY window_start, rk"""))
+      WHERE rk <= 3 ORDER BY window_start, rk""")),
+    GQuery("value_quantiles", valueQuantiles, Some("""
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.25), 6) AS p25,
+             ROUND(quantile_cont(value, 0.5), 6) AS p50,
+             ROUND(quantile_cont(value, 0.9), 6) AS p90
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("sliding_5m", sliding5m, Some("""
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT date_trunc('minute', ts) - i * INTERVAL 1 MINUTE AS ws
+            FROM events, (SELECT unnest([0, 1, 2, 3, 4]) AS i) offsets)
+      GROUP BY 1 ORDER BY 1""")),
+    GQuery("session_windows", sessionWindows, Some("""
+      WITH marks AS (
+        SELECT user_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            >= INTERVAL 30 SECOND
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events)
+      SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             CAST(sum(new_s) AS BIGINT) AS n_sessions,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM marks GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -223,6 +223,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("serve integration: streaming sink feeds the three JSON API shapes (W7 read-your-ingest)") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = MemoryStream[String]
+    // raw per-(window,type) counts — the serve layer's input contract
+    val agg = Pipeline.parse(in.toDF())
+      .withWatermark("event_time", "1 minute")
+      .groupBy(window(col("event_time"), "1 minute"), col("emoji_type"))
+      .agg(count(lit(1)).as("count"))
+    val q = Sinks.memory(agg, "serve_sink", OutputMode.Update())
+    try {
+      in.addData(
+        envelope("u1", "👍", "20:00:05"),
+        envelope("u2", "👍", "20:00:15"),
+        envelope("u3", "❤️", "20:01:10")) // open minute, still visible (W7)
+      q.processAllAvailable()
+      val minuteCounts = graft.serve.TimeSeries.windowedToMinute(spark.table("serve_sink"))
+      val emoji = JsonMethods.parse(graft.serve.TimeSeries.emojiDataJson(minuteCounts))
+      val JArray(thumbs) = emoji \ "👍"
+      thumbs.map(p => (p \ "count").values) shouldBe List(2L)
+      val stats = JsonMethods.parse(graft.serve.TimeSeries.statsJson(minuteCounts))
+      (stats \ "total_emojis").values shouldBe 3L
+      (stats \ "emoji_breakdown" \ "❤️").values shouldBe 1L
+    } finally q.stop()
+  }
+
   test("W9: graceful shutdown drains in-flight work before stopping") {
     val in = MemoryStream[String]
     val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "w9", OutputMode.Update())
