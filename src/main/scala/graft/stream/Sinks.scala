@@ -66,6 +66,20 @@ object Sinks {
       finally { batch.unpersist(); () }
     }
 
+  /** File sink: append-mode parquet with a mandatory checkpoint — the
+    * durable variant of K1/K2 (with a watermark upstream, append emits
+    * each window exactly once, so the files are the closed-window log). */
+  def files(
+      df: DataFrame,
+      path: String,
+      checkpointDir: String,
+      format: String = "parquet"): DataStreamWriter[Row] =
+    df.writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+
   /** W9: graceful shutdown (`spark_consumer.py:8` + query stop). */
   def stopGracefully(q: StreamingQuery): Unit = {
     q.processAllAvailable()

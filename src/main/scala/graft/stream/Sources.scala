@@ -72,4 +72,16 @@ object Sources {
     envelopeFromRate(
       spark.readStream.format("rate")
         .option("rowsPerSecond", rowsPerSecond.toString).load())
+
+  /** File source: a drop directory of newline-delimited JSON envelopes —
+    * the no-broker twin of the Kafka topic (each line = one `value`).
+    * `maxFilesPerTrigger` is the file-source flavor of S2 bounded
+    * admission. Exactly-once with a sink checkpoint: files are tracked in
+    * the source log, so restart resumes instead of re-reading. */
+  def envelopeFiles(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream.format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(path)
+      .select(col("value"))
 }

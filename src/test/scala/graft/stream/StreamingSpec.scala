@@ -249,6 +249,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source + checkpoint: aggregation state survives stop/restart") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    // raw per-window counts so the recovered state is directly observable;
+    // append mode + file sink = the durable closed-window log
+    def agg = Pipeline.parse(Sources.envelopeFiles(spark, inDir))
+      .withWatermark("event_time", "1 minute")
+      .groupBy(window(col("event_time"), "1 minute"), col("emoji_type"))
+      .agg(count(lit(1)).as("n"))
+    def startQuery() = Sinks.files(agg, outDir, ckDir).start()
+
+    drop("batch1.json", Seq(
+      envelope("u1", "👍", "21:00:05"),
+      envelope("u2", "👍", "21:00:15")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // 21:00 window still open
+
+    // restart from the same checkpoint: only new files are read, and the
+    // 21:00 window resumes at count 2 → 3 (the reference's in-memory
+    // accumulator would restart at 1 here). Two more drops advance the
+    // watermark past 21:01 so append emits the closed window.
+    drop("batch2.json", Seq(envelope("u3", "👍", "21:00:45")))
+    drop("batch3.json", Seq(envelope("u4", "👍", "21:03:00")))
+    drop("batch4.json", Seq(envelope("u5", "👍", "21:05:00")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val emitted = spark.read.parquet(outDir)
+      .select(col("emoji_type"), col("n"), unix_micros(col("window.start")).as("ws"))
+      .as[(String, Long, Long)].collect().toSet
+    emitted should contain(("👍", 3L, epochUs("21:00:00")))
+  }
+
   test("W9: graceful shutdown drains in-flight work before stopping") {
     val in = MemoryStream[String]
     val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "w9", OutputMode.Update())
