@@ -46,4 +46,13 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so queries can be authored in
+    * pure SQL (`spark.sql`). Idempotent per session+dir. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    events(spark, dir).createOrReplaceTempView("events")
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings")
+      .foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+  }
 }

@@ -206,6 +206,19 @@ object Parity {
         sum(col("n_events")).as("n_events"))
       .orderBy("user_bucket")
 
+  /** The flagship authored in pure SQL over registered temp views — the
+    * `spark.sql(...)` face of the same engine (identical plan after
+    * analysis; identical oracle as `flagship`). */
+  def sqlFlagship(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql("""
+      SELECT date_format(date_trunc('minute', ts), 'yyyy-MM-dd HH:mm:ss') AS window_start,
+             event_type,
+             CAST(CASE WHEN count(*) <= 1000 THEN 1.0
+                       ELSE count(*) / 1000.0 END AS DOUBLE) AS scaled_count
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("flagship", flagship, Some(s"""
       SELECT $duckMinute AS window_start, event_type,
@@ -306,6 +319,11 @@ object Parity {
       SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
              CAST(sum(new_s) AS BIGINT) AS n_sessions,
              CAST(count(*) AS BIGINT) AS n_events
-      FROM marks GROUP BY 1 ORDER BY 1"""))
+      FROM marks GROUP BY 1 ORDER BY 1""")),
+    GQuery("sql_flagship", sqlFlagship, Some(s"""
+      SELECT $duckMinute AS window_start, event_type,
+             CAST(CASE WHEN count(*) <= 1000 THEN 1.0
+                       ELSE count(*) / 1000.0 END AS DOUBLE) AS scaled_count
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -80,6 +80,27 @@ object TextQueries {
       .select(col("doc_id"), Text.langId(col("toks")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** The north-star composition: one pass of a training-data cleaning
+    * pipeline — quality-filter (≥10 tokens) → exact dedup (min doc_id per
+    * fingerprint) → per-language survivor stats. Shows the text/dedup
+    * operators composing into the corpus-prep job this engine exists for;
+    * fully SQL-expressible, so the whole chain is oracle-checked. */
+  def corpusCleanStats(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = docs(spark, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= 10)
+      .withColumn("fp", Text.fingerprint(col("toks")))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("keep_id"))
+    survivors
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
   private val stopList = Text.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
   val queries: Seq[GQuery] = Seq(
@@ -120,6 +141,19 @@ object TextQueries {
     GQuery("text_fingerprint", fingerprintQ, Some(s"""
       SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
       FROM documents ORDER BY doc_id""")),
-    GQuery("text_lang_id", langIdQ, None)
+    GQuery("text_lang_id", langIdQ, None),
+    GQuery("corpus_clean_stats", corpusCleanStats, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, $duckToks AS t FROM documents),
+      scored AS (
+        SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+               md5(array_to_string(t, ' ')) AS fp
+        FROM toks WHERE len(t) >= 10),
+      survivors AS (
+        SELECT * FROM scored
+        WHERE doc_id = (SELECT min(s2.doc_id) FROM scored s2 WHERE s2.fp = scored.fp))
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM survivors GROUP BY 1 ORDER BY 1"""))
   )
 }
