@@ -71,10 +71,11 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
 
-  /** Language-ID heuristic (stopword-profile argmax). The corpus labels
-    * (`lang` column) are synthetic — the text itself is English-ish for
-    * every label — so this has no SQL oracle; its correctness gate is the
-    * unit test on real per-language sentences. Rows-only here. */
+  /** Language-ID heuristic (stopword-profile argmax; ties and zero hits →
+    * "und"). The corpus labels are synthetic so accuracy is judged by the
+    * unit test on real per-language sentences — but the heuristic itself
+    * is pure list algebra, so the oracle re-expresses the exact argmax in
+    * DuckDB and hash-checks the decision on every document. */
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), Text.langId(col("toks")).as("lang_pred"))
@@ -141,7 +142,26 @@ object TextQueries {
     GQuery("text_fingerprint", fingerprintQ, Some(s"""
       SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
       FROM documents ORDER BY doc_id""")),
-    GQuery("text_lang_id", langIdQ, None),
+    GQuery("text_lang_id", langIdQ, Some {
+      val hitExprs = Text.langProfiles.map { case (lang, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter($duckToks, x -> list_contains($lst, x)))"
+      }
+      val cols = hitExprs.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n               ")
+      val best = hitExprs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+      val cases = hitExprs.map { case (l, _) =>
+        s"WHEN h_$l = $best AND h_$l > 0 THEN '$l'"
+      }.mkString("\n                  ")
+      s"""
+      WITH h AS (
+        SELECT doc_id,
+               $cols
+        FROM documents)
+      SELECT doc_id,
+             CASE $cases
+                  ELSE 'und' END AS lang_pred
+      FROM h ORDER BY doc_id"""
+    }),
     GQuery("corpus_clean_stats", corpusCleanStats, Some(s"""
       WITH toks AS (
         SELECT doc_id, lang, $duckToks AS t FROM documents),

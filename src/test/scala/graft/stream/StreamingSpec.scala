@@ -201,6 +201,14 @@ class StreamingSpec extends SparkSpec {
     parsed(0)._3 shouldBe epochUs("17:00:00")
   }
 
+  test("S4: kafkaValue casts the Kafka binary value column to the wire string") {
+    val kafkaShaped = Seq(envelope("u1", "👍", "22:00:01").getBytes("UTF-8"))
+      .toDF("value") // binary, as the kafka source delivers it
+    val parsed = Pipeline.parse(Sources.kafkaValue(kafkaShaped))
+      .select("user_id").as[String].collect()
+    parsed shouldBe Array("u1")
+  }
+
   test("S2/S4: kafka reader builds with bounded-admission option without a broker") {
     noException should be thrownBy
       Sources.kafkaReader(spark, "localhost:9092", maxOffsetsPerTrigger = Some(10000L))
