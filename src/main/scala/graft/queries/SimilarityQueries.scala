@@ -71,6 +71,20 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** DuckDB twin of [[Similarity.srpBucket]]: the hyperplanes are literal
+    * doubles (Scala's shortest-roundtrip toString → DuckDB parses back the
+    * identical bits), the dot is double arithmetic — so the bucket
+    * assignment itself is oracle-checkable, unlike hash-based LSH. */
+  private def duckDot(vecExpr: String, plane: Seq[Double]): String = {
+    val lst = plane.map(_.toString).mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, ${plane.size + 1}), i -> $vecExpr[i]::DOUBLE * ($lst)[i]))"
+  }
+
+  private def duckBucket(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, r) =>
+      s"(CASE WHEN ${duckDot(vecExpr, p)} >= 0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val knnOracle: String = s"""
       WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
                  FROM embeddings WHERE vec_id < $NProbes)
@@ -89,8 +103,32 @@ object SimilarityQueries {
   val queries: Seq[GQuery] = Seq(
     GQuery("knn_exact", knnExact, Some(knnOracle)),
     GQuery("knn_topk_agg", knnTopK, Some(knnOracle)),
-    GQuery("knn_lsh", knnLsh, None),
-    GQuery("emb_bucket_stats", bucketStats, None),
+    GQuery("knn_lsh", knnLsh, Some {
+      val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+      s"""
+      WITH b AS (SELECT vec_id, embedding,
+                        ${duckBucket("embedding", planes)} AS bucket
+                 FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, embedding AS pv, bucket
+            FROM b WHERE vec_id < $NProbes)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT p.probe_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(b.embedding::DOUBLE[], p.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], p.pv::DOUBLE[]) DESC,
+                          b.vec_id) AS rk
+        FROM b JOIN p ON b.bucket = p.bucket AND b.vec_id <> p.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+    }),
+    GQuery("emb_bucket_stats", bucketStats, Some {
+      val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+      s"""
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM (SELECT ${duckBucket("embedding", planes)} AS bucket FROM embeddings)
+      GROUP BY 1 ORDER BY 1"""
+    }),
     GQuery("emb_norm_stats", normStats, Some("""
       SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
              CAST(sum(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
