@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.TestSpark
+
+/** ScalaCheck invariants for the similarity/dedup algebra. Each case runs
+  * a real Spark job on a tiny frame; counts are capped accordingly. */
+object ExtProperties extends Properties("graft.ext") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.take(12))
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f))
+
+  property("jaccard is symmetric, bounded in [0,1], and 1 on self") =
+    forAll(tokensGen, tokensGen) { (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          Dedup.jaccard(col("a"), col("b")).as("ab"),
+          Dedup.jaccard(col("b"), col("a")).as("ba"),
+          Dedup.jaccard(col("a"), col("a")).as("aa"))
+        .as[(Double, Double, Double)].collect()(0)
+      row._1 == row._2 && row._1 >= 0.0 && row._1 <= 1.0 &&
+        (a.isEmpty || row._3 == 1.0)
+    }
+
+  property("cosine is symmetric and within [-1-ε, 1+ε]") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          Similarity.cosine(col("a"), col("b")).as("ab"),
+          Similarity.cosine(col("b"), col("a")).as("ba"))
+        .as[(Double, Double)].collect()(0)
+      row._1 == row._2 && row._1 >= -1.0 - 1e-9 && row._1 <= 1.0 + 1e-9
+    }
+
+  property("hamming64 is symmetric, 0 on self, and ≤ 64") =
+    forAll(Gen.long, Gen.long) { (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .select(
+          Dedup.hamming64(col("x"), col("y")).as("xy"),
+          Dedup.hamming64(col("y"), col("x")).as("yx"),
+          Dedup.hamming64(col("x"), col("x")).as("xx"))
+        .as[(Int, Int, Int)].collect()(0)
+      row._1 == row._2 && row._3 == 0 && row._1 >= 0 && row._1 <= 64
+    }
+
+  property("minhash signature: identical token arrays sign identically; length fixed") =
+    forAll(tokensGen) { toks =>
+      val df = Seq(toks.mkString(" "), toks.mkString(" ")).toDF("text")
+        .select(Dedup.minhashSignature(
+          Dedup.shingleHashes(Text.tokens(col("text")))).as("sig"))
+      val sigs = df.as[Seq[Int]].collect()
+      sigs(0) == sigs(1) && sigs(0).size == 64
+    }
+}
