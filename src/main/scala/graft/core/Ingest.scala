@@ -67,7 +67,14 @@ object Ingest {
     (parsed.filter(ok), parsed.filter(!ok))
   }
 
-  /** Serialize back to the wire envelope (Kafka sink K2 / SSE relay shape). */
-  def toEnvelope(df: DataFrame): DataFrame =
-    df.select(to_json(struct(col("user_id"), col("emoji_type"), col("timestamp"))).as("value"))
+  /** Serialize back to the wire envelope (Kafka sink K2 / SSE relay
+    * shape). Accepts either the raw wire schema (string `timestamp`) or
+    * the parsed pipeline output (`event_time` only) — the parsed form is
+    * re-serialized to the producers' ISO-micros format. */
+  def toEnvelope(df: DataFrame): DataFrame = {
+    val ts =
+      if (df.columns.contains("timestamp")) col("timestamp")
+      else date_format(col("event_time"), isoMicros).as("timestamp")
+    df.select(to_json(struct(col("user_id"), col("emoji_type"), ts.as("timestamp"))).as("value"))
+  }
 }

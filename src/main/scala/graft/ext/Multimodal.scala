@@ -52,7 +52,7 @@ object Multimodal {
       element_at(
         array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
-      length(col("text")).cast("long").as("n_bytes"),
+      octet_length(col("text")).cast("long").as("n_bytes"), // BYTES, = payload length
       encode(col("text"), "UTF-8").as("payload"))
 
   /** Batched decode + feature extraction: partition-preserving, processes

@@ -55,8 +55,10 @@ object Text {
     "es" -> Seq("el", "los", "y", "que", "es", "un"),
     "it" -> Seq("il", "la", "e", "che", "di", "un"))
 
-  /** Language-ID: argmax of profile hits, ties and zero-hit docs → "und"
-    * (undetermined). Pure expression tree — no shuffle, no UDF. */
+  /** Language-ID: argmax of profile hits. Ties resolve to the FIRST
+    * profile in [[langProfiles]] order (so "en" wins an en/fr tie);
+    * zero-hit docs → "und" (undetermined). Pure expression tree — no
+    * shuffle, no UDF; the DuckDB oracle reproduces the same order. */
   def langId(toks: Column): Column = {
     val scores = langProfiles.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftColumnBridge
@@ -47,9 +47,15 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKHeap] {
+  extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
+
+  // analysis-time contract: coerce numeric scores to double and integral
+  // ids to long (a non-coercible input fails analysis instead of throwing
+  // ClassCastException on the executors mid-job)
+  override def inputTypes: Seq[GraftColumnBridge.SqlAbstractDataType] =
+    Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(score, id)
   override protected def withNewChildrenInternal(

@@ -46,8 +46,10 @@ object DedupQueries {
   def nearCandidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = Dedup.candidatePairs(docs)
-    val degree = pairs.select(col("a_id").as("doc_id"))
-      .union(pairs.select(col("b_id").as("doc_id")))
+    // one traversal of the pair subtree: explode both endpoints rather
+    // than unioning two projections of the (expensive) LSH plan
+    val degree = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     docs.select("doc_id").join(degree, Seq("doc_id"), "left")
       .na.fill(0, Seq("n_candidates"))

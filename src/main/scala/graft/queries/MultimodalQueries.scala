@@ -38,7 +38,7 @@ object MultimodalQueries {
       WITH m AS (SELECT doc_id,
                         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
                         ['image/png','audio/wav','video/mp4'][(doc_id % 3) + 1] AS mime,
-                        CAST(length(text) AS BIGINT) AS n_bytes
+                        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
                  FROM documents)
       SELECT kind, mime,
              CAST(count(*) AS BIGINT) AS n_media,

@@ -35,13 +35,7 @@ object Parity {
     * envelope, re-parse with `from_json` + lenient timestamp + presence
     * validation, aggregate. Oracle sees only the (identity) end state. */
   def parseEnvelope(spark: SparkSession, dir: String): DataFrame = {
-    val wire = Tables.events(spark, dir).select(
-      to_json(struct(
-        col("user_id").cast("string").as("user_id"),
-        col("event_type").as("emoji_type"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")
-      )).as("value"))
-    val parsed = Ingest.parseEnvelope(wire)
+    val parsed = Ingest.parseEnvelope(wireEnvelope(spark, dir))
     val (valid, _) = Ingest.validate(parsed)
     valid.filter(col("event_time").isNotNull)
       .groupBy(col("emoji_type"))
@@ -130,18 +124,25 @@ object Parity {
     * planted bad envelopes in IngestSpec; on the well-formed events table
     * it is structurally zero. */
   def ingestCounters(spark: SparkSession, dir: String): DataFrame = {
-    val wire = Tables.events(spark, dir).select(
+    val parsed = Ingest.parseEnvelope(wireEnvelope(spark, dir))
+    // one pass: conditional aggregate instead of two scans + crossJoin
+    val ok = col("user_id").isNotNull && col("emoji_type").isNotNull &&
+      col("timestamp").isNotNull
+    parsed.agg(
+        count(lit(1)).as("n_total"),
+        count(when(ok, lit(1))).as("n_accepted"))
+      .withColumn("n_rejected", col("n_total") - col("n_accepted"))
+  }
+
+  /** Events re-serialized to the reference's JSON wire envelope (shared by
+    * the P1-P4 roundtrip queries). */
+  private def wireEnvelope(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
       to_json(struct(
         col("user_id").cast("string").as("user_id"),
         col("event_type").as("emoji_type"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("timestamp")
       )).as("value"))
-    val parsed = Ingest.parseEnvelope(wire)
-    val (valid, _) = Ingest.validate(parsed)
-    parsed.agg(count(lit(1)).as("n_total"))
-      .crossJoin(valid.agg(count(lit(1)).as("n_accepted")))
-      .withColumn("n_rejected", col("n_total") - col("n_accepted"))
-  }
 
   /** A2+A3 in one pass via ROLLUP (SURVEY §2.3 A3's grouping-sets
     * alternative): per-(minute, type) counts plus per-minute subtotals
@@ -210,7 +211,7 @@ object Parity {
     * `spark.sql(...)` face of the same engine (identical plan after
     * analysis; identical oracle as `flagship`). */
   def sqlFlagship(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.registerViews(spark, dir)
     spark.sql("""
       SELECT date_format(date_trunc('minute', ts), 'yyyy-MM-dd HH:mm:ss') AS window_start,
              event_type,
@@ -309,13 +310,18 @@ object Parity {
             FROM events, (SELECT unnest([0, 1, 2, 3, 4]) AS i) offsets)
       GROUP BY 1 ORDER BY 1""")),
     GQuery("session_windows", sessionWindows, Some("""
-      WITH marks AS (
+      WITH ev AS (
+        -- ts::TIMESTAMP truncates TIMESTAMP_NS to micros, matching the
+        -- engine's microsecond timestamps: a gap straddling exactly 30 s
+        -- at nanosecond precision must split sessions identically
+        SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+      marks AS (
         SELECT user_id,
                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             >= INTERVAL 30 SECOND
                     THEN 1 ELSE 0 END AS new_s
-        FROM events)
+        FROM ev)
       SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
              CAST(sum(new_s) AS BIGINT) AS n_sessions,
              CAST(count(*) AS BIGINT) AS n_events

@@ -71,11 +71,12 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
 
-  /** Language-ID heuristic (stopword-profile argmax; ties and zero hits →
-    * "und"). The corpus labels are synthetic so accuracy is judged by the
-    * unit test on real per-language sentences — but the heuristic itself
-    * is pure list algebra, so the oracle re-expresses the exact argmax in
-    * DuckDB and hash-checks the decision on every document. */
+  /** Language-ID heuristic (stopword-profile argmax; ties → first profile
+    * in order, zero hits → "und"). The corpus labels are synthetic so
+    * accuracy is judged by the unit test on real per-language sentences —
+    * but the heuristic itself is pure list algebra, so the oracle
+    * re-expresses the exact argmax in DuckDB and hash-checks the decision
+    * on every document. */
   def langIdQ(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), Text.langId(col("toks")).as("lang_pred"))

@@ -11,4 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Public alias of the `private[sql]` AbstractDataType so external
+    * expressions can declare `inputTypes` (ImplicitCastInputTypes). */
+  type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -17,6 +17,17 @@ class GraftExtensionsSpec extends SparkSpec {
     got shouldBe Seq((1, Seq(20L, 30L)), (2, Seq(40L)))
   }
 
+  test("bounded_top_k coerces int ids and float scores at analysis time") {
+    GraftExtensions.register(spark)
+    Seq((1, 0.5f, 10), (1, 0.9f, 20)).toDF("g", "score", "id")
+      .createOrReplaceTempView("scored_narrow")
+    val got = spark.sql(
+      "SELECT bounded_top_k(score, id, 1) AS nn FROM scored_narrow GROUP BY g")
+      .selectExpr("transform(nn, x -> x.id) AS ids")
+      .as[Seq[Long]].collect()(0)
+    got shouldBe Seq(20L)
+  }
+
   test("bounded_top_k rejects a non-literal k") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -64,6 +64,15 @@ class IngestSpec extends SparkSpec {
     valid.collect()(0).getAs[String]("user_id") shouldBe "u1"
   }
 
+  test("K2: toEnvelope serializes the parsed pipeline shape (event_time, no timestamp)") {
+    val parsed = Seq(("u1", "👍", java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-11-19T12:34:56.789123Z"))))
+      .toDF("user_id", "emoji_type", "event_time")
+    val round = Ingest.parseEnvelope(Ingest.toEnvelope(parsed)).collect()(0)
+    round.getAs[String]("user_id") shouldBe "u1"
+    round.getAs[String]("timestamp") shouldBe "2024-11-19T12:34:56.789123"
+  }
+
   test("K2: toEnvelope/parseEnvelope roundtrip preserves the wire fields") {
     val src = Seq(("u9", "🔥", "2024-11-19T12:34:56.789123"))
       .toDF("user_id", "emoji_type", "timestamp")
