@@ -67,6 +67,33 @@ object JoinQueries {
           .cast("double").as("revenue"))
       .orderBy("n_name")
 
+  /** Left anti join: customers with no completed ('F') order — the
+    * filter rides the anti join's build side, and the anti join shuffles
+    * on custkey like the plan would at scale. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Set ops over (event_type, hour) activity pairs of two user cohorts:
+    * EXCEPT (in cohort 0's activity, not cohort 1's) and INTERSECT counts
+    * — DISTINCT set semantics on both engines. */
+  def eventTypeSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def pairsOf(bucket: Int) =
+      ev.filter(pmod(col("user_id"), lit(4)) === bucket)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val except = pairsOf(0).except(pairsOf(1)).withColumn("op", lit("except"))
+    val intersect = pairsOf(0).intersect(pairsOf(1)).withColumn("op", lit("intersect"))
+    except.union(intersect)
+      .groupBy("op").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("op")
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("join_orders_segment", ordersBySegment, Some("""
       SELECT c_mktsegment,
@@ -89,6 +116,23 @@ object JoinQueries {
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       WHERE o_orderstatus <> 'F'
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+    GQuery("join_anti_customers", customersWithoutOrders, Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY 1 ORDER BY 1""")),
+    GQuery("set_ops_types", eventTypeSetOps, Some("""
+      WITH b0 AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h
+                  FROM events WHERE user_id % 4 = 0),
+           b1 AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h
+                  FROM events WHERE user_id % 4 = 1),
+           u AS (
+             SELECT 'except' AS op FROM (SELECT * FROM b0 EXCEPT SELECT * FROM b1)
+             UNION ALL
+             SELECT 'intersect' AS op FROM (SELECT * FROM b0 INTERSECT SELECT * FROM b1))
+      SELECT op, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM u GROUP BY 1 ORDER BY 1"""))
   )
 }

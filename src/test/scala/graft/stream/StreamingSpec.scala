@@ -296,6 +296,30 @@ class StreamingSpec extends SparkSpec {
     emitted should contain(("👍", 3L, epochUs("21:00:00")))
   }
 
+  test("stream-static enrichment: parsed stream joins a broadcast dimension") {
+    val dim = Seq(("👍", "positive"), ("❤️", "positive"), ("💔", "negative"))
+      .toDF("emoji_type", "sentiment")
+    val in = MemoryStream[String]
+    val enriched = Pipeline.parse(in.toDF())
+      .join(broadcast(dim), Seq("emoji_type"), "left")
+      .withWatermark("event_time", "1 minute")
+      .groupBy(window(col("event_time"), "1 minute"), col("sentiment"))
+      .agg(count(lit(1)).as("n"))
+    val q = Sinks.memory(enriched, "enrich", OutputMode.Update())
+    try {
+      in.addData(
+        envelope("u1", "👍", "23:00:01"),
+        envelope("u2", "❤️", "23:00:02"),
+        envelope("u3", "💔", "23:00:03"),
+        envelope("u4", "😂", "23:00:04")) // not in dim → null sentiment
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select(col("sentiment"), col("n")).as[(Option[String], Long)]
+        .collect().toSet
+      got shouldBe Set((Some("positive"), 2L), (Some("negative"), 1L), (None, 1L))
+    } finally q.stop()
+  }
+
   test("W9: graceful shutdown drains in-flight work before stopping") {
     val in = MemoryStream[String]
     val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "w9", OutputMode.Update())
