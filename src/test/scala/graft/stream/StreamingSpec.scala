@@ -320,6 +320,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store: flagship aggregation runs and answers identically") {
+    // the off-heap state backend a 100 TB deployment would use (key count
+    // >> executor heap); per-session conf picked up at query start
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[String]
+    val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "rocks",
+      OutputMode.Update())
+    try {
+      in.addData(envelope("u1", "👍", "23:30:01"), envelope("u2", "👍", "23:30:31"))
+      q.processAllAvailable()
+      in.addData(envelope("u3", "👍", "23:30:45")) // same window: state read-modify-write
+      q.processAllAvailable()
+      flagRows("rocks") shouldBe Set(("👍", 1.0, epochUs("23:30:00")))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
+  }
+
   test("W9: graceful shutdown drains in-flight work before stopping") {
     val in = MemoryStream[String]
     val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "w9", OutputMode.Update())
