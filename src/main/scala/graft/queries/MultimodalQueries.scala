@@ -7,9 +7,11 @@ import graft.core.Tables
 import graft.ext.Multimodal
 
 /** Multimodal queries: the binary-column pipeline over `documents`
-  * payloads. Metadata stats are oracle-checked; the decode-stub features
-  * are Spark-side-deterministic but not SQL-expressible → rows-only,
-  * gated by MultimodalSpec. */
+  * payloads. Both metadata stats AND the full decode→resize→frame-sample
+  * feature pipeline are oracle-checked: the stub's arithmetic is
+  * deterministic byte math, and the corpus is pure ASCII, so DuckDB can
+  * recompute every feature from the text bytes — proving the
+  * mapPartitions plumbing delivers exact per-row transforms. */
 object MultimodalQueries {
 
   /** Per-modality payload stats over the typed media frame. */
@@ -45,6 +47,38 @@ object MultimodalQueries {
              CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
              CAST(sum(n_bytes) AS BIGINT) / count(*) AS avg_bytes
       FROM m GROUP BY 1, 2 ORDER BY 1""")),
-    GQuery("mm_features", featuresQ, None)
+    GQuery("mm_features", featuresQ, Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               greatest(1, CAST(floor(sqrt(octet_length(encode(text)))) AS INT)) AS side,
+               list_sum(list_transform(range(1, length(text) + 1),
+                                       i -> ord(text[i]))) AS bsum
+        FROM documents),
+      d AS (
+        SELECT media_id, kind, n_bytes,
+               CASE kind WHEN 'audio' THEN 16000 ELSE side END AS w,
+               CASE kind WHEN 'audio' THEN 1 ELSE side END AS h,
+               CASE WHEN kind = 'video' THEN greatest(1, CAST(n_bytes // 64 AS INT))
+                    ELSE 1 END AS nf,
+               CAST(bsum AS DOUBLE) / n_bytes AS mean_intensity
+        FROM m),
+      r AS (
+        SELECT media_id, kind, n_bytes,
+               CASE WHEN greatest(w, h) <= 64 THEN w
+                    ELSE greatest(1, CAST(trunc(w * (64.0 / greatest(w, h))) AS INT))
+                    END AS width,
+               CASE WHEN greatest(w, h) <= 64 THEN h
+                    ELSE greatest(1, CAST(trunc(h * (64.0 / greatest(w, h))) AS INT))
+                    END AS height,
+               CASE WHEN kind = 'video' AND nf > 1 THEN (nf + 3) // 4
+                    ELSE nf END AS n_frames,
+               mean_intensity
+        FROM d)
+      SELECT media_id, kind, n_bytes,
+             CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+             CAST(n_frames AS INT) AS n_frames, mean_intensity
+      FROM r ORDER BY media_id"""))
   )
 }
