@@ -15,6 +15,17 @@ object DedupQueries {
 
   private val duckToks = s"regexp_extract_all(lower(text), '${Text.tokenPattern}')"
 
+  /** Engine-neutral LSH constants (shared verbatim with the DuckDB
+    * oracle): prime modulus and 64 fixed-seed permutation pairs. */
+  private object PortableLsh {
+    val P: Long = 2147483647L // 2^31 - 1: products stay < 2^62, no overflow
+    val (hashA, hashB): (Seq[Long], Seq[Long]) = {
+      val rng = new scala.util.Random(7)
+      def v(): Long = ((rng.nextLong() & Long.MaxValue) % (P - 1)) + 1
+      (Seq.fill(64)(v()), Seq.fill(64)(v()))
+    }
+  }
+
   /** Exact dedup groups (md5 of normalized token stream, min doc_id kept). */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(spark, dir))
@@ -56,6 +67,45 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Portable-hash MinHash-LSH candidate degrees — the SAME banded-LSH
+    * pipeline as [[nearCandidates]], but with engine-neutral hashing
+    * (md5-prefix base hash + (a·h + b) mod p permutations, all literal
+    * constants), so every decision — shingle hashes, 64 signature mins,
+    * 16 band keys, the bucket self-join, the per-doc degree — is
+    * hash-checked against DuckDB. The production query keeps xxhash64
+    * (faster at scale); this one proves the LSH logic itself. */
+  def nearCandidatesPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = array_distinct(Text.ngrams(Text.tokens(col("text")), 3))
+    val hm = transform(sh, s =>
+      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(PortableLsh.P)))
+    val aArr = array(PortableLsh.hashA.map(lit): _*)
+    val bArr = array(PortableLsh.hashB.map(lit): _*)
+    val sig = aggregate(hm, array_repeat(lit(PortableLsh.P), 64),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(64)), (best, i) =>
+        least(best, pmod(element_at(aArr, i) * h + element_at(bArr, i), lit(PortableLsh.P)))))
+    val keys = transform(sequence(lit(0), lit(15)), b =>
+      concat_ws(":",
+        b.cast("string") +:
+          (1 to 4).map(r => element_at(col("__sig"), (b * 4 + lit(r)).cast("int")).cast("string")): _*))
+    // same exchange barrier as Dedup.bandTable: materialize the signature
+    // before the Generate so it isn't recomputed per band
+    val keyRows = docs
+      .select(col("doc_id"), sig.as("__sig"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(keys).as("key"))
+    val pairs = keyRows.as("x").join(keyRows.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val degree = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    docs.select("doc_id").join(degree, Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_candidates"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific hash). */
   def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -83,6 +133,44 @@ object DedupQueries {
       FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id
       ORDER BY jaccard DESC, a_id, b_id LIMIT 20""")),
     GQuery("dedup_near_candidates", nearCandidates, None),
+    GQuery("dedup_near_portable", nearCandidatesPortable, Some {
+      val aLst = PortableLsh.hashA.mkString("[", ", ", "]")
+      val bLst = PortableLsh.hashB.mkString("[", ", ", "]")
+      val p = PortableLsh.P
+      s"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+      hm AS (
+        SELECT doc_id,
+               list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $p) AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i ->
+                 coalesce(list_min(list_transform(h,
+                   v -> (($aLst)[i+1] * v + ($bLst)[i+1]) % $p)), $p)) AS sg
+        FROM hm),
+      keys AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 16), b ->
+                 b::VARCHAR || ':' || sg[4*b+1]::VARCHAR || ':' || sg[4*b+2]::VARCHAR
+                   || ':' || sg[4*b+3]::VARCHAR || ':' || sg[4*b+4]::VARCHAR)) AS key
+        FROM sig),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM keys x JOIN keys y ON x.key = y.key AND x.doc_id < y.doc_id),
+      deg AS (
+        SELECT doc_id, count(*) AS n FROM (
+          SELECT a_id AS doc_id FROM pairs
+          UNION ALL
+          SELECT b_id AS doc_id FROM pairs)
+        GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_candidates
+      FROM documents d LEFT JOIN deg USING (doc_id) ORDER BY d.doc_id"""
+    }),
     GQuery("dedup_simhash", simhashQ, None)
   )
 }
