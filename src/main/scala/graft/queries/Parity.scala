@@ -207,6 +207,20 @@ object Parity {
         sum(col("n_events")).as("n_events"))
       .orderBy("user_bucket")
 
+  /** Analytic lag: minute-over-minute traffic delta (the dashboard's
+    * trend arrow). The lag window runs over the already-aggregated minute
+    * series — a few thousand rows at any input scale, so the
+    * single-partition window is fine by construction. */
+  def minuteDeltas(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    WindowAgg.minuteTotals(Tables.events(spark, dir))
+      .select(minuteStr("minute"), col("total_count"))
+      .withColumn("delta",
+        col("total_count") -
+          lag("total_count", 1).over(Window.orderBy("window_start")))
+      .orderBy("window_start")
+  }
+
   /** The flagship authored in pure SQL over registered temp views — the
     * `spark.sql(...)` face of the same engine (identical plan after
     * analysis; identical oracle as `flagship`). */
@@ -330,6 +344,13 @@ object Parity {
       SELECT $duckMinute AS window_start, event_type,
              CAST(CASE WHEN count(*) <= 1000 THEN 1.0
                        ELSE count(*) / 1000.0 END AS DOUBLE) AS scaled_count
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+    GQuery("minute_deltas", minuteDeltas, Some(s"""
+      SELECT window_start, total_count,
+             total_count - lag(total_count, 1) OVER (ORDER BY window_start) AS delta
+      FROM (SELECT $duckMinute AS window_start,
+                   CAST(count(*) AS BIGINT) AS total_count
+            FROM events GROUP BY 1)
+      ORDER BY window_start"""))
   )
 }

@@ -78,6 +78,29 @@ object Pipeline {
     flagship(adjusted, cfg)
   }
 
+  /** Stream-stream interval join: correlate two parsed event streams by
+    * user, pairing each left event with right events that follow it
+    * within `within`. Both sides carry watermarks so the join state is
+    * bounded — Spark buffers only events inside the watermark + interval
+    * horizon. Append-mode output (the only mode stream-stream joins
+    * support). */
+  def correlate(left: DataFrame, right: DataFrame,
+                within: String = "5 minutes",
+                cfg: StreamConfig = StreamConfig()): DataFrame = {
+    val l = left.withWatermark("event_time", cfg.watermarkDelay)
+      .select(col("user_id"), col("emoji_type").as("l_emoji"),
+        col("event_time").as("l_time"))
+    val r = right.withWatermark("event_time", cfg.watermarkDelay)
+      .select(col("user_id").as("r_user"), col("emoji_type").as("r_emoji"),
+        col("event_time").as("r_time"))
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_time") > col("l_time") &&
+        col("r_time") <= col("l_time") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_emoji"), col("r_emoji"),
+        col("l_time"), col("r_time"))
+  }
+
   /** Streaming exact dedup (SURVEY.md §7.4): drop events whose
     * (user_id, emoji_type, event_time) was already seen, with state bounded
     * by the watermark horizon — `dropDuplicatesWithinWatermark` evicts

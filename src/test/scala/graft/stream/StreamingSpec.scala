@@ -342,6 +342,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs events within the window, drops later ones") {
+    val left = MemoryStream[String]
+    val right = MemoryStream[String]
+    val joined = Pipeline.correlate(
+      Pipeline.parse(left.toDF()), Pipeline.parse(right.toDF()), within = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      left.addData(envelope("u1", "👍", "09:00:00"), envelope("u2", "👍", "09:00:00"))
+      right.addData(
+        envelope("u1", "💔", "09:03:00"),  // within 5 min → paired
+        envelope("u2", "💔", "09:30:00"))  // 30 min later → outside interval
+      q.processAllAvailable()
+      val got = spark.table("corr")
+        .select(col("user_id"), col("l_emoji"), col("r_emoji"))
+        .as[(String, String, String)].collect().toSet
+      got shouldBe Set(("u1", "👍", "💔"))
+    } finally q.stop()
+  }
+
   test("W9: graceful shutdown drains in-flight work before stopping") {
     val in = MemoryStream[String]
     val q = Sinks.memory(Pipeline.flagshipFromWire(in.toDF()), "w9", OutputMode.Update())
