@@ -101,13 +101,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Set Jaccard of two (distinct-element) arrays. The union size is
-    * derived as |A| + |B| − |A∩B| rather than materializing
-    * `array_union` — one hash-set pass per pair instead of two (the
-    * verify stage's hot loop). */
+  /** Set Jaccard of two arrays (duplicates allowed — the inputs are
+    * treated as sets). The union size is derived as
+    * |distinct A| + |distinct B| − |A∩B| rather than materializing
+    * `array_union` — linear hash-set passes, no union array allocation.
+    * `array_intersect` already returns distinct elements, so the identity
+    * holds for arbitrary input (deriving it from raw `size(a)+size(b)`
+    * double-counts duplicates and broke self-similarity = 1). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    val union = size(a) + size(b) - inter
+    val union = size(array_distinct(a)) + size(array_distinct(b)) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 

@@ -55,6 +55,17 @@ class DedupSpec extends SparkSpec {
     j shouldBe 0.5 // |{b,c}| / |{a,b,c,d}|
   }
 
+  test("jaccard: duplicate-containing arrays are treated as sets (r2 regression)") {
+    val rows = Seq(
+      (Seq("a", "a"), Seq("a", "a"), 1.0), // self-sim must be 1 despite dups
+      (Seq("a", "a", "b"), Seq("b", "b", "c"), 1.0 / 3.0), // {a,b}∩{b,c}={b}, ∪={a,b,c}
+      (Seq.empty[String], Seq.empty[String], 0.0)
+    ).toDF("x", "y", "expect")
+    val got = rows.select(Dedup.jaccard(col("x"), col("y")).as("j"), col("expect"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (j, e) => j shouldBe e }
+  }
+
   test("SimHash: near-dups within a few bits, unrelated docs far apart") {
     val th = docs.withColumn("th", Dedup.tokenHashes(Text.tokens(col("text"))))
       .select(col("doc_id"), Dedup.simhash64(col("th")).as("sim"))

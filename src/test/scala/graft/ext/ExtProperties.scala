@@ -10,8 +10,11 @@ import graft.TestSpark
   * a real Spark job on a tiny frame; counts are capped accordingly. */
 object ExtProperties extends Properties("graft.ext") {
 
+  /** Seed pinned so pre-commit runs are reproducible — a floating seed let
+    * the round-2 jaccard regression pass locally and fail on the next run. */
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260812L))
 
   private lazy val spark = TestSpark.spark
   import spark.implicits._
