@@ -128,6 +128,74 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over an undirected pair list, via iterative
+    * min-label propagation: each node starts labelled with its own id, and
+    * every round takes the min of its own label and its neighbours'
+    * (one equi-join + partial-aggregate per round — never all-pairs).
+    *
+    * Scale notes:
+    *  - converges in O(component diameter) rounds; near-dup clusters are
+    *    dense (LSH links most members directly), so diameters are small.
+    *    `maxIters` bounds the worst case; an IllegalStateException on
+    *    non-convergence beats silently wrong groups.
+    *  - every round ends in an eager `localCheckpoint`, so the plan stays
+    *    constant-size instead of growing a join per iteration (the classic
+    *    iterative-Spark lineage blowup), and the convergence check reruns
+    *    nothing.
+    *  - the edge list is persisted once and reused by every round.
+    *
+    * Returns (id, component) for every endpoint appearing in `pairs`;
+    * `component` is the smallest id in the node's component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("component").as("nl")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          (coalesce(col("nmin"), col("component")) < col("component")).cast("long").as("__chg"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations")
+    labels
+  }
+
+  /** Near-dup survivor map: every document → its canonical (kept) doc id.
+    * Pipeline: LSH candidates → Jaccard-verified pairs → connected
+    * components → component-min canonical; docs in no verified pair are
+    * their own canonical. This is the transitive analogue of
+    * [[exactGroups]] — without it, A~B and B~C would dedup B and C against
+    * different canonicals. */
+  def nearDupGroups(docs: DataFrame, threshold: Double = 0.7,
+                    idCol: String = "doc_id", k: Int = 3): DataFrame = {
+    val cc = connectedComponents(nearDupPairs(docs, threshold, idCol, k))
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical_id"))
+  }
+
   /** Per-token 64-bit hashes (materialize once; simhash folds over these). */
   def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
 

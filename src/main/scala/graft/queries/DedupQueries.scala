@@ -31,15 +31,24 @@ object DedupQueries {
     Dedup.exactGroups(Tables.documents(spark, dir))
       .orderBy("fp")
 
+  /** Deterministic absolute-size cap for the demonstration/proof queries
+    * below. doc_id is dense from 0, so `doc_id < cap` is a FIXED number of
+    * documents at every sf — a fixed *fraction* (the round-2 form) shrinks
+    * nothing: in-bucket pair counts grow quadratically with bucket size,
+    * so a 1-in-10 sample at 100× data is still ~100× the pairs. These
+    * queries prove logic against the oracle; the production paths
+    * (`Dedup.nearDupPairs`, `Dedup.nearDupGroups`) score LSH candidates
+    * only and run on the full corpus. */
+  private val SampleCap = 500
+  private val PortableCap = 1000
+
   /** Same-source n-gram Jaccard: top-20 most similar in-bucket pairs over
-    * a deterministic 1-in-10 document sample. Bucketing by `source` stands
-    * in for the LSH bucket at oracle scale — the pair join is equi-keyed,
-    * never a cross product — and the sample keeps the demonstration
-    * query's in-bucket pair count bounded as sf grows (the production
-    * path, `Dedup.nearDupPairs`, only ever scores LSH candidates). */
+    * a fixed 500-document prefix (O(1) pairs in sf — see [[SampleCap]]).
+    * Bucketing by `source` stands in for the LSH bucket at oracle scale —
+    * the pair join is equi-keyed, never a cross product. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .filter(col("doc_id") < SampleCap)
       .select(col("doc_id"), col("source"),
         array_distinct(Text.ngrams(Text.tokens(col("text")), 3)).as("sh"))
     d.as("x").join(d.as("y"),
@@ -67,15 +76,13 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Portable-hash MinHash-LSH candidate degrees — the SAME banded-LSH
-    * pipeline as [[nearCandidates]], but with engine-neutral hashing
-    * (md5-prefix base hash + (a·h + b) mod p permutations, all literal
-    * constants), so every decision — shingle hashes, 64 signature mins,
-    * 16 band keys, the bucket self-join, the per-doc degree — is
-    * hash-checked against DuckDB. The production query keeps xxhash64
-    * (faster at scale); this one proves the LSH logic itself. */
-  def nearCandidatesPortable(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Portable candidate pairs (a < b): the SAME banded-LSH pipeline as
+    * [[Dedup.candidatePairs]], but with engine-neutral hashing (md5-prefix
+    * base hash + (a·h + b) mod p permutations, all literal constants), so
+    * every decision — shingle hashes, 64 signature mins, 16 band keys, the
+    * bucket self-join — is hash-checkable against DuckDB. The production
+    * path keeps xxhash64 (faster at scale); this proves the LSH logic. */
+  private def portablePairs(docs: DataFrame): DataFrame = {
     val sh = array_distinct(Text.ngrams(Text.tokens(col("text")), 3))
     val hm = transform(sh, s =>
       pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(PortableLsh.P)))
@@ -94,15 +101,37 @@ object DedupQueries {
       .select(col("doc_id"), sig.as("__sig"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(keys).as("key"))
-    val pairs = keyRows.as("x").join(keyRows.as("y"),
+    keyRows.as("x").join(keyRows.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val degree = pairs
+  }
+
+  /** Per-doc portable-LSH candidate degree over the fixed sample — the
+    * oracle proof of the candidate-generation stage. */
+  def nearCandidatesPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
+    val degree = portablePairs(docs)
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
     docs.select("doc_id").join(degree, Seq("doc_id"), "left")
       .na.fill(0, Seq("n_candidates"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup GROUP RESOLUTION, oracle-proved: portable candidate pairs →
+    * connected components ([[Dedup.connectedComponents]], bounded
+    * min-label propagation) → every sampled doc mapped to its canonical
+    * (component-min) id. DuckDB recomputes the same components with a
+    * recursive CTE, so the transitive closure itself is hash-checked —
+    * A~B and B~C must land B AND C on A's canonical in both engines. */
+  def groupsPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
+    val cc = Dedup.connectedComponents(portablePairs(docs))
+    docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
       .orderBy("doc_id")
   }
 
@@ -125,7 +154,7 @@ object DedupQueries {
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         FROM (SELECT doc_id, source, $duckToks AS toks FROM documents
-              WHERE doc_id % 10 = 0))
+              WHERE doc_id < $SampleCap))
       SELECT x.doc_id AS a_id, y.doc_id AS b_id,
              CASE WHEN len(list_distinct(list_concat(x.sh, y.sh))) = 0 THEN 0.0
                   ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
@@ -133,16 +162,48 @@ object DedupQueries {
       FROM d x JOIN d y ON x.source = y.source AND x.doc_id < y.doc_id
       ORDER BY jaccard DESC, a_id, b_id LIMIT 20""")),
     GQuery("dedup_near_candidates", nearCandidates, None),
-    GQuery("dedup_near_portable", nearCandidatesPortable, Some {
-      val aLst = PortableLsh.hashA.mkString("[", ", ", "]")
-      val bLst = PortableLsh.hashB.mkString("[", ", ", "]")
-      val p = PortableLsh.P
-      s"""
-      WITH sh AS (
+    GQuery("dedup_near_portable", nearCandidatesPortable, Some(s"""
+      WITH $portableCtes,
+      deg AS (
+        SELECT doc_id, count(*) AS n FROM (
+          SELECT a_id AS doc_id FROM pairs
+          UNION ALL
+          SELECT b_id AS doc_id FROM pairs)
+        GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_candidates
+      FROM documents d LEFT JOIN deg USING (doc_id)
+      WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
+    GQuery("dedup_groups", groupsPortable, Some(s"""
+      WITH RECURSIVE $portableCtes,
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      cc(id, label) AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id),
+      comp AS (SELECT id, min(label) AS c FROM cc GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(comp.c, d.doc_id) AS BIGINT) AS canonical_id
+      FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+      WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
+    GQuery("dedup_simhash", simhashQ, None)
+  )
+
+  /** Shared DuckDB CTE chain for the portable-LSH oracles: fixed-sample
+    * docs → distinct 3-shingles → portable hashes → 64-slot signatures →
+    * 16 band keys → distinct candidate pairs. Mirrors [[portablePairs]]
+    * constant for constant. */
+  private lazy val portableCtes: String = {
+    val aLst = PortableLsh.hashA.mkString("[", ", ", "]")
+    val bLst = PortableLsh.hashB.mkString("[", ", ", "]")
+    val p = PortableLsh.P
+    s"""sh AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(toks) - 1),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-        FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+        FROM (SELECT doc_id, $duckToks AS toks FROM documents
+              WHERE doc_id < $PortableCap)),
       hm AS (
         SELECT doc_id,
                list_transform(s, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $p) AS h
@@ -161,16 +222,6 @@ object DedupQueries {
         FROM sig),
       pairs AS (
         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        FROM keys x JOIN keys y ON x.key = y.key AND x.doc_id < y.doc_id),
-      deg AS (
-        SELECT doc_id, count(*) AS n FROM (
-          SELECT a_id AS doc_id FROM pairs
-          UNION ALL
-          SELECT b_id AS doc_id FROM pairs)
-        GROUP BY 1)
-      SELECT d.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_candidates
-      FROM documents d LEFT JOIN deg USING (doc_id) ORDER BY d.doc_id"""
-    }),
-    GQuery("dedup_simhash", simhashQ, None)
-  )
+        FROM keys x JOIN keys y ON x.key = y.key AND x.doc_id < y.doc_id)"""
+  }
 }

@@ -87,6 +87,36 @@ class DedupSpec extends SparkSpec {
     (byDoc(1L) intersect byDoc(2L)).size should be >= 1
   }
 
+  test("connectedComponents: chains collapse to the min label; disjoint components stay apart") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  test("connectedComponents: cycle converges and maxIters guard throws when too tight") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a_id", "b_id")
+    Dedup.connectedComponents(cycle).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(chain, maxIters = 1)
+  }
+
+  test("nearDupGroups: planted A~B~C chain collapses to one canonical; singletons self-map") {
+    // 26 tokens; B differs from A at one position, C from B at another far
+    // away. Pairwise shingle jaccard: A~B = B~C = 21/27 ≈ 0.78 (≥ 0.7),
+    // A~C = 18/30 = 0.6 (< 0.7) — so ONLY the transitive chain links A to
+    // C, which is exactly what group resolution must handle.
+    val ws = ('a' to 'z').map(ch => s"tok$ch").toVector
+    val a = ws.mkString(" ")
+    val b = ws.updated(12, "metamorphosis").mkString(" ")
+    val c = ws.updated(12, "metamorphosis").updated(19, "calibration").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, unrelated)).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroups(docs, threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    groups shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L)
+  }
+
   test("LSH bucket cap drops pathological buckets") {
     // 5 identical docs → every bucket has 5 members; cap 4 → no pairs survive
     val clones = (1L to 5L).map(i => (i, baseText)).toDF("doc_id", "text")
