@@ -7,19 +7,31 @@ import graft.core.Tables
 /** Driver-run benchmark: every registered query at SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout.
   *
-  * Measurement contract (round-1 verdict fix): each query executes its
-  * FULL physical plan by writing to the built-in `noop` sink — `count()`
-  * would let Catalyst prune final projections and output sorts. A warm-up
-  * pass (flagship, untimed) absorbs one-time JVM/codegen/parquet-footer
-  * cost so per-query numbers reflect plan cost, not first-query warm-up.
+  * Measurement contract:
+  *  - each query executes its FULL physical plan by writing to the
+  *    built-in `noop` sink — `count()` would let Catalyst prune final
+  *    projections and output sorts (round-1 verdict fix);
+  *  - a warm-up pass (flagship, untimed) absorbs one-time
+  *    JVM/codegen/parquet-footer cost;
+  *  - each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  *    MEDIAN, with per-query min/max spread in the JSON — single-shot
+  *    numbers varied ~2× run-to-run, making round deltas meaningless
+  *    (round-2 verdict fix).
+  *
+  * SPARK_GRAFT_QUERIES=a,b,c restricts the set (local iteration only;
+  * the driver runs the full registry).
   */
 object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,17 +41,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     try exec(SparkEntry.queries("flagship")(spark, sfDir)) // warm-up, untimed
     catch { case _: Throwable => () }
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, t) => s"\"$k\":${fmt(t(t.size / 2))}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results
+      .map { case (k, t) => s"\"$k\":[${fmt(t.head)},${fmt(t.last)}]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2(reps / 2)).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
