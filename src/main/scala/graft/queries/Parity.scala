@@ -180,6 +180,19 @@ object Parity {
         round(expr("percentile(value, 0.9)"), 6).as("p90"))
       .orderBy("event_type")
 
+  /** [[valueQuantiles]]'s 100 TB variant: `approx_percentile` carries a
+    * fixed-size sketch per group through the shuffle instead of buffering
+    * each group's full value multiset (the exact interpolated percentile
+    * cannot avoid that). Rows-only check — sketch-based quantile
+    * implementations legitimately differ across engines, same pattern as
+    * [[approxDistinctUsers]]. */
+  def approxValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.9), 1000)")
+        .as("quantiles_approx"))
+      .orderBy("event_type")
+
   /** W2 extension: sliding 5-minute window with 1-minute slide — each
     * event lands in 5 overlapping windows. (The reference uses only
     * tumbling windows; SURVEY §2.4 W2 lists sliding as the optional
@@ -219,6 +232,20 @@ object Parity {
         col("total_count") -
           lag("total_count", 1).over(Window.orderBy("window_start")))
       .orderBy("window_start")
+  }
+
+  /** [[minuteDeltas]] at type grain: the lag window is PARTITIONED by
+    * event_type, so it distributes across executors (the global variant's
+    * single-partition window is bounded only because its input is the
+    * pre-aggregated minute series). */
+  def minuteDeltasByType(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    WindowAgg.minuteTypeCounts(Tables.events(spark, dir), "event_type")
+      .select(minuteStr("minute"), col("event_type"), col("cnt"))
+      .withColumn("delta",
+        col("cnt") - lag("cnt", 1).over(
+          Window.partitionBy("event_type").orderBy("window_start")))
+      .orderBy("window_start", "event_type")
   }
 
   /** The flagship authored in pure SQL over registered temp views — the
@@ -351,6 +378,15 @@ object Parity {
       FROM (SELECT $duckMinute AS window_start,
                    CAST(count(*) AS BIGINT) AS total_count
             FROM events GROUP BY 1)
-      ORDER BY window_start"""))
+      ORDER BY window_start""")),
+    GQuery("minute_deltas_by_type", minuteDeltasByType, Some(s"""
+      SELECT window_start, event_type, cnt,
+             cnt - lag(cnt, 1) OVER (PARTITION BY event_type
+                                     ORDER BY window_start) AS delta
+      FROM (SELECT $duckMinute AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2)
+      ORDER BY window_start, event_type""")),
+    GQuery("approx_value_quantiles", approxValueQuantiles, None)
   )
 }

@@ -342,6 +342,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB changelog checkpointing: state recovers from checkpoint across restart") {
+    // changelog checkpointing ships per-batch deltas to the checkpoint
+    // instead of full RocksDB snapshots — the commit-latency conf a large
+    // stateful deployment runs with. The recovery assertion is the real
+    // gate: after stop/restart, the open window resumes from the
+    // changelog-restored state (2 → 3), not from scratch.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevChg = spark.conf.getOption(chgKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(chgKey, "true")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rocks-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-rocks-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rocks-out").toString
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def agg = Pipeline.parse(Sources.envelopeFiles(spark, inDir))
+      .withWatermark("event_time", "1 minute")
+      .groupBy(window(col("event_time"), "1 minute"), col("emoji_type"))
+      .agg(count(lit(1)).as("n"))
+    def startQuery() = Sinks.files(agg, outDir, ckDir).start()
+    try {
+      drop("batch1.json", Seq(
+        envelope("u1", "👍", "21:00:05"),
+        envelope("u2", "👍", "21:00:15")))
+      val q1 = startQuery()
+      try q1.processAllAvailable() finally q1.stop() // 21:00 window still open
+      drop("batch2.json", Seq(envelope("u3", "👍", "21:00:45")))
+      drop("batch3.json", Seq(envelope("u4", "👍", "21:05:00"))) // advance watermark
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+      val emitted = spark.read.parquet(outDir)
+        .select(col("emoji_type"), col("n"), unix_micros(col("window.start")).as("ws"))
+        .as[(String, Long, Long)].collect().toSet
+      emitted should contain(("👍", 3L, epochUs("21:00:00")))
+    } finally {
+      prevProv.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+      prevChg.fold(spark.conf.unset(chgKey))(v => spark.conf.set(chgKey, v))
+    }
+  }
+
   test("stream-stream interval join pairs events within the window, drops later ones") {
     val left = MemoryStream[String]
     val right = MemoryStream[String]
