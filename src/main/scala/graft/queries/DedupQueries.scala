@@ -135,6 +135,15 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** PRODUCTION near-dup survivor map over the FULL corpus: xxhash LSH
+    * candidates → Jaccard-verified pairs → connected components →
+    * (doc_id, canonical_id). Rows-only (engine-specific hashing); the
+    * transitive-resolution logic is oracle-proved by [[groupsPortable]]
+    * and the planted-chain DedupSpec case. */
+  def nearGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGroups(Tables.documents(spark, dir), threshold = 0.7)
+      .orderBy("doc_id")
+
   /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific hash). */
   def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -187,7 +196,8 @@ object DedupQueries {
       SELECT d.doc_id, CAST(coalesce(comp.c, d.doc_id) AS BIGINT) AS canonical_id
       FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
       WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
-    GQuery("dedup_simhash", simhashQ, None)
+    GQuery("dedup_simhash", simhashQ, None),
+    GQuery("dedup_near_groups", nearGroups, None)
   )
 
   /** Shared DuckDB CTE chain for the portable-LSH oracles: fixed-sample

@@ -214,6 +214,21 @@ class StreamingSpec extends SparkSpec {
       Sources.kafkaReader(spark, "localhost:9092", maxOffsetsPerTrigger = Some(10000L))
   }
 
+  test("S4 boundary: .load() fails ONLY for the missing connector jar") {
+    // The sandbox ships no spark-sql-kafka jar (verified: nowhere on the
+    // filesystem) and dependency resolution is offline, so source-plan
+    // construction cannot be exercised end-to-end here. This case pins the
+    // exact boundary: .load() must fail at DATA SOURCE LOOKUP — not at
+    // option validation or plan analysis. If a future environment ships
+    // the connector, this test FAILS, flagging that it should be upgraded
+    // to a real plan-level test (.load() + watermark + agg analysis).
+    val ex = intercept[Exception] {
+      Sources.kafkaReader(spark, "localhost:9092").load()
+    }
+    ex.getMessage.toLowerCase should include("kafka")
+    ex.getMessage should (include("Failed to find") or include("DATA_SOURCE_NOT_FOUND"))
+  }
+
   test("streaming exact dedup drops repeats across batches within the watermark") {
     val in = MemoryStream[String]
     val q = Sinks.memory(
