@@ -67,21 +67,40 @@ object Dedup {
 
   /** (id, band, bucket) exploded LSH keys for a document frame.
     *
-    * The signature is materialized behind an explicit repartition BEFORE
-    * the band explode: `Generate` re-evaluates its input per output row,
-    * and `CollapseProject` would otherwise inline the whole
-    * tokenize→shingle→signature expression into it — measured 8× slower
-    * at sf0.1. The barrier shuffle carries only (id, 64 ints) per doc, and
-    * `ReuseExchange` shares it between the two sides of the candidate
-    * self-join. */
+    * Two deliberate exchanges:
+    *  1. a REBALANCE of (id, text) before the signature stage. The
+    *     tokenize→shingle→64-hash signature is CPU-bound (~10⁴ hash ops
+    *     per doc ≫ the ~µs it takes to shuffle a KB of text), documents
+    *     vary ~100× in length, and scan splits follow file/row-group
+    *     layout, not compute cost — so the hash stage inherits whatever
+    *     skew (or, on small fixtures, single-split serialism) the scan
+    *     has. Rebalancing by id first costs one text-width shuffle and
+    *     makes the expensive stage uniformly parallel.
+    *  2. a barrier repartition of the materialized signature BEFORE the
+    *     band explode: `Generate` re-evaluates its input per output row,
+    *     and `CollapseProject` would otherwise inline the whole signature
+    *     expression into it — measured 8× slower at sf0.1. This shuffle
+    *     carries only (id, 64 ints) per doc, and `ReuseExchange` shares
+    *     it between the two sides of the candidate self-join. */
   def bandTable(docs: DataFrame, idCol: String = "doc_id", k: Int = 3,
                 numHashes: Int = 64, bands: Int = 16): DataFrame =
     docs
+      .select(col(idCol), col("text"))
+      .transform(rebalance(_, idCol))
       .select(col(idCol),
         minhashSignature(shingleHashes(Text.tokens(col("text")), k), numHashes).as("__sig"))
-      .repartition(col(idCol))
+      .transform(rebalance(_, idCol))
       .select(col(idCol), explode(lshBandKeys(col("__sig"), bands, numHashes)).as("__key"))
       .select(col(idCol), col("__key.band").as("band"), col("__key.bucket").as("bucket"))
+
+  /** Spread a CPU-bound stage over the cluster's full parallelism. The
+    * partition count is EXPLICIT, which exempts the exchange from AQE
+    * partition coalescing — AQE merges by *bytes*, and a few hundred KB
+    * of short documents can carry minutes of hashing work, so byte-based
+    * coalescing would serialize exactly the stage this exchange exists
+    * to parallelize. */
+  def rebalance(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
 
   /** Candidate near-dup pairs (a < b) via the band-bucket equi-join, with
     * the bucket-size skew cap. */
@@ -211,6 +230,31 @@ object Dedup {
     bitVotes.zipWithIndex
       .map { case (v, i) => when(v > 0, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _)
+  }
+
+  /** DataFrame-level SimHash over a document frame: explode the prehashed
+    * tokens and take 64 `SUM(±1)` aggregates, then assemble the bits.
+    *
+    * This is the scale form of [[simhash64]]: the whole plan is
+    * scan → generate → codegen hash-aggregation, with no per-row array
+    * allocation (the 64-HOF-fold form churns ~tokens×64 boxed longs per
+    * document — GC noise dominated its measured runtime). The explode
+    * multiplies rows ×tokens but PARTIAL aggregation consumes them
+    * map-side in the same stage: the shuffle carries 64 longs per doc.
+    * `explode_outer` keeps empty documents (null hash votes −1 on every
+    * bit, so they fingerprint to 0L exactly like the fold form). */
+  def simhashTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val sums = (0 until 64).map { i =>
+      sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)).as(s"__b$i")
+    }
+    val bits = (0 until 64)
+      .map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs
+      .select(col(idCol), explode_outer(tokenHashes(Text.tokens(col("text")))).as("__h"))
+      .groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol), bits.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -97,9 +97,9 @@ object DedupQueries {
           (1 to 4).map(r => element_at(col("__sig"), (b * 4 + lit(r)).cast("int")).cast("string")): _*))
     // same exchange barrier as Dedup.bandTable: materialize the signature
     // before the Generate so it isn't recomputed per band
-    val keyRows = docs
+    val keyRows = Dedup.rebalance(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), sig.as("__sig"))
-      .repartition(col("doc_id"))
+      .transform(Dedup.rebalance(_, "doc_id"))
       .select(col("doc_id"), explode(keys).as("key"))
     keyRows.as("x").join(keyRows.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
@@ -144,11 +144,14 @@ object DedupQueries {
     Dedup.nearDupGroups(Tables.documents(spark, dir), threshold = 0.7)
       .orderBy("doc_id")
 
-  /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific hash). */
+  /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific hash);
+    * [[Dedup.simhashTable]]'s explode+aggregate plan, equivalence with
+    * the fold form asserted in DedupSpec. Rebalanced by id first for the
+    * same reason as [[Dedup.bandTable]]: the hash stage is CPU-bound and
+    * must not inherit the scan's split skew. */
   def simhashQ(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("__th", Dedup.tokenHashes(Text.tokens(col("text"))))
-      .select(col("doc_id"), Dedup.simhash64(col("__th")).as("simhash"))
+    Dedup.simhashTable(
+      Dedup.rebalance(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id"))
       .orderBy("doc_id")
 
   val queries: Seq[GQuery] = Seq(

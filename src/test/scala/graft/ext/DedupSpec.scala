@@ -76,6 +76,18 @@ class DedupSpec extends SparkSpec {
     ham(th(1L), th(3L)) should be > 16
   }
 
+  test("simhashTable: explode+aggregate plan matches the fold form doc-for-doc") {
+    val withEmpty = docs.union(Seq((5L, ""), (6L, "   ")).toDF("doc_id", "text"))
+    val fold = withEmpty
+      .withColumn("th", Dedup.tokenHashes(Text.tokens(col("text"))))
+      .select(col("doc_id"), Dedup.simhash64(col("th")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val table = Dedup.simhashTable(withEmpty)
+      .as[(Long, Long)].collect().toMap
+    table shouldBe fold
+    table(5L) shouldBe 0L // empty docs survive explode_outer, fingerprint 0
+  }
+
   test("simhashBands: identical fingerprints share all bands; near-dups share ≥1") {
     val sims = docs.withColumn("th", Dedup.tokenHashes(Text.tokens(col("text"))))
       .withColumn("sim", Dedup.simhash64(col("th")))
