@@ -112,7 +112,11 @@ object Similarity {
 
   /** Embedding-level near-dup pairs: SRP bucket equi-join (never
     * all-pairs), verified with exact cosine ≥ `threshold`. The
-    * embedding-space twin of MinHash near-dup dedup. */
+    * embedding-space twin of MinHash near-dup dedup. The threshold is
+    * applied to the 6-dp-ROUNDED cosine: similarity has no meaningful
+    * resolution below that, and it makes the boundary decision
+    * deterministic across engines (a raw-double compare can flip on the
+    * last ulp between implementations). */
   def embNearDupPairs(corpus: DataFrame, threshold: Double = 0.95, nPlanes: Int = 8,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       dim: Int = 64, seed: Long = 42L): DataFrame = {
@@ -122,7 +126,7 @@ object Similarity {
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
-        cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("cos_sim"))
+        round(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

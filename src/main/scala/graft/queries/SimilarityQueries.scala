@@ -71,6 +71,34 @@ object SimilarityQueries {
       .orderBy("label")
   }
 
+  /** Embedding near-dup pairs, fully oracle-checked (literal hyperplanes
+    * + double cosine + 6-dp rounding): SRP bucket equi-join, exact cosine
+    * verify. The synthetic embeddings contain no true duplicates (max
+    * pairwise cosine ≈ 0.51), so the DEMO threshold is corpus-calibrated
+    * to 0.35 — the operator default is 0.95; the pipeline shape is
+    * identical. */
+  def embNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embNearDupPairs(
+        Tables.embeddings(spark, dir), threshold = EmbDupThreshold, nPlanes = 4)
+      .orderBy("a_id", "b_id")
+
+  /** Embedding dedup GROUP RESOLUTION: connected components over
+    * [[embNearDup]]'s verified pairs → every vector mapped to its
+    * component-min canonical — the embedding-space twin of
+    * `dedup_groups`, with the same recursive-CTE oracle shape. */
+  def embDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cc = graft.ext.Dedup.connectedComponents(
+      Similarity.embNearDupPairs(emb, threshold = EmbDupThreshold, nPlanes = 4))
+    emb.select("vec_id")
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("canonical_id"))
+      .orderBy("vec_id")
+  }
+
+  private val EmbDupThreshold = 0.35
+
   /** DuckDB twin of [[Similarity.srpBucket]]: the hyperplanes are literal
     * doubles (Scala's shortest-roundtrip toString → DuckDB parses back the
     * identical bits), the dot is double arithmetic — so the bucket
@@ -133,6 +161,41 @@ object SimilarityQueries {
       SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
              CAST(sum(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
                            AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
-      FROM embeddings GROUP BY 1 ORDER BY 1"""))
+      FROM embeddings GROUP BY 1 ORDER BY 1""")),
+    GQuery("emb_near_dup", embNearDup, Some(s"""
+      WITH $embPairCtes
+      SELECT a_id, b_id, cos_sim FROM pairs
+      ORDER BY a_id, b_id""")),
+    GQuery("emb_dup_groups", embDupGroups, Some(s"""
+      WITH RECURSIVE $embPairCtes,
+      edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id AS src, a_id AS dst FROM pairs),
+      cc(id, label) AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst AS id, cc.label FROM cc JOIN edges e ON e.src = cc.id),
+      comp AS (SELECT id, min(label) AS c FROM cc GROUP BY 1)
+      SELECT v.vec_id, CAST(coalesce(comp.c, v.vec_id) AS BIGINT) AS canonical_id
+      FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
+      ORDER BY v.vec_id"""))
   )
+
+  /** Shared DuckDB CTE chain for the embedding near-dup oracles: SRP
+    * buckets from the same literal hyperplanes, bucket equi-join, 6-dp
+    * rounded cosine threshold — mirrors [[Similarity.embNearDupPairs]]. */
+  private lazy val embPairCtes: String = {
+    val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+    s"""b AS (SELECT vec_id, embedding,
+                     ${duckBucket("embedding", planes)} AS bucket
+              FROM embeddings),
+      pairs AS (
+        SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+               ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                            y.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]), 6) >= $EmbDupThreshold)"""
+  }
 }
