@@ -110,6 +110,54 @@ object Similarity {
       .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
   }
 
+  /** IVF-style ANN search: coarse-quantize the corpus into inverted
+    * lists, probe only the `nprobe` nearest lists per query, exact-rank
+    * within them.
+    *
+    * The coarse quantizer here is the per-`label` exact-mean centroid —
+    * deterministic (DECIMAL-summed means, so aggregation order cannot
+    * perturb a single bit) and therefore fully oracle-checkable, standing
+    * in for k-means training (whose iterations are engine-specific and
+    * cannot be hash-compared). The index/search SHAPE is the real IVF
+    * pipeline: a tiny centroid table broadcast to score probe→centroid,
+    * top-`nprobe` lists selected per probe, and the expensive exact
+    * cosine confined to those lists — at 100 TB the corpus scan prunes to
+    * |corpus|·nprobe/nlists instead of all-pairs, and the centroid table
+    * stays broadcast-size by construction.
+    */
+  def knnIvf(corpus: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             listCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // centroid per inverted list: exact-decimal per-dimension mean
+    val cent = corpus
+      .select(col(listCol), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col(listCol), col("__p"))
+      .agg((sum(col("__v").cast(DecimalType(28, 9))).cast("double")
+        / count(lit(1))).as("__c"))
+      .groupBy(col(listCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
+      .select(col(listCol), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
+    // probe → nprobe nearest centroids (centroid table is broadcast-size)
+    val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(cosine(col("__pv"), col("__centroid")).desc, col(listCol))))
+      .filter(col("__crk") <= nprobe)
+      .select(col("probe_id"), col("__pv"), col(listCol))
+    // exact search confined to the selected inverted lists
+    probed.join(corpus.select(col(idCol), col(vecCol), col(listCol)), listCol)
+      .filter(col(idCol) =!= col("probe_id"))
+      .withColumn("cos_sim", cosine(col(vecCol), col("__pv")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("__rk") <= k)
+      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("cos_sim"))
+  }
+
   /** Embedding-level near-dup pairs: SRP bucket equi-join (never
     * all-pairs), verified with exact cosine ≥ `threshold`. The
     * embedding-space twin of MinHash near-dup dedup. The threshold is
@@ -121,12 +169,26 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = srpPlanes(nPlanes, dim, seed)
-    val b = corpus.select(col(idCol), col(vecCol),
-      srpBucket(col(vecCol), planes).as("bucket"))
+    // norm precomputed ONCE per vector (same expression `cosine` would
+    // evaluate, so the float path — and the oracle — are unchanged); the
+    // per-pair work inside a bucket is then a single dot fold instead of
+    // three. Materialized behind a repartition so the join's generate side
+    // can't re-inline the bucket/norm expressions per pair.
+    val b = corpus
+      .select(col(idCol), col(vecCol))
+      .repartition(col(idCol))
+      .select(col(idCol), col(vecCol),
+        srpBucket(col(vecCol), planes).as("bucket"),
+        norm(col(vecCol)).as("__n"))
+      .repartition(col("bucket"))
+    val denom = col("x.__n") * col("y.__n")
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
-        round(cosine(col(s"x.$vecCol"), col(s"y.$vecCol")), 6).as("cos_sim"))
+        round(
+          when(denom === 0.0, lit(0.0))
+            .otherwise(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) / denom),
+          6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

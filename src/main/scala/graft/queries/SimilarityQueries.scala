@@ -46,6 +46,17 @@ object SimilarityQueries {
     finish(Similarity.knnLsh(e, probes(spark, dir), K))
   }
 
+  /** IVF-style ANN: deterministic coarse quantizer (per-label exact-mean
+    * centroids) → nprobe=2 nearest lists per probe → exact cosine within
+    * them. Fully oracle-checked, centroids included — see
+    * [[Similarity.knnIvf]]. */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnIvf(e, probes(spark, dir), K, nprobe = NProbeLists))
+  }
+
+  private val NProbeLists = 2
+
   /** SRP bucket occupancy — the partition-pruning histogram an operator
     * would use to pick nPlanes at scale. Rows-only. */
   def bucketStats(spark: SparkSession, dir: String): DataFrame = {
@@ -162,6 +173,36 @@ object SimilarityQueries {
              CAST(sum(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
                            AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
       FROM embeddings GROUP BY 1 ORDER BY 1""")),
+    GQuery("knn_ivf", knnIvf, Some(s"""
+      WITH ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM embeddings),
+      centd AS (
+        -- exact-decimal per-dimension mean: aggregation order cannot
+        -- perturb a bit, so Spark and DuckDB centroids are identical
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      sel AS (
+        SELECT probe_id, pv, label FROM (
+          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
+        WHERE crk <= $NProbeLists)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT s.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (PARTITION BY s.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
+                          e.vec_id) AS rk
+        FROM sel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
     GQuery("emb_near_dup", embNearDup, Some(s"""
       WITH $embPairCtes
       SELECT a_id, b_id, cos_sim FROM pairs

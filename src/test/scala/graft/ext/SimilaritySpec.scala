@@ -81,6 +81,31 @@ class SimilaritySpec extends SparkSpec {
     withClue(s"recall=$recall") { recall should be >= 0.6 }
   }
 
+  test("knnIvf: probing ALL lists equals brute force; nprobe=2 stays in-cluster") {
+    val rng = new scala.util.Random(17)
+    val dim = 32
+    val bases = Seq.fill(5)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 8
+    } yield (ci * 100L + j, ci, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val corpusDf = corpus.toDF("vec_id", "label", "embedding")
+    val probesDf = corpus.filter(_._1 % 100 == 0)
+      .map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    // nprobe = nlists scans every inverted list ⇒ must be EXACTLY brute force
+    key(Similarity.knnIvf(corpusDf, probesDf, k = 5, nprobe = 5)) shouldBe
+      key(Similarity.knnExact(corpusDf, probesDf, k = 5))
+    // pruned probing: k rows per probe, all from the probe's own cluster
+    val pruned = Similarity.knnIvf(corpusDf, probesDf, k = 5, nprobe = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    pruned.groupBy(_._1).view.mapValues(_.length).toMap.values.toSet shouldBe Set(5)
+    val inCluster = pruned.count { case (p, n) => n / 100L == p / 100L }
+    inCluster.toDouble / pruned.length should be >= 0.9
+  }
+
   test("embNearDupPairs: planted duplicate found, unrelated pair not") {
     val rng = new scala.util.Random(13)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)
