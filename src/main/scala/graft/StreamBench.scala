@@ -19,7 +19,11 @@ import graft.stream.{Pipeline, Sources}
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val rps = sys.env.getOrElse("SPARK_STREAM_RPS", "2000000").toLong
-    val seconds = sys.env.getOrElse("SPARK_STREAM_SECONDS", "20").toInt
+    // 45 s default: the first non-empty batch drains the rate source's
+    // startup backlog (~4-12M rows at the default offered rate) and is
+    // excluded as warm-up, so the window must fit it PLUS ≥2 steady
+    // batches — a 20 s window reported 0 completed batches on slow starts
+    val seconds = sys.env.getOrElse("SPARK_STREAM_SECONDS", "45").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +41,6 @@ object StreamBench {
       .start()
     Thread.sleep(seconds * 1000L)
     val progress = q.recentProgress.toSeq
-    q.stop()
 
     // exclude empty startup batches; if several real batches completed,
     // also drop the first (codegen warm-up) — with an unbounded rate
@@ -47,8 +50,12 @@ object StreamBench {
     val rows = steady.map(_.numInputRows).sum
     val secs = steady.map(p => p.durationMs.get("triggerExecution").toDouble / 1000.0).sum
     val eps = if (secs > 0) rows / secs else 0.0
+    // metric printed BEFORE stop: stopping mid-batch can surface an
+    // InterruptedException from the state-store commit, which must not
+    // eat the measurement
     println(
       s"""{"metric":"stream_events_per_sec","value":$eps,"unit":"events/sec","batches":${steady.size},"offered_rps":$rps}""")
+    try q.stop() catch { case _: Exception => () }
     spark.stop()
   }
 }
