@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.BoundedTopK
+import graft.functions.{BoundedTopK, DotProduct}
 
 /** Session extensions: exposes the engine's native Catalyst functions to
   * SQL. Two registration paths:
@@ -18,8 +18,10 @@ import graft.functions.BoundedTopK
   * SQL surface: `bounded_top_k(score, id, k)` — see [[BoundedTopK]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.boundedTopK)
+    ext.injectFunction(GraftExtensions.graftDot)
+  }
 }
 
 object GraftExtensions {
@@ -41,9 +43,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
     buildBoundedTopK)
 
+  /** `graft_dot(a, b)` — the codegen'd array dot product. */
+  val graftDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"graft_dot(a, b) takes 2 arguments, got ${args.length}")
+      DotProduct(args(0), args(1))
+    })
+
   /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = boundedTopK
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    Seq(boundedTopK, graftDot).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

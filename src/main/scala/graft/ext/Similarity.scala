@@ -24,11 +24,13 @@ import graft.functions.BoundedTopK
   */
 object Similarity {
 
-  /** Elementwise-double dot product of two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Elementwise-double dot product of two numeric arrays — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (a tight
+    * primitive loop; the HOF `aggregate(zip_with(...))` form it replaced
+    * materialized an intermediate array and boxed every element). Same
+    * float semantics: widen-to-double before multiply, left-to-right sum
+    * from 0.0 — every oracle-checked cosine keeps identical bits. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -28,6 +28,27 @@ class GraftExtensionsSpec extends SparkSpec {
     got shouldBe Seq(20L)
   }
 
+  test("graft_dot: SQL surface, mixed float/double inputs, null semantics") {
+    GraftExtensions.register(spark)
+    // float × double (the knnIvf centroid case) through SQL
+    val mixed = spark.sql(
+      """SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |                 array(2.0D, 0.5D)) AS d""".stripMargin)
+      .as[Double].collect()(0)
+    mixed shouldBe 2.0 // 1.5*2.0 + (-2.0)*0.5
+    // mismatched lengths and null elements → null (zip_with padding parity)
+    val nulls = spark.sql(
+      """SELECT graft_dot(array(1.0D), array(1.0D, 2.0D)) AS a,
+        |       graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS b""".stripMargin)
+      .as[(Option[Double], Option[Double])].collect()(0)
+    nulls shouldBe ((None, None))
+    // rejects non-array input at analysis time
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(1.0, 2.0)").collect()
+    }
+    e.getMessage.toLowerCase should include("array")
+  }
+
   test("bounded_top_k rejects a non-literal k") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -58,6 +58,20 @@ object ExtProperties extends Properties("graft.ext") {
       row._1 == row._2 && row._3 == 0 && row._1 >= 0 && row._1 <= 64
     }
 
+  property("DotProduct expression ≡ the HOF fold it replaced, bit for bit") =
+    forAll(vecGen, vecGen) { (a, b) =>
+      val hof = aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          graft.functions.DotProduct.dot(col("a"), col("b")).as("e"),
+          hof.as("h"))
+        .as[(Double, Double)].collect()(0)
+      // == on doubles: bit-identical is the contract (oracles depend on it)
+      row._1 == row._2
+    }
+
   property("minhash signature: identical token arrays sign identically; length fixed") =
     forAll(tokensGen) { toks =>
       val df = Seq(toks.mkString(" "), toks.mkString(" ")).toDF("text")
