@@ -72,6 +72,32 @@ object ExtProperties extends Properties("graft.ext") {
       row._1 == row._2
     }
 
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(10, for {
+      a <- Gen.chooseNum(0L, 9L)
+      d <- Gen.chooseNum(1L, 9L)
+    } yield (a, (a + d) % 10))
+
+  property("connectedComponents ≡ union-find on random graphs") =
+    forAll(edgesGen) { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      // reference: textbook union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }
+      got == expected
+    }
+
   property("minhash signature: identical token arrays sign identically; length fixed") =
     forAll(tokensGen) { toks =>
       val df = Seq(toks.mkString(" "), toks.mkString(" ")).toDF("text")
