@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 
 import graft.core.{Ingest, WindowAgg}
+import graft.ext.{Dedup, Text}
 
 /** The flagship streaming pipeline — SURVEY.md §2.4 (W1-W8) — wiring the
   * same pure `Ingest`/`WindowAgg` transforms the batch oracle queries use.
@@ -112,6 +113,71 @@ object Pipeline {
     events
       .withWatermark("event_time", cfg.watermarkDelay)
       .dropDuplicatesWithinWatermark("user_id", "emoji_type", "event_time")
+
+  /** A banded SimHash row for the streaming near-dup state op. */
+  final case class BandedDoc(doc_id: Long, simhash: Long, band: Int, bucket: Long)
+
+  /** A flagged streaming near-duplicate: `doc_id` matched a previously
+    * seen document `dup_of` within `hamming` bits. */
+  final case class NearDupFlag(doc_id: Long, dup_of: Long, hamming: Int)
+
+  /** Streaming NEAR-dup detection — the streaming twin of the batch
+    * SimHash/LSH dedup path. Each incoming document's 64-bit SimHash is
+    * split into 4 × 16-bit bands ([[Dedup.simhashBands]]); one
+    * `flatMapGroupsWithState` group per (band, bucket) holds the
+    * fingerprints seen in that bucket and flags any new doc within
+    * `maxHamming` bits of one of them. Pigeonhole: fingerprints within
+    * Hamming distance 3 share at least one of the 4 bands, so
+    * bucket-local comparison finds every such pair without all-pairs
+    * state (candidates beyond distance 3 are found only if a band
+    * happens to collide — same recall contract as the batch path).
+    *
+    * Output is the FLAG side-stream (doc_id, dup_of, hamming) — what a
+    * pipeline filters/anti-joins against; a doc matching in several
+    * bands emits one row per matching band. "First doc wins" follows
+    * arrival order (inherent to streaming dedup); within a micro-batch,
+    * doc_id order makes the outcome deterministic for replays.
+    *
+    * State is bounded BY CONSTRUCTION: ≤ `maxPerBucket` most-recent
+    * fingerprints per bucket × 4·2^16 possible buckets × 16 B — no
+    * watermark needed, though the cap means very old fingerprints
+    * eventually stop matching (the usual streaming-dedup trade-off).
+    */
+  def nearDupStream(docs: DataFrame, maxHamming: Int = 3,
+                    maxPerBucket: Int = 64): Dataset[NearDupFlag] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col("doc_id"),
+        Dedup.simhash64(Dedup.tokenHashes(Text.tokens(col("text")))).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(Dedup.simhashBands(col("simhash"))).as("k"))
+      .select(col("doc_id"), col("simhash"),
+        col("k.band").as("band"), col("k.bucket").as("bucket"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupFlag](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), batch: Iterator[BandedDoc],
+         state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil) // (doc_id, simhash), newest first
+          val out = Seq.newBuilder[NearDupFlag]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            seen.find { case (_, s) =>
+              java.lang.Long.bitCount(s ^ d.simhash) <= maxHamming
+            } match {
+              case Some((origId, s)) =>
+                out += NearDupFlag(d.doc_id, origId,
+                  java.lang.Long.bitCount(s ^ d.simhash))
+              case None =>
+                seen = ((d.doc_id, d.simhash) :: seen).take(maxPerBucket)
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+  }
 
   /** W6 — the reference's late-data quirk (`analytical_server.py:33-39`),
     * OFF by default: its hand-rolled accumulator only rolls the "current

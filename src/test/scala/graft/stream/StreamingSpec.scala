@@ -357,6 +357,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup: banded SimHash flags near-dups across batches, first doc wins") {
+    val baseText =
+      "spark table scan filter join group window agg sort merge shuffle " +
+        "partition broadcast hash value column row batch stream state"
+    val nearText = baseText.replace("shuffle", "exchange") // 1 token differs
+    val unrelated =
+      "quick brown fox jumps over lazy dog again and again with zeal " +
+        "purple monkey dishwasher banana umbrella xylophone quartz vivid"
+    val unrelated2 =
+      "violet quasar nimbus kaleidoscope tangerine obelisk marzipan fjord " +
+        "zephyr labyrinth crescendo bungalow sapphire meridian tundra echo"
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // maxHamming 12 exercises the NEAR path (1-token change lands within
+    // a few bits; DedupSpec pins these texts at <12 and ≥1 shared band)
+    val q = Pipeline.nearDupStream(docs, maxHamming = 12)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((1L, baseText), (3L, unrelated))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 (one token changed), a normalized
+      // exact dup of doc 1, and a fresh unrelated doc
+      in.addData((4L, nearText), (5L, baseText.toUpperCase + "!!!"), (6L, unrelated2))
+      q.processAllAvailable()
+      val flags = spark.table("neardup_stream")
+        .select(col("doc_id"), col("dup_of")).as[(Long, Long)]
+        .collect().toSet
+      flags.map(_._1) shouldBe Set(4L, 5L) // both dups flagged, 3/6 clean
+      flags.map(_._2) shouldBe Set(1L)     // first-seen doc is the canonical
+      val exact = spark.table("neardup_stream")
+        .filter(col("doc_id") === 5L).select("hamming")
+        .as[Int].collect().toSet
+      exact shouldBe Set(0) // normalized exact dup: identical fingerprint
+    } finally q.stop()
+  }
+
   test("RocksDB changelog checkpointing: state recovers from checkpoint across restart") {
     // changelog checkpointing ships per-batch deltas to the checkpoint
     // instead of full RocksDB snapshots — the commit-latency conf a large
