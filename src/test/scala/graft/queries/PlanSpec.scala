@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions for the round-3 operators: the scale
+  * properties these pipelines are designed around (broadcasts, exchange
+  * barriers, column pruning) must be visible in the plan — a silent
+  * optimizer change that re-inlines an expensive stage or materializes a
+  * cartesian product would still pass the value oracles. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("knn_ivf: centroid table is broadcast, never a shuffled cartesian") {
+    val p = plan(SimilarityQueries.knnIvf(spark, dir))
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("LSH band table: signature barrier exchanges survive and the self-join reuses one") {
+    val pairs = graft.ext.Dedup.candidatePairs(
+      graft.core.Tables.documents(spark, dir))
+    pairs.collect() // drive AQE to the final plan on this same handle
+    val p = plan(pairs)
+    // the explicit CPU-stage rebalance must survive optimization (AQE may
+    // elide the second same-key barrier once the sig lands in its own
+    // Project — the Generate check below is what that barrier protects)
+    p should include("REPARTITION_BY_NUM")
+    "Exchange hashpartitioning".r.findAllIn(p).size should be >= 2
+    // the Generate must explode a materialized attribute, not re-run the
+    // tokenize→shingle→signature tree per band (the 8× trap)
+    "(?s)Generate explode\\(lshBandKeys[^\\n]*xxhash64".r.findFirstIn(p) shouldBe None
+  }
+
+  test("documents scans prune to the referenced columns only") {
+    val p = plan(DedupQueries.simhashQ(spark, dir))
+    // the parquet scan must read (doc_id, text) and nothing else
+    "ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p) should not be None
+  }
+
+  test("flagship scan prunes to (ts, event_type)") {
+    val p = plan(Parity.flagship(spark, dir))
+    p should include("ReadSchema: struct<ts:bigint,event_type:string>")
+  }
+}
