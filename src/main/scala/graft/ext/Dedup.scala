@@ -135,14 +135,22 @@ object Dedup {
 
   /** Verified near-dup pairs: LSH candidates re-checked with true shingle
     * Jaccard ≥ `threshold`. The expensive exact check runs only on
-    * candidate pairs, never the cross product. */
+    * candidate pairs, never the cross product. Set sizes are precomputed
+    * ONCE per document (the norm-precompute pattern): `shingleHashes` is
+    * already distinct, so per pair only the intersect pass remains and
+    * union size is pure integer arithmetic — identical values to
+    * [[jaccard]], a fraction of its per-pair work. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.7,
                    idCol: String = "doc_id", k: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol), shingleHashes(Text.tokens(col("text")), k).as("sh"))
+      .withColumn("ns", size(col("sh")))
     candidatePairs(docs, idCol, k)
-      .join(sh.withColumnRenamed(idCol, "a_id").withColumnRenamed("sh", "a_sh"), "a_id")
-      .join(sh.withColumnRenamed(idCol, "b_id").withColumnRenamed("sh", "b_sh"), "b_id")
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"), col("ns").as("a_n")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"), col("ns").as("b_n")), "b_id")
+      .withColumn("__i", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard",
+        when(col("a_n") + col("b_n") - col("__i") === 0, lit(0.0))
+          .otherwise(col("__i").cast("double") / (col("a_n") + col("b_n") - col("__i"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

@@ -47,15 +47,24 @@ object DedupQueries {
     * Bucketing by `source` stands in for the LSH bucket at oracle scale —
     * the pair join is equi-keyed, never a cross product. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // shingle sets and their sizes computed once per doc; the pair join
+    // then pays one intersect pass (integer union arithmetic — same
+    // values as Dedup.jaccard, which would re-distinct per pair)
     val d = Tables.documents(spark, dir)
       .filter(col("doc_id") < SampleCap)
       .select(col("doc_id"), col("source"),
         array_distinct(Text.ngrams(Text.tokens(col("text")), 3)).as("sh"))
+      .withColumn("ns", size(col("sh")))
     d.as("x").join(d.as("y"),
         col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        Dedup.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+        size(array_intersect(col("x.sh"), col("y.sh"))).as("__i"),
+        (col("x.ns") + col("y.ns")).as("__s"))
+      .select(col("a_id"), col("b_id"),
+        when(col("__s") - col("__i") === 0, lit(0.0))
+          .otherwise(col("__i").cast("double") / (col("__s") - col("__i")))
+          .as("jaccard"))
       .filter(col("jaccard").isNotNull)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(20)
