@@ -164,7 +164,13 @@ object Dedup {
     *  - converges in O(component diameter) rounds; near-dup clusters are
     *    dense (LSH links most members directly), so diameters are small.
     *    `maxIters` bounds the worst case; an IllegalStateException on
-    *    non-convergence beats silently wrong groups.
+    *    non-convergence beats silently wrong groups. If a corpus ever
+    *    produces long drift chains (template evolution), the alternating
+    *    large-star/small-star contraction (Kiveris et al., "Connected
+    *    Components in MapReduce and Beyond") converges in O(log n) rounds
+    *    with the same per-round equi-join cost — swap the loop body, keep
+    *    the contract (the union-find property in ExtProperties validates
+    *    any implementation).
     *  - every round ends in an eager `localCheckpoint`, so the plan stays
     *    constant-size instead of growing a join per iteration (the classic
     *    iterative-Spark lineage blowup), and the convergence check reruns
