@@ -171,10 +171,15 @@ object Dedup {
     *    with the same per-round equi-join cost — swap the loop body, keep
     *    the contract (the union-find property in ExtProperties validates
     *    any implementation).
-    *  - every round ends in an eager `localCheckpoint`, so the plan stays
+    *  - each round runs exactly ONE Spark job: the new labels are marked
+    *    for a LAZY `localCheckpoint`, and the convergence-count aggregate
+    *    is the action that materializes them — computing, caching, and
+    *    counting in a single pass. (The eager-checkpoint form paid two
+    *    driver-blocking jobs per round, and at small data sizes the
+    *    per-job round-trip latency — not compute — dominated wall time.)
+    *    The checkpoint still truncates lineage, so the plan stays
     *    constant-size instead of growing a join per iteration (the classic
-    *    iterative-Spark lineage blowup), and the convergence check reruns
-    *    nothing.
+    *    iterative-Spark lineage blowup).
     *  - the edge list is persisted once and reused by every round.
     *
     * Returns (id, component) for every endpoint appearing in `pairs`;
@@ -203,7 +208,7 @@ object Dedup {
           col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
           (coalesce(col("nmin"), col("component")) < col("component")).cast("long").as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: the count below materializes it
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
       labels = next.drop("__chg")
       iter += 1

@@ -185,12 +185,16 @@ object Parity {
     * each group's full value multiset (the exact interpolated percentile
     * cannot avoid that). Rows-only check — sketch-based quantile
     * implementations legitimately differ across engines, same pattern as
-    * [[approxDistinctUsers]]. */
+    * [[approxDistinctUsers]]. Output is three scalar columns (mirroring
+    * the exact twin [[valueQuantiles]]) — an array column would be
+    * unhashable for the row comparator downstream. */
   def approxValueQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.9), 1000)")
-        .as("quantiles_approx"))
+      .agg(
+        expr("approx_percentile(value, 0.25, 1000)").as("p25_approx"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"))
       .orderBy("event_type")
 
   /** W2 extension: sliding 5-minute window with 1-minute slide — each
