@@ -20,12 +20,19 @@ import graft.core.Tables
   *
   * SPARK_GRAFT_QUERIES=a,b,c restricts the set (local iteration only;
   * the driver runs the full registry).
+  *
+  * Output contract (round-4 verdict fix): the consumer keeps only a
+  * ~2000-char TAIL of stdout, so the LAST line is a compact summary —
+  * total + per-query medians at 2 dp, no spreads — kept under ~1500
+  * chars. Full 3-dp medians + min/max spreads go to `BENCH_DETAIL.json`
+  * in the working directory (path echoed on the line before last).
   */
 object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   private def fmt(v: Double): String = f"$v%.3f"
+  private def fmt2(v: Double): String = f"$v%.2f"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,7 +46,10 @@ object Bench {
       .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the CC unpersist path logs a WARN per freed
+    // checkpoint, and any log line after the final JSON line would
+    // pollute the consumer's stdout tail
+    spark.sparkContext.setLogLevel("ERROR")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     try exec(SparkEntry.queries("flagship")(spark, sfDir)) // warm-up, untimed
@@ -52,13 +62,23 @@ object Bench {
       }.sorted
       name -> times
     }
-    val qs = results.map { case (k, t) => s"\"$k\":${fmt(t(t.size / 2))}" }
-      .mkString("{", ",", "}")
-    val spread = results
-      .map { case (k, t) => s"\"$k\":[${fmt(t.head)},${fmt(t.last)}]" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2(reps / 2)).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val detail = {
+      val qs = results.map { case (k, t) => s"\"$k\":${fmt(t(t.size / 2))}" }
+        .mkString("{", ",", "}")
+      val spread = results
+        .map { case (k, t) => s"\"$k\":[${fmt(t.head)},${fmt(t.last)}]" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    }
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+    java.nio.file.Files.write(detailPath,
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"bench detail (medians 3dp + spreads): $detailPath")
+    // LAST line: compact, parseable, < ~1500 chars.
+    val qs2 = results.map { case (k, t) => s"\"$k\":${fmt2(t(t.size / 2))}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

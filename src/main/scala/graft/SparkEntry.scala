@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, GQuery, JoinQueries, MultimodalQueries, Parity, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, GQuery, JoinQueries, MultimodalQueries, Parity, SimilarityQueries, StreamReplayQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   /** Full registry, one GQuery per implemented operator. */
   def registry: Seq[GQuery] =
     Parity.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ JoinQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ JoinQueries.queries ++
+      MultimodalQueries.queries ++ StreamReplayQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -155,69 +155,189 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Connected components over an undirected pair list, via iterative
-    * min-label propagation: each node starts labelled with its own id, and
-    * every round takes the min of its own label and its neighbours'
-    * (one equi-join + partial-aggregate per round — never all-pairs).
+  /** Algorithm choice for [[connectedComponents]]. */
+  sealed abstract class CcAlgo
+  object CcAlgo {
+    /** Min-label propagation: O(component-diameter) rounds, one
+      * equi-join + partial agg per round. Right when dup clusters are
+      * dense (LSH links most members directly, diameters stay small). */
+    case object MinLabel extends CcAlgo
+    /** Alternating large-star/small-star contraction (Kiveris et al.,
+      * "Connected Components in MapReduce and Beyond"): O(log n) rounds
+      * on ANY topology, two equi-joins + a set-equality check per round.
+      * Right when components can be long chains (template drift). */
+    case object StarContraction extends CcAlgo
+  }
+
+  /** Connected components over an undirected pair list.
     *
-    * Scale notes:
-    *  - converges in O(component diameter) rounds; near-dup clusters are
-    *    dense (LSH links most members directly), so diameters are small.
-    *    `maxIters` bounds the worst case; an IllegalStateException on
-    *    non-convergence beats silently wrong groups. If a corpus ever
-    *    produces long drift chains (template evolution), the alternating
-    *    large-star/small-star contraction (Kiveris et al., "Connected
-    *    Components in MapReduce and Beyond") converges in O(log n) rounds
-    *    with the same per-round equi-join cost — swap the loop body, keep
-    *    the contract (the union-find property in ExtProperties validates
-    *    any implementation).
-    *  - each round runs exactly ONE Spark job: the new labels are marked
-    *    for a LAZY `localCheckpoint`, and the convergence-count aggregate
-    *    is the action that materializes them — computing, caching, and
-    *    counting in a single pass. (The eager-checkpoint form paid two
-    *    driver-blocking jobs per round, and at small data sizes the
-    *    per-job round-trip latency — not compute — dominated wall time.)
-    *    The checkpoint still truncates lineage, so the plan stays
-    *    constant-size instead of growing a join per iteration (the classic
-    *    iterative-Spark lineage blowup).
-    *  - the edge list is persisted once and reused by every round.
+    * Scale notes (shared by both algorithms):
+    *  - per-round cost is equi-join + partial aggregate — never all-pairs;
+    *  - every round's labels are marked for a LAZY `localCheckpoint` whose
+    *    materializing action is the convergence count, so a round is ONE
+    *    Spark job and the plan stays constant-size (lineage truncation
+    *    beats the classic iterative-Spark plan blowup);
+    *  - convergence is checked every `checkEvery` rounds (min-label only):
+    *    at small data sizes wall time is rounds × job round-trip latency,
+    *    so halving the job count halves latency; the extra propagation
+    *    rounds inside a batch are cheap and propagation is monotone, so
+    *    "last round changed nothing" remains a sound convergence test;
+    *  - each round UNPERSISTS the previous round's checkpointed labels
+    *    once the new ones are materialized (via the RDD-level handle —
+    *    `Dataset.unpersist` cannot reach a checkpoint's cache). Without
+    *    this every intermediate (id, component) RDD stays cached for the
+    *    JVM's lifetime (the round-4 storage-memory leak). Only the FINAL
+    *    labels stay cached — they back the returned frame.
+    *  - `maxIters` counts propagation rounds; IllegalStateException on
+    *    non-convergence beats silently wrong groups.
     *
     * Returns (id, component) for every endpoint appearing in `pairs`;
     * `component` is the smallest id in the node's component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIters: Int = 25): DataFrame = {
+                          bCol: String = "b_id", maxIters: Int = 25,
+                          checkEvery: Int = 3,
+                          algo: CcAlgo = CcAlgo.MinLabel): DataFrame =
+    algo match {
+      case CcAlgo.MinLabel        => ccMinLabel(pairs, aCol, bCol, maxIters, checkEvery)
+      case CcAlgo.StarContraction => ccStar(pairs, aCol, bCol, maxIters)._1
+    }
+
+  private def unpersistCkpt(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
+
+  private def ccMinLabel(pairs: DataFrame, aCol: String, bCol: String,
+                         maxIters: Int, checkEvery: Int): DataFrame = {
+    // localCheckpoint, NOT persist: a persisted frame keeps the full
+    // upstream plan (here: the whole LSH pair pipeline) in its analyzed
+    // tree, and every per-round Dataset op re-ANALYZES a tree embedding
+    // several copies of it — at sf0.1 that driver-side Catalyst time was
+    // ~10 s while the actual jobs took ~0.7 s. The checkpoint truncates
+    // the lineage to a LogicalRDD leaf, so round plans stay constant-size
+    // and analysis is O(round body). Lazy: the first batch's convergence
+    // count materializes it.
+    // explode, not union-of-two-projections: a union would embed the
+    // (potentially huge) pair-pipeline subtree TWICE in every analyzed
+    // plan and compute it twice at runtime
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("id"))
+      .localCheckpoint(false)
+    var ckpt = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
+      .localCheckpoint(false) // lazy: the first batch's aggregate materializes it
+    var labels = ckpt
+    // Convergence probe: labels are monotonically non-increasing, so
+    // Σ(component) is strictly decreasing until the fixpoint — one scalar
+    // aggregate per BATCH replaces the per-round changed-row count (and
+    // the second join the old __chg column forced into every round).
+    // DECIMAL(38,0): exact at any id magnitude, no Long overflow at 100 TB.
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("component").as("nl")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          (coalesce(col("nmin"), col("component")) < col("component")).cast("long").as("__chg"))
-        .localCheckpoint(false) // lazy: the count below materializes it
-      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
-      labels = next.drop("__chg")
-      iter += 1
+    while (!converged && iter < maxIters) {
+      val rounds = math.min(checkEvery, maxIters - iter)
+      var cur = labels
+      for (_ <- 0 until rounds) {
+        // new label = min(own, labels of in-neighbours): one equi-join,
+        // then a single min-aggregate over (propagated ∪ current)
+        cur = edges
+          .join(cur.select(col("id").as("src"), col("component").as("nl")), "src")
+          .select(col("dst").as("id"), col("nl").as("component"))
+          .union(cur)
+          .groupBy("id")
+          .agg(min(col("component")).as("component"))
+      }
+      val next = cur.localCheckpoint(false) // lazy: the aggregate materializes it
+      val row = next.agg(
+        count(lit(1)),
+        sum(col("component").cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      val curSum = row.getDecimal(1)
+      converged = row.getLong(0) == 0L ||
+        (prevSum != null && prevSum.compareTo(curSum) == 0)
+      prevSum = curSum
+      unpersistCkpt(ckpt) // previous batch's labels: materialized, now dead
+      ckpt = next
+      labels = next
+      iter += rounds
     }
-    edges.unpersist()
-    if (changed > 0)
+    unpersistCkpt(edges)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations")
     labels
+  }
+
+  /** One large-star round: every node attaches its strictly-LARGER
+    * neighbours to the minimum of its closed neighbourhood. Edges stay
+    * oriented (larger endpoint first). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m, so u > v holds
+      .distinct()
+  }
+
+  /** One small-star round: every node attaches its smaller neighbours
+    * (and itself) to the minimum of that set. Input/output edges are
+    * oriented larger-first, so grouping by `u` sees exactly the smaller
+    * neighbourhood. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    val relinked = e.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v")) // v ≥ m; drop the m row below
+      .filter(col("u") =!= col("v"))
+    relinked.union(mins.select(col("u"), col("m").as("v"))).distinct()
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * contraction. Returns (labels, roundsUsed) — the round count is
+    * asserted O(log n) on a planted chain in DedupSpec. At the fixpoint
+    * the edge set is a union of stars centred on component minima, so
+    * labels fall out of a single group-by. Convergence = the (distinct,
+    * oriented) edge set is unchanged by a full round, checked with two
+    * anti-join probes. */
+  private[ext] def ccStar(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id",
+                          maxIters: Int = 20): (DataFrame, Int) = {
+    // base keeps self-pairs so isolated endpoints still get a label; it
+    // stays cached (it backs the returned plan — see class doc on the
+    // one-frame-per-call residue).
+    val base = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var edges = base.filter(col("u") =!= col("v"))
+    var prevCkpt: DataFrame = null
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // distinct sets: equal iff neither side has a row the other lacks
+      converged = next.exceptAll(edges).limit(1).count() == 0 &&
+        edges.exceptAll(next).limit(1).count() == 0
+      if (prevCkpt != null) unpersistCkpt(prevCkpt)
+      prevCkpt = edges
+      edges = next
+      iter += 1
+    }
+    if (prevCkpt != null) unpersistCkpt(prevCkpt)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents(star) did not converge in $maxIters rounds")
+    val nodes = base.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    val parents = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__p"))
+    val labels = nodes.join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__p"), col("id")).as("component"))
+    (labels, iter)
   }
 
   /** Near-dup survivor map: every document → its canonical (kept) doc id.
@@ -227,8 +347,11 @@ object Dedup {
     * [[exactGroups]] — without it, A~B and B~C would dedup B and C against
     * different canonicals. */
   def nearDupGroups(docs: DataFrame, threshold: Double = 0.7,
-                    idCol: String = "doc_id", k: Int = 3): DataFrame = {
-    val cc = connectedComponents(nearDupPairs(docs, threshold, idCol, k))
+                    idCol: String = "doc_id", k: Int = 3,
+                    algo: CcAlgo = CcAlgo.MinLabel,
+                    checkEvery: Int = 3): DataFrame = {
+    val cc = connectedComponents(nearDupPairs(docs, threshold, idCol, k),
+      algo = algo, checkEvery = checkEvery)
     docs.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("canonical_id"))

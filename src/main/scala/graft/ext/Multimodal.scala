@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested: schema, partition-preserving
   * `mapPartitions` with explicit micro-batching (the JVM twin of
-  * `mapInPandas` Arrow batches), and deterministic outputs. The pixel/PCM
-  * decode itself is a STUB — this container has no image/audio codecs —
-  * marked in [[MultimodalStub.decodeBatch]]; a real deployment swaps that
-  * one function for a codec call and nothing else changes.
+  * `mapInPandas` Arrow batches), and deterministic outputs. Image and WAV
+  * decode are REAL (JDK ImageIO / javax.sound — see
+  * [[MultimodalStub.decodeBatch]]); video decode is the one remaining
+  * stub (the JDK ships no mp4 demuxer) and undecodable payloads fall
+  * back to deterministic byte math, so a corrupt record never fails a
+  * batch.
   *
   * Scale notes: decode is a narrow map — no shuffle; batching bounds peak
   * memory per task (`batchSize` payloads at once, mirroring
@@ -94,29 +96,133 @@ object Multimodal {
   }
 }
 
-/** The codec boundary. Everything above this object is production-shaped;
-  * this object is the ONLY stub. */
+/** Deterministic synthetic payload builders (JDK encoders). Render →
+  * encode → decode round-trips exercise the REAL codec path without any
+  * external media: the pixel/sample patterns are closed-form functions of
+  * the seed, so an oracle can recompute the decoded features exactly
+  * (PNG and 8-bit PCM WAV are lossless). */
+object MultimodalSynth {
+
+  /** Grayscale PNG, pixel(x, y) = (seed·31 + x·7 + y·13) mod 256 in all
+    * three channels. */
+  def pngPayload(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((seed * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mono 8-bit unsigned PCM WAV, sample(i) = (seed·7 + i·17) mod 256. */
+  def wavPayload(seed: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
+    val data = Array.tabulate[Byte](nFrames)(i => ((seed * 7 + i * 17) % 256).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 8, 1, false, false) // 8-bit WAV PCM is unsigned
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+}
+
+/** The codec boundary. Image (PNG/BMP/GIF — whatever `javax.imageio`
+  * registers) and WAV audio decode are REAL, using only JDK built-ins;
+  * payloads the codecs reject fall back to deterministic byte-math
+  * pseudo-features so a mixed/corrupt corpus still yields a row per
+  * record (production behaviour: quarantine-by-feature, never
+  * fail-the-batch). Video is the one remaining stub — the JDK ships no
+  * mp4/h264 demuxer, so video rows always take the byte-math path. */
 object MultimodalStub {
   import Multimodal._
 
-  /** STUB decode: no image/audio libraries exist in this container, so
-    * "decoding" derives deterministic pseudo-features from the payload
-    * bytes (size-derived dims, byte-mean intensity). A real deployment
-    * replaces the body with e.g. ImageIO/ffmpeg calls per batch — the
-    * signature (Seq in → Iterator out, one batch at a time) is the real
-    * contract. */
+  /** Decode one micro-batch. Real codec first, byte-math fallback:
+    *  - image: `ImageIO.read` → true width/height + mean pixel
+    *    intensity (grayscale, 0-255) over all bands;
+    *  - audio/wav: `javax.sound.sampled` → sample rate as `width`,
+    *    channels as `height`, PCM frame count as `n_frames`, mean
+    *    unsigned PCM byte as intensity;
+    *  - video and undecodable payloads: size-derived dims + byte mean
+    *    (deterministic, flagged by nothing but their kind — callers that
+    *    must distinguish real-decoded rows filter on kind).
+    * The signature (Seq in → Iterator out) is the batch contract the
+    * Spark plumbing relies on; swapping in an ffmpeg JNI call for video
+    * touches only this object. */
   def decodeBatch(batch: Seq[MediaRecord]): Iterator[MediaFeatures] =
     batch.iterator.map { m =>
-      val n = m.payload.length
-      val side = math.max(1, math.sqrt(n.toDouble).toInt)
-      val mean =
-        if (n == 0) 0.0
-        else m.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-      m.kind match {
-        case "image" => MediaFeatures(m.media_id, m.kind, m.n_bytes, side, side, 1, mean)
-        case "audio" => MediaFeatures(m.media_id, m.kind, m.n_bytes, 16000, 1, 1, mean)
-        case _       => MediaFeatures(m.media_id, m.kind, m.n_bytes, side, side,
-                          math.max(1, n / 64), mean)
-      }
+      (m.kind match {
+        case "image" => decodeImage(m)
+        case "audio" => decodeWav(m)
+        case _       => None // video: no JDK demuxer — byte-math stub below
+      }).getOrElse(pseudoFeatures(m))
     }
+
+  private def decodeImage(m: MediaRecord): Option[MediaFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      Option(img).map { i =>
+        val raster = i.getRaster
+        val (w, h, bands) = (i.getWidth, i.getHeight, raster.getNumBands)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            var px = 0.0
+            while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+            sum += px / bands
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(m.media_id, m.kind, m.n_bytes, w, h, 1,
+          if (w * h == 0) 0.0 else sum / (w.toLong * h))
+      }
+    } catch { case _: Exception => None }
+
+  private def decodeWav(m: MediaRecord): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val pcm = in.readAllBytes()
+        val mean =
+          if (pcm.isEmpty) 0.0
+          else pcm.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / pcm.length
+        Some(MediaFeatures(m.media_id, m.kind, m.n_bytes,
+          fmt.getSampleRate.toInt, fmt.getChannels,
+          math.max(1, frames.toInt), mean))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic byte-math features — the pre-codec behaviour, kept as
+    * the fallback so undecodable payloads (and the video stub) still
+    * produce stable, oracle-checkable rows. */
+  private def pseudoFeatures(m: MediaRecord): MediaFeatures = {
+    val n = m.payload.length
+    val side = math.max(1, math.sqrt(n.toDouble).toInt)
+    val mean =
+      if (n == 0) 0.0
+      else m.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+    m.kind match {
+      case "image" => MediaFeatures(m.media_id, m.kind, m.n_bytes, side, side, 1, mean)
+      case "audio" => MediaFeatures(m.media_id, m.kind, m.n_bytes, 16000, 1, 1, mean)
+      case _       => MediaFeatures(m.media_id, m.kind, m.n_bytes, side, side,
+                        math.max(1, n / 64), mean)
+    }
+  }
 }

@@ -130,7 +130,6 @@ object Similarity {
   def knnIvf(corpus: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding",
              listCol: String = "label"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     // centroid per inverted list: exact-decimal per-dimension mean
     val cent = corpus
@@ -141,23 +140,29 @@ object Similarity {
       .groupBy(col(listCol))
       .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
       .select(col(listCol), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
-    // probe → nprobe nearest centroids (centroid table is broadcast-size)
+    // probe → nprobe nearest centroids via the bounded heap (the centroid
+    // table is broadcast-size; same score-desc/id-asc order the old
+    // row_number window used, so results are bit-identical)
     val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .crossJoin(broadcast(cent))
-      .withColumn("__crk", row_number().over(
-        Window.partitionBy("probe_id")
-          .orderBy(cosine(col("__pv"), col("__centroid")).desc, col(listCol))))
-      .filter(col("__crk") <= nprobe)
-      .select(col("probe_id"), col("__pv"), col(listCol))
-    // exact search confined to the selected inverted lists
+      .groupBy("probe_id")
+      .agg(
+        first(col("__pv")).as("__pv"),
+        BoundedTopK.topk(
+          cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
+      .select(col("probe_id"), col("__pv"), explode(col("__top")).as("__t"))
+      .select(col("probe_id"), col("__pv"), col("__t.id").as(listCol))
+    // exact search confined to the selected inverted lists; per-probe
+    // top-k through the same heap aggregate — ≤ k rows per probe cross
+    // the final shuffle instead of a full per-probe candidate sort
     probed.join(corpus.select(col(idCol), col(vecCol), col(listCol)), listCol)
       .filter(col(idCol) =!= col("probe_id"))
-      .withColumn("cos_sim", cosine(col(vecCol), col("__pv")))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("probe_id")
-          .orderBy(col("cos_sim").desc, col(idCol))))
-      .filter(col("__rk") <= k)
-      .select(col("probe_id"), col(idCol).as("neighbor_id"), col("cos_sim"))
+      .select(col("probe_id"),
+        cosine(col(vecCol), col("__pv")).as("cos_sim"), col(idCol))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col(idCol), k).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
   }
 
   /** Embedding-level near-dup pairs: SRP bucket equi-join (never

@@ -134,9 +134,19 @@ object DedupQueries {
     * (component-min) id. DuckDB recomputes the same components with a
     * recursive CTE, so the transitive closure itself is hash-checked —
     * A~B and B~C must land B AND C on A's canonical in both engines. */
-  def groupsPortable(spark: SparkSession, dir: String): DataFrame = {
+  def groupsPortable(spark: SparkSession, dir: String): DataFrame =
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.MinLabel)
+
+  /** Same pipeline resolved with the O(log n) large-star/small-star CC —
+    * proving the alternative algorithm against the SAME recursive-CTE
+    * oracle as `dedup_groups`. */
+  def groupsPortableStar(spark: SparkSession, dir: String): DataFrame =
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction)
+
+  private def groupsPortableWith(spark: SparkSession, dir: String,
+                                 algo: Dedup.CcAlgo): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
-    val cc = Dedup.connectedComponents(portablePairs(docs))
+    val cc = Dedup.connectedComponents(portablePairs(docs), algo = algo)
     docs.select("doc_id")
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -194,7 +204,18 @@ object DedupQueries {
       SELECT d.doc_id, CAST(coalesce(deg.n, 0) AS BIGINT) AS n_candidates
       FROM documents d LEFT JOIN deg USING (doc_id)
       WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
-    GQuery("dedup_groups", groupsPortable, Some(s"""
+    GQuery("dedup_groups", groupsPortable, Some(groupsOracleSql)),
+    // same oracle on purpose: the star-contraction CC must produce the
+    // exact same canonical map as min-label (and as DuckDB's closure)
+    GQuery("dedup_groups_star", groupsPortableStar, Some(groupsOracleSql)),
+    GQuery("dedup_simhash", simhashQ, None),
+    GQuery("dedup_near_groups", nearGroups, None)
+  )
+
+  /** The recursive-CTE components oracle shared by `dedup_groups` (min
+    * label) and `dedup_groups_star` (large-star/small-star): both engines
+    * must agree on the full transitive closure. */
+  private lazy val groupsOracleSql: String = s"""
       WITH RECURSIVE $portableCtes,
       edges AS (
         SELECT a_id AS src, b_id AS dst FROM pairs
@@ -207,10 +228,7 @@ object DedupQueries {
       comp AS (SELECT id, min(label) AS c FROM cc GROUP BY 1)
       SELECT d.doc_id, CAST(coalesce(comp.c, d.doc_id) AS BIGINT) AS canonical_id
       FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
-      WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
-    GQuery("dedup_simhash", simhashQ, None),
-    GQuery("dedup_near_groups", nearGroups, None)
-  )
+      WHERE d.doc_id < $PortableCap ORDER BY d.doc_id"""
 
   /** Shared DuckDB CTE chain for the portable-LSH oracles: fixed-sample
     * docs → distinct 3-shingles → portable hashes → 64-slot signatures →

@@ -35,6 +35,38 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** REAL-codec round-trip: deterministic PNG / WAV payloads are encoded
+    * with the JDK encoders on the executors, then decoded back through
+    * [[graft.ext.MultimodalStub.decodeBatch]]'s ImageIO / javax.sound
+    * path. Because the pixel/sample patterns are closed-form in `doc_id`
+    * and both codecs are lossless, DuckDB recomputes every decoded
+    * feature exactly — a hash-green proof that the codec path is real,
+    * not byte math. */
+  def decodeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.documents(spark, dir)
+      .filter(col("doc_id") < RealCap)
+      .select("doc_id").as[Long]
+      .map { d =>
+        if (d % 2 == 0) {
+          val (w, h) = (4 + (d % 5).toInt, 3 + (d % 7).toInt)
+          val p = graft.ext.MultimodalSynth.pngPayload(d, w, h)
+          Multimodal.MediaRecord(d, "image", "image/png", p.length.toLong, p)
+        } else {
+          val (rate, frames) = (8000 + (d % 4).toInt * 2000, 50 + (d % 20).toInt)
+          val p = graft.ext.MultimodalSynth.wavPayload(d, rate, frames)
+          Multimodal.MediaRecord(d, "audio", "audio/wav", p.length.toLong, p)
+        }
+      }
+    Multimodal.decodeFeatures(media)
+      .toDF()
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("n_frames"), round(col("mean_intensity"), 6).as("mean_intensity"))
+      .orderBy("media_id")
+  }
+
+  private val RealCap = 120
+
   val queries: Seq[GQuery] = Seq(
     GQuery("mm_meta_stats", metaStats, Some("""
       WITH m AS (SELECT doc_id,
@@ -79,6 +111,29 @@ object MultimodalQueries {
       SELECT media_id, kind, n_bytes,
              CAST(width AS INT) AS width, CAST(height AS INT) AS height,
              CAST(n_frames AS INT) AS n_frames, mean_intensity
-      FROM r ORDER BY media_id"""))
+      FROM r ORDER BY media_id""")),
+    GQuery("mm_decode_real", decodeReal, Some(s"""
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $RealCap),
+      img AS (
+        SELECT doc_id AS media_id, 'image' AS kind,
+               4 + doc_id % 5 AS width, 3 + doc_id % 7 AS height,
+               1 AS n_frames,
+               list_aggregate(flatten(list_transform(range(0, 3 + doc_id % 7), y ->
+                 list_transform(range(0, 4 + doc_id % 5), x ->
+                   CAST((doc_id * 31 + x * 7 + y * 13) % 256 AS DOUBLE)))),
+                 'avg') AS m
+        FROM d WHERE doc_id % 2 = 0),
+      aud AS (
+        SELECT doc_id AS media_id, 'audio' AS kind,
+               8000 + (doc_id % 4) * 2000 AS width, 1 AS height,
+               50 + doc_id % 20 AS n_frames,
+               list_aggregate(list_transform(range(0, 50 + doc_id % 20),
+                 i -> CAST((doc_id * 7 + i * 17) % 256 AS DOUBLE)), 'avg') AS m
+        FROM d WHERE doc_id % 2 = 1),
+      u AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+      SELECT media_id, kind, CAST(width AS INT) AS width,
+             CAST(height AS INT) AS height, CAST(n_frames AS INT) AS n_frames,
+             ROUND(m, 6) AS mean_intensity
+      FROM u ORDER BY media_id"""))
   )
 }

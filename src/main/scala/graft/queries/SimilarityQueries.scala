@@ -99,8 +99,12 @@ object SimilarityQueries {
     * `dedup_groups`, with the same recursive-CTE oracle shape. */
   def embDupGroups(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // checkEvery=5: at the calibrated 0.35 threshold the dup graph is
+    // chain-heavy (diameter ~10), so wider batches cut driver round
+    // trips from 4-5 to 3 at the cost of a few cheap overshoot rounds
     val cc = graft.ext.Dedup.connectedComponents(
-      Similarity.embNearDupPairs(emb, threshold = EmbDupThreshold, nPlanes = 4))
+      Similarity.embNearDupPairs(emb, threshold = EmbDupThreshold, nPlanes = 4),
+      checkEvery = 5)
     emb.select("vec_id")
       .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),

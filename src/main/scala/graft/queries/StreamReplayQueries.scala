@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.stream.Pipeline
+
+/** Batch-replay twins of the streaming operators: a fixed, constant-size
+  * document sample is replayed through the REAL Structured Streaming
+  * pipeline (`MemoryStream` source → stateful op → memory sink) inside a
+  * registered query, so the driver's correctness gate covers streaming
+  * state semantics, not just the StreamingSpec suite.
+  *
+  * Determinism: chunks are fed in doc_id order, `processAllAvailable()`
+  * between chunks pins micro-batch boundaries, and the near-dup op
+  * breaks within-batch ties by doc_id — so the flag table is identical
+  * on every run. The replay sample is bounded by construction
+  * ([[ReplayCap]] docs + [[TwinCap]] planted twins) — this is the
+  * MemoryStream twin of a Kafka topic, not an engine-path collect.
+  */
+object StreamReplayQueries {
+
+  private val ReplayCap = 200L // originals replayed, split over two chunks
+  private val TwinCap = 50L    // exact-text twins replayed in a third chunk
+
+  private val runId = new AtomicInteger(0)
+
+  /** Streaming near-dup replay: chunk 1 = docs [0, 100), chunk 2 =
+    * docs [100, 200), chunk 3 = exact-text twins of docs [0, 50) under
+    * ids 1e6+i. Twins arrive two micro-batches after their originals, so
+    * every twin flag proves CROSS-BATCH `flatMapGroupsWithState` state
+    * (SimHash distance 0 ≤ maxHamming, one flag row per matching band).
+    * Output: (doc_id, dup_of, hamming), totally ordered. */
+  def nearDupReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sample = Tables.documents(spark, dir)
+      .filter(col("doc_id") < ReplayCap)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+    val twins = sample.filter(_._1 < TwinCap)
+      .map { case (id, text) => (1000000L + id, text) }
+    val chunks = Seq(
+      sample.filter(_._1 < 100L).toSeq,
+      sample.filter(_._1 >= 100L).toSeq,
+      twins.toSeq)
+
+    val source = MemoryStream[(Long, String)]
+    val flags = Pipeline.nearDupStream(
+      source.toDF().toDF("doc_id", "text"))
+    val table = s"replay_near_dup_${runId.incrementAndGet()}"
+    val q = flags.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(table)
+      .orderBy("doc_id", "dup_of", "hamming")
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    // rows-only: SimHash banding uses Spark's xxhash64 (no DuckDB twin);
+    // the planted twins guarantee ≥ TwinCap·4 deterministic flag rows
+    GQuery("stream_near_dup_replay", nearDupReplay, None)
+  )
+}

@@ -15,4 +15,20 @@ object GraftColumnBridge {
   /** Public alias of the `private[sql]` AbstractDataType so external
     * expressions can declare `inputTypes` (ImplicitCastInputTypes). */
   type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
+  /** Free the RDD-level cache behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.unpersist()` only clears CacheManager entries
+    * (`persist`/`cache`); a local checkpoint is cached directly on the
+    * internal RDD, to which the public API offers no handle — so every
+    * round of an iterative loop (e.g. connected components) would leak
+    * its cached blocks for the JVM's lifetime, competing for storage
+    * memory with all later queries. Only call this once nothing will
+    * read the Dataset again: checkpointing truncated its lineage, so
+    * dropped blocks cannot be recomputed. */
+  def unpersistLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed match {
+      case r: execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _                       => ()
+    }
 }

@@ -114,6 +114,29 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIters = 1)
   }
 
+  test("star contraction: O(log n) rounds on a 64-node chain where min-label is O(n)") {
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.ccStar(chain)
+    // doubling contraction: ~log2(64)=6 rounds + detection; far under the
+    // chain's 63-round min-label diameter
+    rounds should be <= 12
+    labels.as[(Long, Long)].collect().toMap shouldBe
+      (1L to 64L).map(_ -> 1L).toMap
+    // the same budget starves min-label on this topology — that's the
+    // reason the star variant exists
+    an[IllegalStateException] should be thrownBy
+      Dedup.connectedComponents(chain, maxIters = 12)
+  }
+
+  test("star contraction: same components as min-label, incl. cycle and self-pair") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 30L)).toDF("a_id", "b_id")
+    val star = Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.StarContraction)
+      .as[(Long, Long)].collect().toMap
+    star shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L)
+  }
+
   test("nearDupGroups: planted A~B~C chain collapses to one canonical; singletons self-map") {
     // 26 tokens; B differs from A at one position, C from B at another far
     // away. Pairwise shingle jaccard: A~B = B~C = 21/27 ≈ 0.78 (≥ 0.7),

@@ -78,24 +78,35 @@ object ExtProperties extends Properties("graft.ext") {
       d <- Gen.chooseNum(1L, 9L)
     } yield (a, (a + d) % 10))
 
+  /** Reference: textbook union-find with path compression. */
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.groupBy(find).flatMap { case (_, ns) => ns.map(_ -> ns.min) }
+  }
+
   property("connectedComponents ≡ union-find on random graphs") =
     forAll(edgesGen) { edges =>
       val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
         .as[(Long, Long)].collect().toMap
-      // reference: textbook union-find with path compression
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      val byRoot = nodes.groupBy(find)
-      val expected = byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }
-      got == expected
+      got == unionFind(edges)
+    }
+
+  property("star-contraction CC ≡ union-find on random graphs") =
+    forAll(edgesGen) { edges =>
+      val got = Dedup
+        .connectedComponents(edges.toDF("a_id", "b_id"),
+          algo = Dedup.CcAlgo.StarContraction)
+        .as[(Long, Long)].collect().toMap
+      got == unionFind(edges)
     }
 
   property("minhash signature: identical token arrays sign identically; length fixed") =

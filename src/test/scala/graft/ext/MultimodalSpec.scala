@@ -6,9 +6,10 @@ import graft.SparkSpec
 import graft.ext.Multimodal._
 
 /** The multimodal pipeline's Spark-side contract: schema, batch shape,
-  * determinism, resize/frame-sample math. (The decode itself is a
-  * documented stub — these tests pin the plumbing a real codec would
-  * drop into.) */
+  * determinism, resize/frame-sample math — plus the REAL codec path
+  * (JDK ImageIO PNG, javax.sound WAV) round-tripped on generated
+  * fixtures. Video decode remains the one stubbed modality (no JDK
+  * demuxer); undecodable payloads fall back to byte math. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,6 +54,46 @@ class MultimodalSpec extends SparkSpec {
     f(3L).width shouldBe 10
     f(3L).height shouldBe 10
     f(1L).width shouldBe 10 // audio 16000 → capped too (width=sample rate)
+  }
+
+  test("real codec: PNG round-trip decodes true dims and exact mean pixel") {
+    val (seed, w, h) = (9L, 5, 3)
+    val p = MultimodalSynth.pngPayload(seed, w, h)
+    val f = decodeFeatures(
+      Seq(MediaRecord(seed, "image", "image/png", p.length.toLong, p)).toDS()
+    ).collect().head
+    f.width shouldBe w
+    f.height shouldBe h
+    f.n_frames shouldBe 1
+    // PNG is lossless and the sums are integer-exact in doubles, so the
+    // decoded mean must equal the closed form BIT FOR BIT (the
+    // mm_decode_real oracle depends on this)
+    val expect = (for { y <- 0 until h; x <- 0 until w }
+      yield ((seed * 31 + x * 7 + y * 13) % 256).toDouble).sum / (w * h)
+    f.mean_intensity shouldBe expect
+  }
+
+  test("real codec: WAV round-trip decodes rate, channels, frames, mean sample") {
+    val (seed, rate, frames) = (4L, 12000, 37)
+    val p = MultimodalSynth.wavPayload(seed, rate, frames)
+    val f = decodeFeatures(
+      Seq(MediaRecord(seed, "audio", "audio/wav", p.length.toLong, p)).toDS()
+    ).collect().head
+    f.width shouldBe rate
+    f.height shouldBe 1 // mono
+    f.n_frames shouldBe frames
+    val expect = (0 until frames).map(i => ((seed * 7 + i * 17) % 256).toDouble).sum / frames
+    f.mean_intensity shouldBe expect
+  }
+
+  test("real codec: undecodable payloads fall back to byte-math features") {
+    val junk = Array.fill(100)('A'.toByte) // not a PNG
+    val f = decodeFeatures(
+      Seq(MediaRecord(7L, "image", "image/png", 100L, junk)).toDS()
+    ).collect().head
+    f.width shouldBe 10 // sqrt(100): the pseudo path
+    f.height shouldBe 10
+    f.mean_intensity shouldBe 65.0
   }
 
   test("frameSample reduces only video frame counts by the stride") {

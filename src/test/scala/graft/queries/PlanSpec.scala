@@ -20,6 +20,15 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("knn_ivf: both rank stages run on the bounded heap, not window sorts") {
+    val p = plan(SimilarityQueries.knnIvf(spark, dir))
+    // TypedImperativeAggregate ⇒ ObjectHashAggregate; the row_number
+    // re-rank this replaced showed up as Window + per-probe Sort
+    p should include("ObjectHashAggregate")
+    "bounded_top_k".r.findAllIn(p).size should be >= 2
+    p should not include "Window"
+  }
+
   test("LSH band table: signature barrier exchanges survive and the self-join reuses one") {
     val pairs = graft.ext.Dedup.candidatePairs(
       graft.core.Tables.documents(spark, dir))

@@ -209,6 +209,36 @@ class StreamingSpec extends SparkSpec {
     parsed shouldBe Array("u1")
   }
 
+  test("S4 seam: flagship runs end-to-end over a STREAM with the exact Kafka schema") {
+    // The connector jar is absent (next test pins that boundary), so this
+    // seam is the strongest executable claim: a MemoryStream whose rows
+    // carry the connector's exact 7-column schema, run through
+    // kafkaValue → parse → watermark → windowed agg. If the jar ever
+    // appears, swapping this source for kafkaReader(...).load() is the
+    // ONLY change.
+    val in = MemoryStream[KafkaSchemaRecord]
+    in.toDF().schema.fieldNames.toSeq shouldBe
+      Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val q = Sinks.memory(
+      Pipeline.flagshipFromWire(Sources.kafkaValue(in.toDF())),
+      "fs_kafka_seam", OutputMode.Complete())
+    def rec(off: Long, env: String) = KafkaSchemaRecord(
+      key = null, value = env.getBytes("UTF-8"), topic = "emoji_topic",
+      partition = 0, offset = off,
+      timestamp = new java.sql.Timestamp(0L), timestampType = 0)
+    try {
+      in.addData(
+        rec(0L, envelope("u1", "👍", "21:30:05")),
+        rec(1L, envelope("u2", "👍", "21:30:40")))
+      q.processAllAvailable()
+      in.addData(rec(2L, envelope("u3", "❤️", "21:31:10"))) // second micro-batch
+      q.processAllAvailable()
+      flagRows("fs_kafka_seam") shouldBe Set(
+        ("👍", 1.0, epochUs("21:30:00")),
+        ("❤️", 1.0, epochUs("21:31:00")))
+    } finally q.stop()
+  }
+
   test("S2/S4: kafka reader builds with bounded-admission option without a broker") {
     noException should be thrownBy
       Sources.kafkaReader(spark, "localhost:9092", maxOffsetsPerTrigger = Some(10000L))
@@ -468,3 +498,15 @@ class StreamingSpec extends SparkSpec {
     flagRows("w9") shouldBe Set(("👍", 1.0, epochUs("18:00:00")))
   }
 }
+
+/** The spark-sql-kafka source's exact row schema (field names, order, and
+  * types), as documented for the connector — the S4 seam test streams
+  * records of this shape through the full pipeline. */
+final case class KafkaSchemaRecord(
+    key: Array[Byte],
+    value: Array[Byte],
+    topic: String,
+    partition: Int,
+    offset: Long,
+    timestamp: java.sql.Timestamp,
+    timestampType: Int)
