@@ -218,13 +218,17 @@ object Dedup {
     // count materializes it.
     // explode, not union-of-two-projections: a union would embed the
     // (potentially huge) pair-pipeline subtree TWICE in every analyzed
-    // plan and compute it twice at runtime
+    // plan and compute it twice at runtime. No distinct(): min-label
+    // propagation is duplicate-insensitive (min over a multiset), the
+    // engine's pair generators already emit distinct pairs, and skipping
+    // it keeps edge materialization shuffle-free. A caller with a
+    // heavily duplicated pair list should distinct() it first — dup
+    // edges cost every round's join, dedup costs one shuffle.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
       .localCheckpoint(false)
     var ckpt = edges.select(col("src").as("id"))
       .distinct()

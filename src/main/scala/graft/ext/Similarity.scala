@@ -179,15 +179,15 @@ object Similarity {
     // norm precomputed ONCE per vector (same expression `cosine` would
     // evaluate, so the float path — and the oracle — are unchanged); the
     // per-pair work inside a bucket is then a single dot fold instead of
-    // three. Materialized behind a repartition so the join's generate side
-    // can't re-inline the bucket/norm expressions per pair.
+    // three. No explicit repartition barriers: vectors are fixed-width
+    // (no doc-length skew to rebalance, unlike bandTable) and there is
+    // no Generate to re-inline into — the join's own exchange (or
+    // broadcast) materializes the projected bucket/norm attributes, and
+    // CollapseProject cannot substitute expressions across a join.
     val b = corpus
-      .select(col(idCol), col(vecCol))
-      .repartition(col(idCol))
       .select(col(idCol), col(vecCol),
         srpBucket(col(vecCol), planes).as("bucket"),
         norm(col(vecCol)).as("__n"))
-      .repartition(col("bucket"))
     val denom = col("x.__n") * col("y.__n")
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col(s"x.$idCol") < col(s"y.$idCol"))
