@@ -78,4 +78,23 @@ object Text {
     * identical lowercase hex, so this is fully oracle-checkable. */
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", toks).cast("binary"))
+
+  /** PII-redaction patterns, restricted to the RE2 ∩ java.util.regex
+    * common subset (plain char classes, bounded repetition — no
+    * lookaround, no shorthand classes) so Spark and the DuckDB oracle
+    * rewrite byte-identical spans. Deliberately simple shapes; a real
+    * deployment extends the pattern list, not the machinery. */
+  val emailPattern: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val urlPattern: String = "https://[a-z0-9./]+"
+  val phonePattern: String = "[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails, then URLs, then phone-shaped digit runs (order fixed:
+    * the earlier rewrites cannot create later matches). Pure codegen'd
+    * regexp_replace chain — linear scan, no shuffle. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      phonePattern, "<PHONE>")
 }

@@ -173,7 +173,76 @@ object DedupQueries {
       Dedup.rebalance(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling: keep a doc iff an engine-neutral
+    * hash of its id (md5-prefix mod 100 — the same portable-hash recipe
+    * as the LSH twin) lands under the rate. Per-source stats plus the
+    * exact sum of kept ids, so the oracle hash proves BOTH engines keep
+    * the SAME rows, not just the same counts. At 100 TB this is the
+    * reproducible alternative to rand()-sampling: re-runs and engines
+    * agree row-for-row, and the filter is a codegen'd scan predicate. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val kept = col("__h") < SampleRate
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), h.as("__h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(kept, 1)).as("n_kept"),
+        coalesce(sum(when(kept, col("doc_id"))), lit(0L)).cast("long").as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  private val SampleRate = 25
+
+  /** Train/test DECONTAMINATION: find evaluation documents whose
+    * normalized fingerprint appears in the training corpus. The test
+    * split is planted (docs 0-49 re-cased + punctuated under shifted
+    * ids), so the check must see through normalization — exactly what
+    * fingerprint-based decontamination is for. The join is an equi-join
+    * on the 32-hex fingerprint: at 100 TB both sides shuffle once on a
+    * fixed-width key, never text. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.select(col("doc_id").as("train_id"),
+      Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+    val test = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 900000L).as("test_id"),
+        Text.fingerprint(Text.tokens(concat(upper(col("text")), lit("!!!")))).as("fp"))
+    test.join(train, "fp")
+      .groupBy("test_id")
+      .agg(min(col("train_id")).as("contaminated_by"))
+      .orderBy("test_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("sample_hash", sampleHash, Some("""
+      WITH h AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+        FROM documents)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(CASE WHEN hh < 25 THEN 1 END) AS BIGINT) AS n_kept,
+             CAST(coalesce(sum(CASE WHEN hh < 25 THEN doc_id END), 0) AS BIGINT)
+               AS kept_id_sum
+      FROM h GROUP BY 1 ORDER BY 1""")),
+    GQuery("dedup_decontaminate", decontaminate, Some(s"""
+      WITH tr AS (
+        SELECT doc_id AS train_id,
+               md5(array_to_string($duckToks, ' ')) AS fp
+        FROM documents),
+      te AS (
+        SELECT doc_id + 900000 AS test_id,
+               md5(array_to_string(
+                 regexp_extract_all(lower(upper(text) || '!!!'),
+                                    '${Text.tokenPattern}'), ' ')) AS fp
+        FROM documents WHERE doc_id < 50)
+      SELECT te.test_id, CAST(min(tr.train_id) AS BIGINT) AS contaminated_by
+      FROM te JOIN tr ON te.fp = tr.fp
+      GROUP BY 1 ORDER BY 1""")),
     GQuery("dedup_exact", exact, Some(s"""
       SELECT md5(array_to_string($duckToks, ' ')) AS fp,
              CAST(min(doc_id) AS BIGINT) AS keep_id,

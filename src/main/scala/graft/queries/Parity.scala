@@ -106,6 +106,19 @@ object Parity {
       .agg(countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  /** A7 skew variant: the SAME exact answer as [[distinctUsers]] through
+    * [[graft.core.Skew.saltedDistinctCount]]'s two-phase salted plan —
+    * phase 1 counts distincts per (type, salt-of-user), phase 2 sums the
+    * ≤ saltFactor partials, so one hot event_type spreads over
+    * saltFactor reducers instead of a single straggler. Sharing the
+    * plain oracle puts the salting identity under the driver hash gate. */
+  def distinctUsersSalted(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Skew.saltedDistinctCount(
+        Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      .select(col("event_type"), col("n_distinct_user_id").cast("long").as("n_users"))
+      .orderBy("event_type")
+
   /** A7 scale variant: HyperLogLog++ distinct users per type. One regular
     * hash-agg shuffle of fixed-size sketches instead of [[distinctUsers]]'s
     * (type, user_id) expand-shuffle — the plan that survives 100 TB. No
@@ -315,6 +328,11 @@ object Parity {
              CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_k
       FROM events GROUP BY 1 ORDER BY 1""")),
     GQuery("distinct_users", distinctUsers, Some("""
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    // same oracle on purpose: the two-phase salted plan must count
+    // exactly what the plain expand-shuffle distinct counts
+    GQuery("distinct_users_salted", distinctUsersSalted, Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY 1 ORDER BY 1""")),
     GQuery("approx_distinct_users", approxDistinctUsers, None),

@@ -105,7 +105,54 @@ object TextQueries {
 
   private val stopList = Text.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** PII redaction over a corpus with planted, doc_id-derived PII (the
+    * fixture corpus carries none of its own): each doc gains one email,
+    * one phone, and one URL in closed form, then the redaction chain
+    * scrubs them. Output carries match COUNTS plus the md5 of the
+    * redacted text, so the oracle hash proves the rewrites are
+    * byte-identical across engines — the regex subset contract in
+    * [[Text.emailPattern]] holding is exactly what's under test. */
+  def redactQ(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(
+      col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com call "),
+      lpad(pmod(col("doc_id") * 37, lit(1000)).cast("string"), 3, "5"), lit("-"),
+      lpad(pmod(col("doc_id") * 91, lit(10000)).cast("string"), 4, "0"),
+      lit(" visit https://site"), pmod(col("doc_id"), lit(13)).cast("string"),
+      lit(".example/p/"), col("doc_id").cast("string"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), enriched.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(Text.emailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(Text.urlPattern), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("t"), lit(Text.phonePattern), lit(0))).as("n_phones"),
+        md5(Text.redact(col("t")).cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("text_redact", redactQ, Some(s"""
+      WITH e AS (
+        SELECT doc_id,
+               text || ' contact u' || doc_id::VARCHAR
+                    || '@ex' || (doc_id % 7)::VARCHAR || '.com call '
+                    || lpad(((doc_id * 37) % 1000)::VARCHAR, 3, '5') || '-'
+                    || lpad(((doc_id * 91) % 10000)::VARCHAR, 4, '0')
+                    || ' visit https://site' || (doc_id % 13)::VARCHAR
+                    || '.example/p/' || doc_id::VARCHAR AS t
+        FROM documents WHERE doc_id < 500)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${Text.emailPattern}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(t, '${Text.urlPattern}')) AS INT) AS n_urls,
+             CAST(len(regexp_extract_all(t, '${Text.phonePattern}')) AS INT) AS n_phones,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '${Text.emailPattern}', '<EMAIL>', 'g'),
+               '${Text.urlPattern}', '<URL>', 'g'),
+               '${Text.phonePattern}', '<PHONE>', 'g')) AS redacted_md5
+      FROM e ORDER BY doc_id""")),
     GQuery("text_tokens_top", tokensTop, Some(s"""
       SELECT token, CAST(count(*) AS BIGINT) AS cnt
       FROM (SELECT unnest($duckToks) AS token FROM documents)

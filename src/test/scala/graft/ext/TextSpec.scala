@@ -47,6 +47,17 @@ class TextSpec extends SparkSpec {
     toks("zzz qqq xxx").select(Text.langId(col("t"))).as[String].collect()(0) shouldBe "und"
   }
 
+  test("redact scrubs emails, URLs, and phone-shaped runs; clean text passes through") {
+    def red(s: String) =
+      Seq(s).toDF("text").select(Text.redact(col("text"))).as[String].collect()(0)
+    red("mail bob.smith+x@corp.example.com now") shouldBe "mail <EMAIL> now"
+    red("see https://docs.example/a/b?") shouldBe "see <URL>?"
+    red("call 555-0142 today") shouldBe "call <PHONE> today"
+    red("mail a@b.io or https://x.io/1 or 555-0000") shouldBe
+      "mail <EMAIL> or <URL> or <PHONE>"
+    red("nothing sensitive here 12-34") shouldBe "nothing sensitive here 12-34"
+  }
+
   test("fingerprint is case/punctuation-insensitive but order-sensitive") {
     def fp(s: String) =
       toks(s).select(Text.fingerprint(col("t"))).as[String].collect()(0)
