@@ -325,9 +325,16 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      // distinct sets: equal iff neither side has a row the other lacks
-      converged = next.exceptAll(edges).limit(1).count() == 0 &&
-        edges.exceptAll(next).limit(1).count() == 0
+      // distinct sets: equal iff the full-outer join has no one-sided row.
+      // ONE probe job per round (it also materializes the lazy
+      // checkpoint) — the two exceptAll probes this replaces cost a
+      // second job per round, pure driver round-trip latency at test
+      // scale and a second full shuffle of both edge sets at 100 TB.
+      val prev = edges.select(col("u").as("pu"), col("v").as("pv"))
+      converged = next.join(prev,
+          col("u") === col("pu") && col("v") === col("pv"), "full_outer")
+        .filter(col("u").isNull || col("pu").isNull)
+        .limit(1).count() == 0L
       if (prevCkpt != null) unpersistCkpt(prevCkpt)
       prevCkpt = edges
       edges = next

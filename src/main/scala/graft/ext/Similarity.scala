@@ -165,6 +165,26 @@ object Similarity {
       .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
   }
 
+  /** Per-vector symmetric int8 quantization scale: 127 / max|x| (null for
+    * an all-zero vector, so downstream math stays null instead of Inf).
+    * With [[int8Quantize]]/[[int8Dequantize]] this is the 4× memory cut
+    * that fits a 100 TB float corpus into a cluster's RAM tier; the
+    * reconstruction error is bounded by 0.5/scale per element. All
+    * per-row double IEEE math — deterministic and oracle-checkable. */
+  def int8Scale(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(mx > 0, lit(127.0) / mx)
+  }
+
+  /** q_i = round(x_i · scale) as int; |q_i| ≤ 127 by the scale's
+    * construction, so no clamp is needed. */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("int"))
+
+  /** Reconstruction: x̂_i = q_i / scale. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x / scale)
+
   /** Embedding-level near-dup pairs: SRP bucket equi-join (never
     * all-pairs), verified with exact cosine ≥ `threshold`. The
     * embedding-space twin of MinHash near-dup dedup. The threshold is

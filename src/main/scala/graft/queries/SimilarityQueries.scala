@@ -99,12 +99,14 @@ object SimilarityQueries {
     * `dedup_groups`, with the same recursive-CTE oracle shape. */
   def embDupGroups(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    // checkEvery=5: at the calibrated 0.35 threshold the dup graph is
-    // chain-heavy (diameter ~10), so wider batches cut driver round
-    // trips from 4-5 to 3 at the cost of a few cheap overshoot rounds
+    // star contraction, not min-label: at the calibrated 0.35 threshold
+    // the dup graph is chain-heavy (diameter ~10), which is exactly the
+    // topology the O(log n) contraction exists for — min-label with
+    // batched convergence checks (checkEvery=5) still paid ~10
+    // propagation rounds here
     val cc = graft.ext.Dedup.connectedComponents(
       Similarity.embNearDupPairs(emb, threshold = EmbDupThreshold, nPlanes = 4),
-      checkEvery = 5)
+      algo = graft.ext.Dedup.CcAlgo.StarContraction)
     emb.select("vec_id")
       .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -113,6 +115,41 @@ object SimilarityQueries {
   }
 
   private val EmbDupThreshold = 0.35
+
+  /** Metadata-FILTERED kNN: the corpus is restricted by a label predicate
+    * BEFORE any distance work, then ranked through the bounded-heap
+    * aggregate (the scale path). The point under test is composition: a
+    * pushed-down scan filter prunes the corpus to ~1/3, the heap keeps
+    * ≤ k rows per probe through the shuffle, and no post-filtering of a
+    * wider result can silently return < k rows — the standard failure of
+    * filter-AFTER-search ANN. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(pmod(col("label"), lit(3)) === 0)
+    finish(Similarity.knnTopKAgg(e, probes(spark, dir), K))
+  }
+
+  /** Per-vector symmetric int8 quantization — the 4× memory cut that makes
+    * a 100 TB embedding corpus fit a cluster's RAM tier. scale = 127/max|x|
+    * per vector; q = round(x·scale). Output proves the full codec across
+    * engines: the exact int sums pin every quantized value, max_err pins
+    * the reconstruction bound (< 0.5/scale by construction). All per-row
+    * IEEE double math — identical bits in both engines, no cross-row
+    * float accumulation. The per-element recompute of the outer `scale`
+    * reference inside the lambdas is 64 extra flops/element — linear,
+    * cache-local, and irrelevant next to the scan cost. */
+  def quantizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    val scale = Similarity.int8Scale(col("embedding"))
+    val q = Similarity.int8Quantize(col("embedding"), scale)
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        round(scale, 6).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        aggregate(q, lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
+        round(array_max(zip_with(v, q, (x, qq) => abs(x - qq / scale))), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
 
   /** DuckDB twin of [[Similarity.srpBucket]]: the hyperplanes are literal
     * doubles (Scala's shortest-roundtrip toString → DuckDB parses back the
@@ -128,7 +165,7 @@ object SimilarityQueries {
       s"(CASE WHEN ${duckDot(vecExpr, p)} >= 0 THEN ${1 << r} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private val knnOracle: String = s"""
+  private def knnOracleWhere(corpusPred: String): String = s"""
       WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
                  FROM embeddings WHERE vec_id < $NProbes)
       SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
@@ -139,9 +176,11 @@ object SimilarityQueries {
                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pv::DOUBLE[]) DESC,
                           e.vec_id) AS rk
         FROM embeddings e, p
-        WHERE e.vec_id <> p.probe_id)
+        WHERE e.vec_id <> p.probe_id$corpusPred)
       WHERE rk <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  private val knnOracle: String = knnOracleWhere("")
 
   val queries: Seq[GQuery] = Seq(
     GQuery("knn_exact", knnExact, Some(knnOracle)),
@@ -165,6 +204,23 @@ object SimilarityQueries {
       WHERE rk <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
     }),
+    GQuery("knn_filtered", knnFiltered, Some(knnOracleWhere(" AND e.label % 3 = 0"))),
+    GQuery("emb_quantize", quantizeQ, Some("""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s AS (SELECT vec_id, e,
+              CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                   THEN 127.0 / list_max(list_transform(e, x -> abs(x))) END AS sc
+            FROM v),
+      q AS (SELECT vec_id, sc, e,
+              list_transform(e, x -> CAST(round(x * sc) AS INT)) AS qv
+            FROM s)
+      SELECT vec_id,
+             ROUND(sc, 6) AS scale,
+             CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS q_sum,
+             CAST(list_sum(list_transform(qv, x -> CAST(abs(x) AS BIGINT))) AS BIGINT) AS q_l1,
+             ROUND(list_max(list_transform(range(1, len(e) + 1),
+               i -> abs(e[i] - qv[i] / sc))), 6) AS max_err
+      FROM q ORDER BY vec_id""")),
     GQuery("emb_bucket_stats", bucketStats, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""

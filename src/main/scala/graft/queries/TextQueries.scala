@@ -105,6 +105,78 @@ object TextQueries {
 
   private val stopList = Text.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** DuckDB twin of [[Text.langId]] as (hit-count select list, CASE expr)
+    * — shared by `text_lang_id` and the curation funnel's lang stage. */
+  private def duckLangId: (String, String) = {
+    val hitExprs = Text.langProfiles.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter($duckToks, x -> list_contains($lst, x)))"
+    }
+    val cols = hitExprs.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n               ")
+    val best = hitExprs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
+    val cases = hitExprs.map { case (l, _) =>
+      s"WHEN h_$l = $best AND h_$l > 0 THEN '$l'"
+    }.mkString("\n                  ")
+    (cols, s"CASE $cases\n                  ELSE 'und' END")
+  }
+
+  /** Token-length histogram over fixed power-of-two-ish buckets — the
+    * length-distribution profile a training-data pipeline reads before
+    * picking sequence lengths and packing strategy. Explicit CASE
+    * boundaries instead of `floor(log2(n))`: integer compares cannot
+    * drift between engines, a double log at a bucket boundary can. */
+  def tokenHist(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(size(col("toks")).cast("long").as("n"))
+      .withColumn("bucket",
+        when(col("n") === 0, "0")
+          .when(col("n") < 16, "a_1_15")
+          .when(col("n") < 32, "b_16_31")
+          .when(col("n") < 64, "c_32_63")
+          .when(col("n") < 128, "d_64_127")
+          .otherwise("e_128_plus"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      .orderBy("bucket")
+
+  /** The full curation FUNNEL, per document: language-ID gate → quality
+    * gate (≥10 tokens) → exact dedup (min-id survivor per fingerprint,
+    * decided among gate survivors only) → deterministic 50% hash sample.
+    * One row per doc with the stage that dropped it (or `kept`), so the
+    * oracle hash proves every per-document routing decision, not just
+    * stage counts. Plan shape at 100 TB: one linear scan computing all
+    * per-doc columns, then a single shuffle on the fixed-width
+    * fingerprint for the dedup window — the lang/quality/sample stages
+    * add no shuffle at all. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val keepWindow = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val h = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        Text.langId(col("toks")).as("lang_pred"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        Text.fingerprint(col("toks")).as("fp"),
+        h.as("hh"))
+      .withColumn("qualified", col("lang_pred") =!= "und" && col("n_tokens") >= 10)
+      .withColumn("keep_id",
+        min(when(col("qualified"), col("doc_id"))).over(keepWindow))
+      .select(
+        col("doc_id"),
+        when(col("lang_pred") === "und", "drop_lang")
+          .when(col("n_tokens") < 10, "drop_quality")
+          .when(col("doc_id") =!= col("keep_id"), "drop_dup")
+          .when(col("hh") >= 50, "drop_sample")
+          .otherwise("kept").as("decision"))
+      .orderBy("doc_id")
+  }
+
   /** PII redaction over a corpus with planted, doc_id-derived PII (the
     * fixture corpus carries none of its own): each doc gains one email,
     * one phone, and one URL in closed form, then the redaction chain
@@ -191,24 +263,55 @@ object TextQueries {
       SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
       FROM documents ORDER BY doc_id""")),
     GQuery("text_lang_id", langIdQ, Some {
-      val hitExprs = Text.langProfiles.map { case (lang, words) =>
-        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        lang -> s"len(list_filter($duckToks, x -> list_contains($lst, x)))"
-      }
-      val cols = hitExprs.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n               ")
-      val best = hitExprs.map { case (l, _) => s"h_$l" }.mkString("greatest(", ", ", ")")
-      val cases = hitExprs.map { case (l, _) =>
-        s"WHEN h_$l = $best AND h_$l > 0 THEN '$l'"
-      }.mkString("\n                  ")
+      val (cols, caseExpr) = duckLangId
       s"""
       WITH h AS (
         SELECT doc_id,
                $cols
         FROM documents)
       SELECT doc_id,
-             CASE $cases
-                  ELSE 'und' END AS lang_pred
+             $caseExpr AS lang_pred
       FROM h ORDER BY doc_id"""
+    }),
+    GQuery("text_token_hist", tokenHist, Some(s"""
+      WITH t AS (SELECT CAST(len($duckToks) AS BIGINT) AS n FROM documents)
+      SELECT CASE WHEN n = 0 THEN '0'
+                  WHEN n < 16 THEN 'a_1_15'
+                  WHEN n < 32 THEN 'b_16_31'
+                  WHEN n < 64 THEN 'c_32_63'
+                  WHEN n < 128 THEN 'd_64_127'
+                  ELSE 'e_128_plus' END AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS sum_tokens,
+             CAST(min(n) AS BIGINT) AS min_tokens,
+             CAST(max(n) AS BIGINT) AS max_tokens
+      FROM t GROUP BY 1 ORDER BY 1""")),
+    GQuery("corpus_curate", curate, Some {
+      val (cols, caseExpr) = duckLangId
+      s"""
+      WITH h AS (
+        SELECT doc_id,
+               $cols,
+               CAST(len($duckToks) AS BIGINT) AS n_tokens,
+               md5(array_to_string($duckToks, ' ')) AS fp,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_tokens, fp, hh,
+               $caseExpr AS lang_pred
+        FROM h),
+      q AS (
+        SELECT *,
+               min(CASE WHEN lang_pred <> 'und' AND n_tokens >= 10
+                        THEN doc_id END) OVER (PARTITION BY fp) AS keep_id
+        FROM scored)
+      SELECT doc_id,
+             CASE WHEN lang_pred = 'und' THEN 'drop_lang'
+                  WHEN n_tokens < 10 THEN 'drop_quality'
+                  WHEN doc_id <> keep_id THEN 'drop_dup'
+                  WHEN hh >= 50 THEN 'drop_sample'
+                  ELSE 'kept' END AS decision
+      FROM q ORDER BY doc_id"""
     }),
     GQuery("corpus_clean_stats", corpusCleanStats, Some(s"""
       WITH toks AS (

@@ -106,6 +106,32 @@ class SimilaritySpec extends SparkSpec {
     inCluster.toDouble / pruned.length should be >= 0.9
   }
 
+  test("int8 quantization: values bounded, reconstruction within 0.5/scale, zero vector null") {
+    val rng = new scala.util.Random(21)
+    val rows = (0L until 50L).map(i => i -> Seq.fill(64)((rng.nextGaussian() * (i + 1)).toFloat))
+    val df = vecDf(rows :+ (99L -> Seq.fill(64)(0f)))
+    val scale = Similarity.int8Scale(col("embedding"))
+    val q = Similarity.int8Quantize(col("embedding"), scale)
+    val checked = df.select(
+      col("vec_id"),
+      scale.as("s"),
+      array_max(transform(q, x => abs(x))).as("q_max"),
+      array_max(zip_with(
+        transform(col("embedding"), _.cast("double")),
+        Similarity.int8Dequantize(q, scale),
+        (x, xr) => abs(x - xr))).as("err"))
+    val rowsOut = checked.filter(col("vec_id") =!= 99L)
+      .as[(Long, Double, Int, Double)].collect()
+    rowsOut should have size 50
+    rowsOut.foreach { case (_, s, qMax, err) =>
+      qMax should be <= 127
+      qMax shouldBe 127 // the max-|x| element always quantizes to exactly ±127
+      err should be <= 0.5 / s + 1e-12
+    }
+    // all-zero vector: scale is null, quantization stays null (no Inf/NaN)
+    checked.filter(col("vec_id") === 99L).select(col("s").isNull).as[Boolean].collect()(0) shouldBe true
+  }
+
   test("embNearDupPairs: planted duplicate found, unrelated pair not") {
     val rng = new scala.util.Random(13)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)
