@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, GQuery, JoinQueries, MultimodalQueries, Parity, SimilarityQueries, StreamReplayQueries, TextQueries}
+import graft.queries.{DedupQueries, GQuery, JoinQueries, MultimodalQueries, Parity, SimilarityQueries, StreamReplayQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ object SparkEntry {
   def registry: Seq[GQuery] =
     Parity.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ JoinQueries.queries ++
-      MultimodalQueries.queries ++ StreamReplayQueries.queries
+      MultimodalQueries.queries ++ StreamReplayQueries.queries ++
+      TemporalQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

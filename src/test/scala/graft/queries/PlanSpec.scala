@@ -44,6 +44,27 @@ class PlanSpec extends SparkSpec {
     "(?s)Generate explode\\(lshBandKeys[^\\n]*xxhash64".r.findFirstIn(p) shouldBe None
   }
 
+  test("asof_join: one window pass, no point-lookup join in the plan") {
+    val df = TemporalQueries.asofQ(spark, dir)
+    df.collect() // drive AQE to the final plan on this same handle
+    val p = plan(df)
+    // the as-of semantics must come from the union+window form: a single
+    // running-window operator, and no join at all between the two sides
+    p should include("Window")
+    p should not include "NestedLoopJoin"
+    p should not include "CartesianProduct"
+    "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p) shouldBe None
+  }
+
+  test("range_join_buckets: bucketed equi-join, never an inequality nested loop") {
+    val df = TemporalQueries.rangeQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p) should not be None
+    p should not include "NestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("documents scans prune to the referenced columns only") {
     val p = plan(DedupQueries.simhashQ(spark, dir))
     // the parquet scan must read (doc_id, text) and nothing else
