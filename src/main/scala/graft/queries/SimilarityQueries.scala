@@ -134,20 +134,31 @@ object SimilarityQueries {
     * engines: the exact int sums pin every quantized value, max_err pins
     * the reconstruction bound (< 0.5/scale by construction). All per-row
     * IEEE double math — identical bits in both engines, no cross-row
-    * float accumulation. The per-element recompute of the outer `scale`
-    * reference inside the lambdas is 64 extra flops/element — linear,
-    * cache-local, and irrelevant next to the scan cost. */
+    * float accumulation.
+    *
+    * Each stage (scale, then the quantized array) is materialized behind
+    * an exchange barrier before the next references it: a HOF lambda
+    * re-evaluates outer expression references PER ELEMENT, so the
+    * unbarriered form recomputed the scale's embedded array_max inside
+    * every lambda body — ~64³ flops/row, measured 6.8 s at sf0.1 vs
+    * well under a second barriered (the bandTable lesson, PERF_NOTES
+    * r2 #1). */
   def quantizeQ(spark: SparkSession, dir: String): DataFrame = {
-    val v = transform(col("embedding"), _.cast("double"))
-    val scale = Similarity.int8Scale(col("embedding"))
-    val q = Similarity.int8Quantize(col("embedding"), scale)
-    Tables.embeddings(spark, dir)
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val withScale = graft.ext.Dedup.rebalance(base, "vec_id")
+      .select(col("vec_id"), col("v"), Similarity.int8Scale(col("v")).as("sc"))
+    val withQ = graft.ext.Dedup.rebalance(withScale, "vec_id")
+      .select(col("vec_id"), col("v"), col("sc"),
+        Similarity.int8Quantize(col("v"), col("sc")).as("qv"))
+    graft.ext.Dedup.rebalance(withQ, "vec_id")
       .select(
         col("vec_id"),
-        round(scale, 6).as("scale"),
-        aggregate(q, lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
-        aggregate(q, lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
-        round(array_max(zip_with(v, q, (x, qq) => abs(x - qq / scale))), 6).as("max_err"))
+        round(col("sc"), 6).as("scale"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + abs(x).cast("long")).as("q_l1"),
+        round(array_max(zip_with(col("v"), col("qv"),
+          (x, qq) => abs(x - qq / col("sc")))), 6).as("max_err"))
       .orderBy("vec_id")
   }
 
