@@ -1,11 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
+import graft.ext.{Dedup, Similarity, Text}
 import graft.functions.{BoundedTopK, DotProduct}
 
 /** Session extensions: exposes the engine's native Catalyst functions to
@@ -15,13 +16,16 @@ import graft.functions.{BoundedTopK, DotProduct}
   *    the SparkSessionExtensions contract);
   *  - live session: `GraftExtensions.register(spark)` (notebooks/tests).
   *
-  * SQL surface: `bounded_top_k(score, id, k)` — see [[BoundedTopK]].
+  * SQL surface: the native aggregates/expressions `bounded_top_k(score,
+  * id, k)` and `graft_dot(a, b)`, plus the engine's scalar operator set
+  * as composed Catalyst expression trees (they stay inside whole-stage
+  * codegen exactly like the Column API): `graft_tokens`, `graft_redact`,
+  * `graft_fingerprint`, `graft_simhash`, `graft_jaccard`,
+  * `graft_cosine`, `graft_hamming64`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.boundedTopK)
-    ext.injectFunction(GraftExtensions.graftDot)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -52,9 +56,41 @@ object GraftExtensions {
       DotProduct(args(0), args(1))
     })
 
+  /** A 1-arg scalar function from a Column combinator: the builder
+    * composes the same Catalyst expression tree the Column API builds,
+    * so SQL and DataFrame callers share one implementation. */
+  private def scalar1(name: String, f: Column => Column) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.ext", name),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"$name takes 1 argument, got ${args.length}")
+      GraftColumnBridge.catalystExpression(f(GraftColumnBridge.column(args(0))))
+    })
+
+  private def scalar2(name: String, f: (Column, Column) => Column) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo("graft.ext", name),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"$name takes 2 arguments, got ${args.length}")
+      GraftColumnBridge.catalystExpression(
+        f(GraftColumnBridge.column(args(0)), GraftColumnBridge.column(args(1))))
+    })
+
+  /** The full SQL surface. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    boundedTopK,
+    graftDot,
+    scalar1("graft_tokens", Text.tokens),
+    scalar1("graft_redact", Text.redact),
+    scalar1("graft_fingerprint", t => Text.fingerprint(Text.tokens(t))),
+    scalar1("graft_simhash", t => Dedup.simhash64(Dedup.tokenHashes(Text.tokens(t)))),
+    scalar2("graft_jaccard", Dedup.jaccard),
+    scalar2("graft_cosine", Similarity.cosine),
+    scalar2("graft_hamming64", Dedup.hamming64))
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =
-    Seq(boundedTopK, graftDot).foreach { case (id, info, builder) =>
+    all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

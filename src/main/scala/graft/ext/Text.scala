@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents.text` — the training-data
@@ -97,4 +98,31 @@ object Text {
         regexp_replace(text, emailPattern, "<EMAIL>"),
         urlPattern, "<URL>"),
       phonePattern, "<PHONE>")
+
+  /** SEQUENCE PACKING: assign each document to a training bin so that
+    * consecutive docs fill a token budget — the batch-construction step
+    * between curation and tokenization in an LLM data pipeline.
+    *
+    * Greedy contiguous fill in deterministic `orderCol` order within each
+    * `strataCol` stratum: bin k covers cumulative token positions
+    * [k·budget, (k+1)·budget), so a doc STARTING before a boundary stays
+    * in the earlier bin — bins may overrun by up to one doc (standard
+    * packing slack, absorbed by truncation downstream); no bin is left
+    * under-full mid-stream. Exact integer math throughout.
+    *
+    * Scale shape: one window (partition-sort) per stratum — strata
+    * (source shards) parallelize across the cluster, and a skewed single
+    * stratum is sub-sharded by hashing the id into finer strata first,
+    * exactly like any windowed cumsum. Global first-fit bin packing is
+    * inherently sequential; contiguous-fill is the distributed-correct
+    * approximation every large corpus pipeline uses. */
+  def packBins(docs: DataFrame, strataCol: String, orderCol: String,
+               nCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(col(nCol)).over(w))
+      .withColumn("bin_id", expr(s"(__cum - $nCol) div $budget"))
+      .drop("__cum")
+  }
 }

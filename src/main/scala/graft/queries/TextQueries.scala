@@ -143,6 +143,23 @@ object TextQueries {
         max(col("n")).as("max_tokens"))
       .orderBy("bucket")
 
+  private val PackBudget = 512L
+
+  /** Sequence packing: per-source contiguous fill into 512-token bins
+    * ([[Text.packBins]]), reported as per-bin stats. The oracle
+    * reproduces the identical window cumsum + integer division, so the
+    * hash proves every document's bin assignment. */
+  def packBinsQ(spark: SparkSession, dir: String): DataFrame =
+    Text.packBins(
+        docs(spark, dir)
+          .select(col("source"), col("doc_id"), size(col("toks")).cast("long").as("n_tokens")),
+        "source", "doc_id", "n_tokens", PackBudget)
+      .groupBy("source", "bin_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("source", "bin_id")
+
   /** The full curation FUNNEL, per document: language-ID gate → quality
     * gate (≥10 tokens) → exact dedup (min-id survivor per fingerprint,
     * decided among gate survivors only) → deterministic 50% hash sample.
@@ -273,6 +290,19 @@ object TextQueries {
              $caseExpr AS lang_pred
       FROM h ORDER BY doc_id"""
     }),
+    GQuery("pack_bins", packBinsQ, Some(s"""
+      WITH t AS (
+        SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS bin_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
     GQuery("text_token_hist", tokenHist, Some(s"""
       WITH t AS (SELECT CAST(len($duckToks) AS BIGINT) AS n FROM documents)
       SELECT CASE WHEN n = 0 THEN '0'

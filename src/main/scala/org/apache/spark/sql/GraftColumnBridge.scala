@@ -12,6 +12,16 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Fully CONVERT a Column's node tree into a catalyst Expression
+    * (functions become `UnresolvedFunction`s the analyzer resolves).
+    * [[expression]] merely WRAPS the node in a `ColumnNodeExpression`,
+    * which only the Dataset API's own conversion pass unwraps — inside a
+    * FunctionRegistry builder the wrapper survives analysis and dies at
+    * codegen as Unevaluable. Use this for SQL-registered functions built
+    * from Column combinators. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Public alias of the `private[sql]` AbstractDataType so external
     * expressions can declare `inputTypes` (ImplicitCastInputTypes). */
   type SqlAbstractDataType = org.apache.spark.sql.types.AbstractDataType

@@ -49,6 +49,33 @@ class GraftExtensionsSpec extends SparkSpec {
     e.getMessage.toLowerCase should include("array")
   }
 
+  test("scalar operator set is callable from SQL and matches the Column API") {
+    GraftExtensions.register(spark)
+    val row = spark.sql("""
+      SELECT graft_redact('mail a@b.io or 555-0000') AS red,
+             graft_fingerprint('Hello, World') AS fp1,
+             graft_fingerprint('hello world!') AS fp2,
+             graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+             graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c,
+             graft_hamming64(7L, 1L) AS h,
+             size(graft_tokens('a b  c')) AS nt
+    """).collect()(0)
+    row.getString(0) shouldBe "mail <EMAIL> or <PHONE>"
+    row.getString(1) shouldBe row.getString(2) // normalization-insensitive
+    row.getDouble(3) shouldBe 0.5
+    row.getDouble(4) shouldBe 0.0
+    row.getInt(5) shouldBe 2 // bit_count yields INT
+    row.getInt(6) shouldBe 3
+    // graft_simhash agrees with the DataFrame-level table form
+    Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+      .createOrReplaceTempView("one_doc")
+    val sqlSim = spark.sql("SELECT graft_simhash(text) FROM one_doc")
+      .as[Long].collect()(0)
+    val tableSim = graft.ext.Dedup.simhashTable(spark.table("one_doc"))
+      .select("simhash").as[Long].collect()(0)
+    sqlSim shouldBe tableSim
+  }
+
   test("bounded_top_k rejects a non-literal k") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

@@ -58,6 +58,21 @@ class TextSpec extends SparkSpec {
     red("nothing sensitive here 12-34") shouldBe "nothing sensitive here 12-34"
   }
 
+  test("packBins: contiguous fill per stratum, boundary doc stays in earlier bin") {
+    val df = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 50L),
+      ("b", 1L, 600L), ("b", 2L, 10L))
+      .toDF("source", "doc_id", "n_tokens")
+    val got = Text.packBins(df, "source", "doc_id", "n_tokens", budget = 512L)
+      .select("source", "doc_id", "bin_id")
+      .as[(String, Long, Long)].collect().toSet
+    // a: cum-starts 0,300,600,900 → bins 0,0,1,1 (doc 2 starts at 300 < 512,
+    // overruns to 600 — standard packing slack); b: starts 0,600 → 0,1
+    got shouldBe Set(
+      ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("b", 1L, 0L), ("b", 2L, 1L))
+  }
+
   test("fingerprint is case/punctuation-insensitive but order-sensitive") {
     def fp(s: String) =
       toks(s).select(Text.fingerprint(col("t"))).as[String].collect()(0)
