@@ -89,6 +89,32 @@ object ScaleBench {
             Text.stopwordCount(toks).as("n_stop"),
             Text.langId(toks).as("lang"),
             Text.fingerprint(toks).as("fp"))
+        }),
+        // window-bearing ops: per-stratum cumsum (packing) and the
+        // fingerprint-window dedup decision — both must stay ~linear
+        // because strata/fingerprint groups parallelize
+        "pack_bins" -> (() =>
+          Text.packBins(
+            docs.select(pmod(col("doc_id"), lit(64)).as("strata"), col("doc_id"),
+              size(Text.tokens(col("text"))).cast("long").as("n_tokens")),
+            "strata", "doc_id", "n_tokens", budget = 512L)
+            .groupBy("strata", "bin_id").agg(count(lit(1)).as("n_docs"))),
+        "curate_funnel" -> (() => {
+          val toks = Text.tokens(col("text"))
+          val scored = docs.select(col("doc_id"),
+            Text.langId(toks).as("lang_pred"),
+            size(toks).cast("long").as("n_tokens"),
+            Text.fingerprint(toks).as("fp"))
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+          scored
+            .withColumn("keep_id", min(when(
+              col("lang_pred") =!= "und" && col("n_tokens") >= 10,
+              col("doc_id"))).over(w))
+            .select(col("doc_id"),
+              when(col("lang_pred") === "und", "drop_lang")
+                .when(col("n_tokens") < 10, "drop_quality")
+                .when(col("doc_id") =!= col("keep_id"), "drop_dup")
+                .otherwise("kept").as("decision"))
         }))
       for ((name, op) <- ops) {
         val sec = timeOp(op())

@@ -130,6 +130,22 @@ object Parity {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Heavy-hitters sketch (DataSketches frequent-items via
+    * `approx_top_k`): the third exact/approx twin next to HLL distinct
+    * counts and the quantile sketch — but this one is fully HASH-CHECKED
+    * against the exact top-k oracle, because with `maxItemsTracked`
+    * above the distinct-item count the sketch is in its exact regime and
+    * its counts are guaranteed error-free. At 100 TB the plan is one
+    * shuffle of fixed-size sketch buffers regardless of key cardinality
+    * — the same reason the HLL twin exists. The approximate regime
+    * (capacity < distinct items) is gated in SketchSpec on planted skew. */
+  def approxTopTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(expr("approx_top_k(event_type, 3, 1000)").as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.item").as("event_type"), col("t.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
   /** A8: the ingest success/total counters (`api_server.py:16-17,35-36`,
     * `client.py:64`) as a query over the envelope roundtrip: total
     * attempts, accepted (all three fields present ⇒ the 200 path),
@@ -336,6 +352,11 @@ object Parity {
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY 1 ORDER BY 1""")),
     GQuery("approx_distinct_users", approxDistinctUsers, None),
+    // exact top-k oracle on purpose: the sketch runs in its exact regime
+    // (capacity 1000 >> 5 distinct types), so estimate = truth, hashable
+    GQuery("approx_top_types", approxTopTypes, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1 ORDER BY cnt DESC, event_type LIMIT 3""")),
     GQuery("ingest_counters", ingestCounters, Some("""
       SELECT CAST(count(*) AS BIGINT) AS n_total,
              CAST(count(*) FILTER (WHERE user_id IS NOT NULL
