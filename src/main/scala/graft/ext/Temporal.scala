@@ -35,9 +35,16 @@ object Temporal {
     * payload columns verbatim and the matched right timestamp as
     * `__asof_ts`; unmatched left rows are dropped when `inner`, kept
     * with null payload otherwise.
+    *
+    * `toleranceUs` bounds the staleness of a match: a right row older
+    * than `left.ts - tolerance` no longer qualifies (trade-data
+    * semantics: a quote can't be hours stale). Applied as a post-window
+    * null-out — the window already found the newest candidate, so if
+    * THAT one is too old, every older one is too.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, inner: Boolean = true): DataFrame = {
+               tsCol: String, inner: Boolean = true,
+               toleranceUs: Option[Long] = None): DataFrame = {
     val payload = right.columns.toSeq.diff(keys :+ tsCol)
     val leftOnly = left.columns.toSeq.diff(keys :+ tsCol)
     val rTs = "__asof_ts"
@@ -53,11 +60,16 @@ object Temporal {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = l.select(cols.map(col): _*)
+    val matched = l.select(cols.map(col): _*)
       .unionByName(r.select(cols.map(col): _*))
       .withColumns((rTs +: payload).map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
       .filter(col("__side") === 1)
       .drop("__side")
+    val joined = toleranceUs.fold(matched) { tol =>
+      val fresh = unix_micros(col(tsCol)) - unix_micros(col(rTs)) <= tol
+      matched.withColumns(
+        (rTs +: payload).map(c => c -> when(fresh, col(c))).toMap)
+    }
     if (inner) joined.filter(col(rTs).isNotNull) else joined
   }
 

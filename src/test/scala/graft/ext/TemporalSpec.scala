@@ -35,6 +35,18 @@ class TemporalSpec extends SparkSpec {
     got shouldBe Array((100L, true))
   }
 
+  test("asofJoin tolerance: stale matches are nulled out, then dropped when inner") {
+    val left = Seq((1L, ts(100), 100L), (1L, ts(200), 101L)).toDF("k", "t", "l_id")
+    val right = Seq((1L, ts(95), 900L)).toDF("k", "t", "r_id")
+    // 10s tolerance: l at t=100 matches (5s stale); l at t=200 does not (105s)
+    val tol = Some(10000000L)
+    Temporal.asofJoin(left, right, Seq("k"), "t", toleranceUs = tol)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq shouldBe Seq((100L, 900L))
+    Temporal.asofJoin(left, right, Seq("k"), "t", inner = false, toleranceUs = tol)
+      .select(col("l_id"), col("r_id").isNull).as[(Long, Boolean)].collect().toSet shouldBe
+      Set((100L, false), (101L, true))
+  }
+
   test("asofJoin equals the naive per-row max-subquery on random data") {
     val rng = new scala.util.Random(31)
     val left = (0 until 300).map(i => (rng.nextInt(5).toLong, ts(rng.nextInt(1000).toLong), i.toLong))
