@@ -162,6 +162,53 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  private val CandMult = 3
+
+  /** Quantized-coarse kNN — the int8 codec USED as a search primitive:
+    * every (probe, corpus) pair is first scored with the INTEGER dot of
+    * the two int8 vectors (the RAM-tier scan: 4× less memory traffic,
+    * exact integer arithmetic — deterministic and oracle-checkable,
+    * unlike a float approximation), the top k·[[CandMult]] coarse
+    * candidates per probe survive through a BoundedTopK heap, and only
+    * those pay the exact double cosine re-rank. Same two-stage
+    * coarse→exact shape as IVF, but the pruning axis is precision
+    * instead of partitioning — at 100 TB the two compose (IVF selects
+    * lists, int8 scans them). Tie-breaks (likelier with integer scores)
+    * resolve toward smaller ids in BOTH stages, mirrored in the oracle's
+    * row_number order. */
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val withScale = graft.ext.Dedup.rebalance(base, "vec_id")
+      .select(col("vec_id"), col("v"), Similarity.int8Scale(col("v")).as("sc"))
+    val qt = graft.ext.Dedup.rebalance(withScale, "vec_id")
+      .select(col("vec_id"), col("v"), Similarity.int8Quantize(col("v"), col("sc")).as("qv"))
+    val probesQ = qt.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("qv").as("pq"))
+    val coarse = qt
+      .select(col("vec_id").as("neighbor_id"), col("qv"))
+      .crossJoin(broadcast(probesQ.select(col("probe_id"), col("pq"))))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("pq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("cs"))
+      .groupBy("probe_id")
+      .agg(graft.functions.BoundedTopK.topk(
+        col("cs").cast("double"), col("neighbor_id"), K * CandMult).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"))
+    val rerank = coarse
+      .join(qt.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(broadcast(probesQ.select(col("probe_id"), col("pv"))), "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        Similarity.cosine(col("v"), col("pv")).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(graft.functions.BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), K).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
+    finish(rerank)
+  }
+
   /** DuckDB twin of [[Similarity.srpBucket]]: the hyperplanes are literal
     * doubles (Scala's shortest-roundtrip toString → DuckDB parses back the
     * identical bits), the dot is double arithmetic — so the bucket
@@ -216,6 +263,35 @@ object SimilarityQueries {
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
     }),
     GQuery("knn_filtered", knnFiltered, Some(knnOracleWhere(" AND e.label % 3 = 0"))),
+    GQuery("knn_quantized", knnQuantized, Some(s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      s AS (SELECT vec_id, e,
+              CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                   THEN 127.0 / list_max(list_transform(e, x -> abs(x))) END AS sc
+            FROM v),
+      q AS (SELECT vec_id, e,
+              list_transform(e, x -> CAST(round(x * sc) AS INT)) AS qv
+            FROM s),
+      p AS (SELECT vec_id AS probe_id, e AS pe, qv AS pq FROM q WHERE vec_id < $NProbes),
+      coarse AS (
+        SELECT p.probe_id, q.vec_id AS neighbor_id, q.e, p.pe,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> CAST(q.qv[i] AS BIGINT) * p.pq[i])) AS cs
+        FROM q, p WHERE q.vec_id <> p.probe_id),
+      cand AS (
+        SELECT probe_id, neighbor_id, e, pe FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cs DESC, neighbor_id) AS rk
+          FROM coarse)
+        WHERE rk <= ${K * CandMult})
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT probe_id, neighbor_id,
+               list_cosine_similarity(e, pe) AS cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_cosine_similarity(e, pe) DESC, neighbor_id) AS rk
+        FROM cand)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
     GQuery("emb_quantize", quantizeQ, Some("""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       s AS (SELECT vec_id, e,

@@ -132,6 +132,37 @@ class SimilaritySpec extends SparkSpec {
     checked.filter(col("vec_id") === 99L).select(col("s").isNull).as[Boolean].collect()(0) shouldBe true
   }
 
+  test("int8 coarse scoring preserves exact-kNN ranking on random vectors") {
+    // int8 dot ranks ≈ float cosine ranks for same-normed vectors; with a
+    // 3x candidate pool the exact re-rank should recover the true top-k
+    // almost always — the property knn_quantized's design relies on
+    val rng = new scala.util.Random(41)
+    val corpus = vecDf((0L until 150L).map(i => i -> Seq.fill(64)(rng.nextGaussian().toFloat)))
+    val probes = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.knnExact(corpus, probes, 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sc = Similarity.int8Scale(col("embedding"))
+    val qt = corpus.select(col("vec_id"), col("embedding"), sc.as("s"))
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Quantize(col("embedding"), col("s")).as("qv"))
+    val pq = qt.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
+    val coarseTop = qt.select(col("vec_id").as("neighbor_id"), col("qv"))
+      .crossJoin(pq)
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qv"), col("pq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("cs"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy(col("cs").desc, col("neighbor_id"))))
+      .filter(col("rk") <= 30)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every true top-10 neighbor must be inside the 3x coarse pool
+    val recall = exact.count(coarseTop.contains).toDouble / exact.size
+    withClue(s"coarse recall=$recall") { recall should be >= 0.9 }
+  }
+
   test("embNearDupPairs: planted duplicate found, unrelated pair not") {
     val rng = new scala.util.Random(13)
     val base = Array.fill(64)(rng.nextGaussian().toFloat)
