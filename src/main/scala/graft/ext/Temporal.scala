@@ -47,6 +47,11 @@ object Temporal {
                toleranceUs: Option[Long] = None): DataFrame = {
     val payload = right.columns.toSeq.diff(keys :+ tsCol)
     val leftOnly = left.columns.toSeq.diff(keys :+ tsCol)
+    // a shared non-key column would be silently REPLACED by the
+    // null-padding below — refuse instead of corrupting
+    val clash = payload.intersect(leftOnly)
+    require(clash.isEmpty,
+      s"asofJoin: rename columns shared by both sides first: ${clash.mkString(", ")}")
     val rTs = "__asof_ts"
     val l = left
       .withColumn("__side", lit(1))
@@ -93,6 +98,10 @@ object Temporal {
   def rangeJoinBuckets(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        maxDeltaUs: Long): DataFrame = {
+    require(maxDeltaUs > 0, s"rangeJoinBuckets: maxDeltaUs must be positive, got $maxDeltaUs")
+    val clash = left.columns.toSeq.diff(keys).intersect(right.columns.toSeq.diff(keys))
+    require(clash.isEmpty,
+      s"rangeJoinBuckets: rename columns shared by both sides first: ${clash.mkString(", ")}")
     val lb = left
       .withColumn("__b", expr(s"unix_micros($leftTs) div $maxDeltaUs"))
       .withColumn("__bb", explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))

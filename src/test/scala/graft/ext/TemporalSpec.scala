@@ -67,6 +67,19 @@ class TemporalSpec extends SparkSpec {
     got shouldBe naive
   }
 
+  test("both joins refuse colliding non-key column names instead of corrupting") {
+    val a = Seq((1L, ts(1), 1L)).toDF("k", "t", "payload")
+    val b = Seq((1L, ts(1), 2L)).toDF("k", "t", "payload")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(a, b, Seq("k"), "t")
+    }.getMessage should include("payload")
+    val c = Seq((1L, ts(1), 1L)).toDF("k", "a_ts", "x")
+    val d = Seq((1L, ts(1), 2L)).toDF("k", "b_ts", "x")
+    intercept[IllegalArgumentException] {
+      Temporal.rangeJoinBuckets(c, d, Seq("k"), "a_ts", "b_ts", 1000L)
+    }.getMessage should include("x")
+  }
+
   test("rangeJoinBuckets equals the naive inequality join, pairs emitted once") {
     val rng = new scala.util.Random(37)
     val width = 10000000L // 10 s in micros
