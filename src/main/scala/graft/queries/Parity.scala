@@ -130,6 +130,23 @@ object Parity {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** P2 as a DYNAMIC schema: props parsed to `map<string,string>`
+    * (SURVEY §1.3's mapping for schema-on-read payloads whose keys are
+    * not known at compile time), exploded to (key, value) pairs and
+    * aggregated per key. The struct-schema twin is [[propsExtract]];
+    * this one survives producers adding fields without a redeploy. */
+  def propsMapAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"), MapType(StringType, StringType)))
+        .as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("val").cast("long")).as("sum_v"))
+      .orderBy("key")
+  }
+
   /** Heavy-hitters sketch (DataSketches frequent-items via
     * `approx_top_k`): the third exact/approx twin next to HLL distinct
     * counts and the quantile sketch — but this one is fully HASH-CHECKED
@@ -343,6 +360,11 @@ object Parity {
              CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
              CAST(count(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_k
       FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("props_map_agg", propsMapAgg, Some("""
+      SELECT k AS key, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(json_extract_string(props, '$.' || k)::BIGINT) AS BIGINT) AS sum_v
+      FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+      GROUP BY 1 ORDER BY 1""")),
     GQuery("distinct_users", distinctUsers, Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY 1 ORDER BY 1""")),
