@@ -65,6 +65,30 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("corpus_curate: the fingerprint window is the only hash shuffle; scan pruned") {
+    val df = TextQueries.curate(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    // every hash exchange must be the dedup window's fp partitioning —
+    // the lang/quality/sample stages are shuffle-free by design
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    hashKeys shouldBe Set("fp")
+  }
+
+  test("pack_bins: the per-stratum window partitioning serves the bin aggregate too") {
+    val df = TextQueries.packBinsQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should include("ReadSchema: struct<doc_id:bigint,text:string,source:string>")
+    // hashpartitioning(source) from the cumsum window must satisfy the
+    // (source, bin_id) group-by's clustering — no second hash exchange
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    hashKeys shouldBe Set("source")
+  }
+
   test("documents scans prune to the referenced columns only") {
     val p = plan(DedupQueries.simhashQ(spark, dir))
     // the parquet scan must read (doc_id, text) and nothing else
