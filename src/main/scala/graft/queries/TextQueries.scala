@@ -143,6 +143,27 @@ object TextQueries {
         max(col("n")).as("max_tokens"))
       .orderBy("bucket")
 
+  /** Corpus TF-IDF table for the 20 highest-document-frequency tokens:
+    * per token, document frequency, total term frequency, and
+    * idf = ln(N/df). Ranking and ties stay on EXACT integers (df, token)
+    * — the doubles are output-only and rounded to 6 dp, so a last-ulp
+    * difference between the engines' ln implementations cannot reorder
+    * rows, only (at ~1e-16 odds) flip a rounded digit. One explode +
+    * one (token) shuffle with map-side partial aggregation — the plain
+    * word-count shape, scale-safe. */
+  def tfidfQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count() // corpus size: one cheap parquet-metadata count
+    d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+      .select(col("token"), col("df"), col("tf"),
+        round(log(lit(n.toDouble) / col("df")), 6).as("idf"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(20)
+  }
+
   private val PackBudget = 512L
 
   /** Sequence packing: per-source contiguous fill into 512-token bins
@@ -290,6 +311,18 @@ object TextQueries {
              $caseExpr AS lang_pred
       FROM h ORDER BY doc_id"""
     }),
+    GQuery("text_tfidf", tfidfQ, Some(s"""
+      WITH per AS (
+        SELECT doc_id, token, count(*) AS cnt
+        FROM (SELECT doc_id, unnest($duckToks) AS token FROM documents)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(cnt) AS BIGINT) AS tf
+        FROM per GROUP BY 1),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+      SELECT token, df, tf, ROUND(ln(nn.n / df), 6) AS idf
+      FROM agg, nn
+      ORDER BY df DESC, token LIMIT 20""")),
     GQuery("pack_bins", packBinsQ, Some(s"""
       WITH t AS (
         SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
