@@ -165,7 +165,11 @@ object Dedup {
     /** Alternating large-star/small-star contraction (Kiveris et al.,
       * "Connected Components in MapReduce and Beyond"): O(log n) rounds
       * on ANY topology, two equi-joins + a set-equality check per round.
-      * Right when components can be long chains (template drift). */
+      * The DEFAULT: its round bound does not depend on component
+      * diameter, and measured wall time at sf0.1 is ~3× faster than
+      * min-label even on the dense small-diameter dup families where
+      * min-label is at its best (fewer driver round-trips dominate at
+      * test scale; the O(log n) bound dominates at 100 TB). */
     case object StarContraction extends CcAlgo
   }
 
@@ -197,7 +201,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIters: Int = 25,
                           checkEvery: Int = 3,
-                          algo: CcAlgo = CcAlgo.MinLabel): DataFrame =
+                          algo: CcAlgo = CcAlgo.StarContraction): DataFrame =
     algo match {
       case CcAlgo.MinLabel        => ccMinLabel(pairs, aCol, bCol, maxIters, checkEvery)
       case CcAlgo.StarContraction => ccStar(pairs, aCol, bCol, maxIters)._1
@@ -359,7 +363,7 @@ object Dedup {
     * different canonicals. */
   def nearDupGroups(docs: DataFrame, threshold: Double = 0.7,
                     idCol: String = "doc_id", k: Int = 3,
-                    algo: CcAlgo = CcAlgo.MinLabel,
+                    algo: CcAlgo = CcAlgo.StarContraction,
                     checkEvery: Int = 3): DataFrame = {
     val cc = connectedComponents(nearDupPairs(docs, threshold, idCol, k),
       algo = algo, checkEvery = checkEvery)

@@ -129,19 +129,20 @@ object DedupQueries {
   }
 
   /** Near-dup GROUP RESOLUTION, oracle-proved: portable candidate pairs →
-    * connected components ([[Dedup.connectedComponents]], bounded
-    * min-label propagation) → every sampled doc mapped to its canonical
-    * (component-min) id. DuckDB recomputes the same components with a
-    * recursive CTE, so the transitive closure itself is hash-checked —
-    * A~B and B~C must land B AND C on A's canonical in both engines. */
+    * connected components ([[Dedup.connectedComponents]], the default
+    * O(log n) large-star/small-star contraction) → every sampled doc
+    * mapped to its canonical (component-min) id. DuckDB recomputes the
+    * same components with a recursive CTE, so the transitive closure
+    * itself is hash-checked — A~B and B~C must land B AND C on A's
+    * canonical in both engines. */
   def groupsPortable(spark: SparkSession, dir: String): DataFrame =
-    groupsPortableWith(spark, dir, Dedup.CcAlgo.MinLabel)
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction)
 
-  /** Same pipeline resolved with the O(log n) large-star/small-star CC —
+  /** Same pipeline resolved with the batched min-label propagation CC —
     * proving the alternative algorithm against the SAME recursive-CTE
     * oracle as `dedup_groups`. */
-  def groupsPortableStar(spark: SparkSession, dir: String): DataFrame =
-    groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction)
+  def groupsPortableMinLabel(spark: SparkSession, dir: String): DataFrame =
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.MinLabel)
 
   private def groupsPortableWith(spark: SparkSession, dir: String,
                                  algo: Dedup.CcAlgo): DataFrame = {
@@ -274,16 +275,17 @@ object DedupQueries {
       FROM documents d LEFT JOIN deg USING (doc_id)
       WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
     GQuery("dedup_groups", groupsPortable, Some(groupsOracleSql)),
-    // same oracle on purpose: the star-contraction CC must produce the
-    // exact same canonical map as min-label (and as DuckDB's closure)
-    GQuery("dedup_groups_star", groupsPortableStar, Some(groupsOracleSql)),
+    // same oracle on purpose: the min-label CC must produce the exact
+    // same canonical map as star contraction (and as DuckDB's closure)
+    GQuery("dedup_groups_minlabel", groupsPortableMinLabel, Some(groupsOracleSql)),
     GQuery("dedup_simhash", simhashQ, None),
     GQuery("dedup_near_groups", nearGroups, None)
   )
 
-  /** The recursive-CTE components oracle shared by `dedup_groups` (min
-    * label) and `dedup_groups_star` (large-star/small-star): both engines
-    * must agree on the full transitive closure. */
+  /** The recursive-CTE components oracle shared by `dedup_groups`
+    * (large-star/small-star) and `dedup_groups_minlabel` (batched
+    * min-label): both engines must agree on the full transitive
+    * closure. */
   private lazy val groupsOracleSql: String = s"""
       WITH RECURSIVE $portableCtes,
       edges AS (

@@ -123,9 +123,9 @@ class DedupSpec extends SparkSpec {
     labels.as[(Long, Long)].collect().toMap shouldBe
       (1L to 64L).map(_ -> 1L).toMap
     // the same budget starves min-label on this topology — that's the
-    // reason the star variant exists
+    // reason star contraction is the default
     an[IllegalStateException] should be thrownBy
-      Dedup.connectedComponents(chain, maxIters = 12)
+      Dedup.connectedComponents(chain, maxIters = 12, algo = Dedup.CcAlgo.MinLabel)
   }
 
   test("star contraction: same components as min-label, incl. cycle and self-pair") {
