@@ -417,6 +417,95 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SEGMENT-LEVEL cross-document dedup (the CCNet/C4 "line dedup" shape,
+    * re-expressed for a corpus whose documents carry no line structure):
+    * each document is cut into consecutive fixed-width token segments, a
+    * corpus-wide document frequency is computed per segment CONTENT, and
+    * segments appearing in ≥ `dfCap` distinct documents (boilerplate
+    * headers, navigation chrome, license blocks) are dropped. Returns
+    * per-document stats: total segments, dropped segments, tokens kept.
+    *
+    * Scale shape: one linear scan producing the segment table (the
+    * Generate's input carries the materialized token array — the
+    * tokenizer runs once per document, not once per segment), then two
+    * shuffles on the fixed-width md5 segment key: the distinct-doc count
+    * (partial_count after a local distinct) and the join back. Shuffle
+    * width is id + 32-char key per segment — document text never
+    * shuffles. The df threshold is the same boilerplate guard as
+    * `maxBucketSize` on the LSH path.
+    *
+    * `docs` must carry (`idCol`, `toksCol`: array<string>). */
+  def segmentDedupStats(docs: DataFrame, idCol: String = "doc_id",
+                        toksCol: String = "toks", segLen: Int = 10,
+                        dfCap: Long = 3L): DataFrame = {
+    val nonEmpty = docs
+      .select(col(idCol), col(toksCol).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+    val segs = nonEmpty
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) + (segLen - 1)) / segLen).cast("int") - 1))
+          .as("__i"))
+      .select(col(idCol),
+        slice(col("__toks"), col("__i") * segLen + 1, lit(segLen)).as("__seg"))
+      .select(col(idCol),
+        md5(concat_ws(" ", col("__seg")).cast("binary")).as("__key"),
+        size(col("__seg")).cast("long").as("__seg_len"))
+    val dfs = segs.groupBy("__key")
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val perDoc = segs.join(dfs, "__key")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("__df") >= dfCap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__df") < dfCap, col("__seg_len")).otherwise(0L))
+          .as("tokens_kept"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_segs", "n_dropped", "tokens_kept"))
+  }
+
+  /** N-GRAM DECONTAMINATION (the GPT-3 appendix-C shape): count, for
+    * every evaluation/test document, how many of its distinct `n`-token
+    * shingles also occur anywhere in the training corpus. A single
+    * overlapping shingle marks the doc contaminated; the count grades
+    * severity.
+    *
+    * Scale shape: both sides explode to (doc, shingle) and join on the
+    * FIXED-WIDTH md5 of the shingle — the raw n-gram strings never
+    * shuffle. The train side reduces to DISTINCT shingle keys first
+    * (semi-join build side); the test side de-duplicates per document so
+    * a shingle repeated within one doc counts once. At 100 TB the train
+    * key set is itself huge, so this stays a shuffle equi-join on the
+    * key — the standard industrial decontamination join — rather than a
+    * broadcast.
+    *
+    * Both frames must carry (`idCol`, `toksCol`: array<string>).
+    * Returns one row per test doc: (idCol, n_ngrams, n_overlap,
+    * contaminated). Docs shorter than `n` tokens have zero shingles and
+    * are reported clean. */
+  def ngramContamination(train: DataFrame, test: DataFrame,
+                         idCol: String = "doc_id", toksCol: String = "toks",
+                         n: Int = 8): DataFrame = {
+    def shingleKeys(d: DataFrame): DataFrame = d
+      .select(col(idCol),
+        explode(Text.ngrams(col(toksCol), n)).as("__g"))
+      .select(col(idCol), md5(col("__g").cast("binary")).as("__key"))
+      .distinct()
+    val trainKeys = shingleKeys(train).select(col("__key")).distinct()
+    val testKeys = shingleKeys(test)
+    val overlap = testKeys.join(trainKeys, "__key")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    val counts = testKeys.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"))
+      .join(overlap, Seq(idCol), "left")
+    test.select(col(idCol)) // re-attach docs with zero shingles
+      .join(counts, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_ngrams", "n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** SimHash LSH keys: 4 × 16-bit bands — two fingerprints within Hamming
     * distance 3 share at least one band (pigeonhole), so near-dup lookup
     * is again an equi-join on (band, key), never all-pairs. */

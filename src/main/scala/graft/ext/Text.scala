@@ -73,6 +73,26 @@ object Text {
     }
   }
 
+  /** Highest within-document frequency of any single element of `arr` —
+    * the core of the Gopher-style repetition signals (top-token /
+    * top-n-gram fraction). Sort + linear run-length fold: O(n log n) per
+    * ROW with no shuffle and no per-distinct rescan (the naive
+    * "count each distinct element" form is O(distinct·n) per row, which
+    * a template-spam document — exactly the kind this signal exists to
+    * catch — degrades to O(n²)). Empty array → 0. */
+  def maxRunCount(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    folded.getField("best")
+  }
+
   /** Document fingerprint: digest of the normalized token stream. Two docs
     * that differ only in case/punctuation/whitespace fingerprint the same;
     * a reordered document fingerprints differently. md5 on both engines →

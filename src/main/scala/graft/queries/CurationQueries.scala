@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Fuzzy, Text}
+import graft.functions.BoundedTopK
+
+/** Second wave of training-data curation operators: within-doc repetition
+  * signals (Gopher-style), segment-level cross-doc dedup (the CCNet/C4
+  * line-dedup shape), n-gram decontamination (the GPT-3 appendix-C
+  * shape), a blocked bounded-edit-distance fuzzy join, and exact-k
+  * stratified sampling on the engine's own heap aggregate. Every query is
+  * DuckDB-oracle-checked; planted fixtures are built in closed form from
+  * doc_id so both engines derive them independently. */
+object CurationQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Text.tokens(col("text")))
+
+  private val duckToks = s"regexp_extract_all(lower(text), '${Text.tokenPattern}')"
+
+  // ---------------------------------------------------------------- //
+  // 1. Within-document repetition signals (Gopher-style quality)      //
+  // ---------------------------------------------------------------- //
+
+  /** Per-doc repetition profile: type-token ratio, most-frequent-token
+    * count, most-frequent-bigram count, and the resulting repetitive
+    * flag. Narrow map over each document ([[Text.maxRunCount]] — sorted
+    * run-length fold, no shuffle); ratios are single IEEE divisions of
+    * exact ints, so bit-stable across engines. */
+  def repetitionQ(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        Text.maxRunCount(col("toks")).as("top_token_n"),
+        Text.maxRunCount(Text.ngrams(col("toks"))).as("top_bigram_n"))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_distinct") / col("n_tokens"), 6)))
+      .withColumn("repetitive",
+        (col("top_bigram_n") >= 4 ||
+          (col("n_tokens") > 0 && col("top_token_n") / col("n_tokens") > 0.1))
+          .cast("int"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- //
+  // 2. Segment-level cross-document dedup (CCNet/C4 line dedup)       //
+  // ---------------------------------------------------------------- //
+
+  private val SegLen = 10
+  private val SegDfCap = 3L
+
+  /** 10-token boilerplate header planted on every doc_id % 3 == 0 doc —
+    * the corpus itself has no line structure, so the fixture recreates
+    * the navigation-chrome/license-block situation the operator exists
+    * for. Closed-form from doc_id: both engines derive it independently. */
+  private val SegHeader =
+    "shared header line alpha beta gamma delta epsilon zeta eta"
+
+  /** Per-doc segment-dedup stats over the header-planted corpus:
+    * [[Dedup.segmentDedupStats]] cuts docs into 10-token segments, drops
+    * any segment content seen in ≥ 3 distinct docs. The planted header
+    * (~n/3 docs) is dropped everywhere; exact-dup families ≥ 3 lose all
+    * their segments; everything else survives. */
+  def segmentDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(SegHeader + " "), col("text"))).otherwise(col("text"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(enriched).as("toks"))
+    Dedup.segmentDedupStats(d, segLen = SegLen, dfCap = SegDfCap)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // 3. N-gram decontamination (train/test overlap)                    //
+  // ---------------------------------------------------------------- //
+
+  private val DeconN = 8
+
+  /** Split: doc_id % 10 == 7 is the eval set, the rest trains. Half the
+    * eval docs (doc_id % 20 == 7) are contaminated in closed form by
+    * appending tokens 5..12 of train doc (doc_id + 1) — a genuine 8-gram
+    * of that train doc, so the overlap join must flag exactly those. */
+  private def deconFrames(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val train = d.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("toks", Text.tokens(col("text")))
+    val donors = d.select((col("doc_id") - 1).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 5, DeconN)).as("__donated"))
+    val test = d.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(20)) === 7 && col("__donated").isNotNull,
+          concat_ws(" ", col("text"), col("__donated")))
+          .otherwise(col("text")).as("text"))
+      .withColumn("toks", Text.tokens(col("text")))
+    (train, test)
+  }
+
+  /** Per-eval-doc contamination report from [[Dedup.ngramContamination]]:
+    * distinct 8-gram count, overlap-with-train count, contaminated flag. */
+  def deconQ(spark: SparkSession, dir: String): DataFrame = {
+    val (train, test) = deconFrames(spark, dir)
+    Dedup.ngramContamination(train, test, n = DeconN)
+      .withColumn("contaminated", col("contaminated").cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // 4. Fuzzy join (bounded edit distance, blocked)                    //
+  // ---------------------------------------------------------------- //
+
+  private val FuzzyMaxDist = 3
+
+  /** Near-identical part-name pairs: distinct p_name self-join blocked on
+    * the name's last token, edit distance ≤ 3 ([[Fuzzy.fuzzyJoin]] —
+    * length-band prefilter + threshold levenshtein inside blocks only). */
+  def fuzzyPartsQ(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+    Fuzzy.fuzzyJoin(parts, "p_name", parts, "p_name",
+        v => element_at(split(v, " "), -1), FuzzyMaxDist)
+      .filter(col("left_val") < col("right_val"))
+      .select(col("left_val").as("name_a"), col("right_val").as("name_b"),
+        col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  // ---------------------------------------------------------------- //
+  // 5. Exact-k stratified sampling on the heap aggregate              //
+  // ---------------------------------------------------------------- //
+
+  private val SampleK = 5
+
+  /** Deterministic exact-k sample per source stratum: k smallest md5
+    * hashes of doc_id win, via [[BoundedTopK]] (score = negated hash) —
+    * ≤ k rows per stratum cross the shuffle, vs a rank window's full
+    * per-stratum sort. The hash is the same portable 48-bit md5 prefix
+    * as `sample_hash` (exact in a double, so heap order ≡ the oracle's
+    * BIGINT order). */
+  def sampleStratifiedQ(spark: SparkSession, dir: String): DataFrame = {
+    val hh = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), (-hh.cast("double")).as("__score"))
+      .groupBy("source")
+      .agg(BoundedTopK.topk(col("__score"), col("doc_id"), SampleK).as("__nn"))
+      .select(col("source"), explode(col("__nn")).as("__e"))
+      .select(col("source"), col("__e.id").as("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Oracles                                                           //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB bigram list over a token-list expression (1-based). */
+  private def duckBigrams(t: String): String =
+    s"list_transform(range(1, len($t)), i -> $t[i] || ' ' || $t[i+1])"
+
+  /** DuckDB max within-list element frequency (0 for empty lists). */
+  private def duckMaxFreq(t: String): String =
+    s"coalesce(list_max(list_transform(list_distinct($t), x -> len(list_filter($t, y -> y = x)))), 0)"
+
+  private def duckNgrams(t: String, n: Int): String = {
+    val cat = (0 until n).map(k => s"$t[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($t) - ${n - 2}), i -> $cat)"
+  }
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("text_repetition", repetitionQ, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+               CAST(${duckMaxFreq("tk")} AS BIGINT) AS top_token_n,
+               CAST(${duckMaxFreq(duckBigrams("tk"))} AS BIGINT) AS top_bigram_n
+        FROM t)
+      SELECT doc_id, n_tokens, n_distinct, top_token_n, top_bigram_n,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) END AS ttr,
+             CAST(CASE WHEN top_bigram_n >= 4 OR
+                            (n_tokens > 0 AND CAST(top_token_n AS DOUBLE) / n_tokens > 0.1)
+                       THEN 1 ELSE 0 END AS INT) AS repetitive
+      FROM m ORDER BY doc_id""")),
+    GQuery("corpus_segment_dedup", segmentDedupQ, Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(CASE WHEN doc_id % 3 = 0
+                 THEN '$SegHeader ' || text ELSE text END),
+                 '${Text.tokenPattern}') AS tk
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_slice(tk, i * $SegLen + 1, i * $SegLen + $SegLen) AS seg
+        FROM t, UNNEST(range(CAST(ceil(len(tk) / $SegLen.0) AS INT))) AS u(i)
+        WHERE len(tk) > 0),
+      h AS (
+        SELECT doc_id, md5(array_to_string(seg, ' ')) AS key,
+               len(seg) AS seg_len
+        FROM s),
+      d AS (SELECT key, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+      p AS (
+        SELECT h.doc_id,
+               count(*) AS n_segs,
+               sum(CASE WHEN d.df >= $SegDfCap THEN 1 ELSE 0 END) AS n_dropped,
+               sum(CASE WHEN d.df < $SegDfCap THEN h.seg_len ELSE 0 END) AS tokens_kept
+        FROM h JOIN d USING (key) GROUP BY 1)
+      SELECT doc.doc_id,
+             CAST(coalesce(p.n_segs, 0) AS BIGINT) AS n_segs,
+             CAST(coalesce(p.n_dropped, 0) AS BIGINT) AS n_dropped,
+             CAST(coalesce(p.tokens_kept, 0) AS BIGINT) AS tokens_kept
+      FROM documents doc LEFT JOIN p ON p.doc_id = doc.doc_id
+      ORDER BY doc.doc_id""")),
+    GQuery("decon_ngram_overlap", deconQ, Some {
+      val toks = s"regexp_extract_all(lower(text), '${Text.tokenPattern}')"
+      s"""
+      WITH donors AS (
+        SELECT doc_id - 1 AS doc_id,
+               array_to_string(list_slice($toks, 5, ${5 + DeconN - 1}), ' ') AS donated
+        FROM documents),
+      test AS (
+        SELECT b.doc_id,
+               CASE WHEN b.doc_id % 20 = 7 AND d.donated IS NOT NULL
+                    THEN b.text || ' ' || d.donated ELSE b.text END AS text
+        FROM documents b LEFT JOIN donors d USING (doc_id)
+        WHERE b.doc_id % 10 = 7),
+      traing AS (
+        SELECT DISTINCT md5(g) AS key
+        FROM (SELECT unnest(${duckNgrams("tk", DeconN)}) AS g
+              FROM (SELECT $toks AS tk FROM documents WHERE doc_id % 10 <> 7))),
+      testg AS (
+        SELECT DISTINCT doc_id, md5(g) AS key
+        FROM (SELECT doc_id, unnest(${duckNgrams("tk", DeconN)}) AS g
+              FROM (SELECT doc_id, $toks AS tk FROM test))),
+      agg AS (
+        SELECT tg.doc_id,
+               count(*) AS n_ngrams,
+               sum(CASE WHEN tr.key IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+        FROM testg tg LEFT JOIN traing tr USING (key)
+        GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+             CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+             CAST(CASE WHEN coalesce(a.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS INT)
+               AS contaminated
+      FROM test t LEFT JOIN agg a USING (doc_id)
+      ORDER BY t.doc_id"""
+    }),
+    GQuery("fuzzy_join_parts", fuzzyPartsQ, Some(s"""
+      WITH n AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      FROM n a JOIN n b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+      ORDER BY name_a, name_b""")),
+    GQuery("sample_stratified", sampleStratifiedQ, Some(s"""
+      WITH h AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS hh
+        FROM documents),
+      r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rk
+        FROM h)
+      SELECT source, doc_id FROM r WHERE rk <= $SampleK
+      ORDER BY source, doc_id"""))
+  )
+}

@@ -89,6 +89,59 @@ class PlanSpec extends SparkSpec {
     hashKeys shouldBe Set("source")
   }
 
+  test("text_repetition: narrow map — no hash shuffle before the output sort") {
+    val df = CurationQueries.repetitionQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "Exchange hashpartitioning"
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("corpus_segment_dedup: the Generate explodes a materialized array, not the tokenizer") {
+    val df = CurationQueries.segmentDedupQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // segment explosion must not re-run the regexp per segment (the
+    // Generate-inlining trap): the tokenizer may appear in the Generate's
+    // child projection but never inside the Generate node itself
+    "(?s)Generate explode\\([^\\n]*regexp_extract_all".r.findFirstIn(p) shouldBe None
+    p should not include "CartesianProduct"
+    // shuffles: segment-key df + per-doc re-agg + final doc join only
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    hashKeys should contain("__key")
+    (hashKeys - "__key" - "doc_id") shouldBe empty
+  }
+
+  test("decon_ngram_overlap: fixed-width-key equi-joins, never a nested loop") {
+    val df = CurationQueries.deconQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "NestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the shingle join runs on the 32-char md5 key, not raw n-gram text
+    p should include("__key")
+  }
+
+  test("fuzzy_join_parts: block-key equi-join; scan prunes to p_name") {
+    val df = CurationQueries.fuzzyPartsQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findFirstIn(p) should not be None
+    p should not include "NestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("ReadSchema: struct<p_name:string>")
+  }
+
+  test("sample_stratified: bounded heap aggregate, no rank window") {
+    val df = CurationQueries.sampleStratifiedQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should include("ObjectHashAggregate")
+    p should include("bounded_top_k")
+    p should not include "Window"
+  }
+
   test("documents scans prune to the referenced columns only") {
     val p = plan(DedupQueries.simhashQ(spark, dir))
     // the parquet scan must read (doc_id, text) and nothing else
