@@ -115,6 +115,20 @@ object ScaleBench {
                 .when(col("n_tokens") < 10, "drop_quality")
                 .when(col("doc_id") =!= col("keep_id"), "drop_dup")
                 .otherwise("kept").as("decision"))
+        }),
+        // segment-level dedup: one scan + two fixed-width-key shuffles;
+        // must stay ~linear in docs (segment count is docs × segs/doc,
+        // the df agg and join both key on the 32-char md5)
+        "segment_dedup" -> (() =>
+          Dedup.segmentDedupStats(
+            docs.select(col("doc_id"), Text.tokens(col("text")).as("toks")))),
+        // repetition signals: pure narrow map (sorted run-length folds);
+        // the us/doc figure IS the per-doc fold cost
+        "repetition" -> (() => {
+          val toks = Text.tokens(col("text"))
+          docs.select(col("doc_id"),
+            Text.maxRunCount(toks).as("top_tok"),
+            Text.maxRunCount(Text.ngrams(toks)).as("top_bg"))
         }))
       for ((name, op) <- ops) {
         val sec = timeOp(op())

@@ -487,13 +487,23 @@ object Dedup {
   def ngramContamination(train: DataFrame, test: DataFrame,
                          idCol: String = "doc_id", toksCol: String = "toks",
                          n: Int = 8): DataFrame = {
-    def shingleKeys(d: DataFrame): DataFrame = d
-      .select(col(idCol),
-        explode(Text.ngrams(col(toksCol), n)).as("__g"))
-      .select(col(idCol), md5(col("__g").cast("binary")).as("__key"))
-      .distinct()
+    // rebalance + materialize the token array BEFORE the n-gram zip_with:
+    // (a) the shingle stage is CPU-bound and must not inherit the scan's
+    // single-split serialism (same reason as [[bandTable]]); (b) behind
+    // the exchange the array is a materialized attribute, so the n
+    // shifted slices read it n times instead of re-running the upstream
+    // tokenizer expression n times per row.
+    def shingleKeys(d: DataFrame): DataFrame =
+      rebalance(d.select(col(idCol), col(toksCol)), idCol)
+        .select(col(idCol),
+          explode(Text.ngrams(col(toksCol), n)).as("__g"))
+        .select(col(idCol), md5(col("__g").cast("binary")).as("__key"))
+    // train side: only the global distinct key set matters — ONE wide
+    // distinct, never a per-(doc, key) pre-distinct (that shuffle is as
+    // large as this one and feeds straight into it)
     val trainKeys = shingleKeys(train).select(col("__key")).distinct()
-    val testKeys = shingleKeys(test)
+    // test side: per-doc distinct so an in-doc repeated shingle counts once
+    val testKeys = shingleKeys(test).distinct()
     val overlap = testKeys.join(trainKeys, "__key")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
