@@ -181,11 +181,11 @@ object Dedup {
     *    materializing action is the convergence count, so a round is ONE
     *    Spark job and the plan stays constant-size (lineage truncation
     *    beats the classic iterative-Spark plan blowup);
-    *  - convergence is checked every `checkEvery` rounds (min-label only):
-    *    at small data sizes wall time is rounds × job round-trip latency,
-    *    so halving the job count halves latency; the extra propagation
-    *    rounds inside a batch are cheap and propagation is monotone, so
-    *    "last round changed nothing" remains a sound convergence test;
+    *  - convergence is checked every `checkEvery` rounds (both
+    *    algorithms): at small data sizes wall time is probes × job
+    *    round-trip latency, so batching rounds cuts latency; both
+    *    algorithms decrease a potential monotonically, so "the batch
+    *    composite changed nothing" remains a sound fixpoint test;
     *  - each round UNPERSISTS the previous round's checkpointed labels
     *    once the new ones are materialized (via the RDD-level handle —
     *    `Dataset.unpersist` cannot reach a checkpoint's cache). Without
@@ -204,7 +204,14 @@ object Dedup {
                           algo: CcAlgo = CcAlgo.StarContraction): DataFrame =
     algo match {
       case CcAlgo.MinLabel        => ccMinLabel(pairs, aCol, bCol, maxIters, checkEvery)
-      case CcAlgo.StarContraction => ccStar(pairs, aCol, bCol, maxIters)._1
+      // star gets per-round probes regardless of checkEvery: its rounds
+      // are stage-heavy (4 shuffles each) while a probe is one cheap
+      // full-outer join, so a batch's wasted post-fixpoint rounds cost
+      // more than the probe jobs it saves (measured: batching at 2-3
+      // ADDED ~1 s/query at sf0.1). ccStar keeps the batching knob for
+      // deployments where driver→cluster job latency dominates stages.
+      case CcAlgo.StarContraction =>
+        ccStar(pairs, aCol, bCol, maxIters, checkEvery = 1)._1
     }
 
   private def unpersistCkpt(df: DataFrame): Unit =
@@ -315,7 +322,8 @@ object Dedup {
     * anti-join probes. */
   private[ext] def ccStar(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
-                          maxIters: Int = 20): (DataFrame, Int) = {
+                          maxIters: Int = 20,
+                          checkEvery: Int = 2): (DataFrame, Int) = {
     // base keeps self-pairs so isolated endpoints still get a label; it
     // stays cached (it backs the returned plan — see class doc on the
     // one-frame-per-call residue).
@@ -328,7 +336,29 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // batch `checkEvery` contraction rounds per convergence probe: the
+      // star potential (Σ edge endpoints) decreases monotonically, so an
+      // edge set unchanged by the ROUND COMPOSITE is a fixpoint — same
+      // soundness argument as min-label's batched Σ-probe. Each probe is
+      // one driver job, and at test scale wall time is probes × job
+      // round-trip; the post-fixpoint rounds a batch wastes are two
+      // equi-joins over an already-contracted (small) edge set.
+      // EVERY round still gets its own lazy localCheckpoint: a star round
+      // references its input FOUR times (largeStar's union-of-directions
+      // twice, smallStar's join-with-mins twice), so composing rounds
+      // without truncation re-executes the previous round's shuffles
+      // ~4× per level (measured 15-41 s/query). The lazy checkpoint
+      // truncates the logical plan immediately while deferring execution,
+      // so the whole batch still materializes inside the single probe
+      // job; intermediates are freed right after that job.
+      val rounds = math.min(checkEvery, maxIters - iter)
+      var cur = edges
+      val intermediates = scala.collection.mutable.Buffer.empty[DataFrame]
+      for (i <- 0 until rounds) {
+        cur = smallStar(largeStar(cur)).localCheckpoint(false)
+        if (i < rounds - 1) intermediates += cur
+      }
+      val next = cur
       // distinct sets: equal iff the full-outer join has no one-sided row.
       // ONE probe job per round (it also materializes the lazy
       // checkpoint) — the two exceptAll probes this replaces cost a
@@ -339,10 +369,11 @@ object Dedup {
           col("u") === col("pu") && col("v") === col("pv"), "full_outer")
         .filter(col("u").isNull || col("pu").isNull)
         .limit(1).count() == 0L
+      intermediates.foreach(unpersistCkpt) // materialized by the probe; dead now
       if (prevCkpt != null) unpersistCkpt(prevCkpt)
       prevCkpt = edges
       edges = next
-      iter += 1
+      iter += rounds
     }
     if (prevCkpt != null) unpersistCkpt(prevCkpt)
     if (!converged)

@@ -37,6 +37,17 @@ object ExtProperties extends Properties("graft.ext") {
         (a.isEmpty || row._3 == 1.0)
     }
 
+  property("maxRunCount ≡ naive max element frequency") =
+    forAll(tokensGen) { toks =>
+      val got = Seq(Tuple1(toks)).toDF("arr")
+        .select(Text.maxRunCount(col("arr")).as("m"))
+        .as[Long].collect()(0)
+      val want =
+        if (toks.isEmpty) 0L
+        else toks.groupBy(identity).values.map(_.size).max.toLong
+      got == want
+    }
+
   property("cosine is symmetric and within [-1-ε, 1+ε]") =
     forAll(vecGen, vecGen) { (a, b) =>
       val row = Seq((a, b)).toDF("a", "b")
