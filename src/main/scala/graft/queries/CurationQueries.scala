@@ -155,6 +155,47 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------- //
+  // 6. Corpus mixing: weighted sampling + per-source token budgets    //
+  // ---------------------------------------------------------------- //
+
+  /** Source-WEIGHTED deterministic sampling — the data-mixing step that
+    * up/down-weights sources in the final training mix. Per-source keep
+    * rate derived in closed form from the source name (20/40/60/80 %),
+    * keep decision from the same portable md5-mod-100 hash as
+    * `sample_hash`. Pure narrow map: the weights travel in the
+    * expression, no join, no shuffle before the output sort. */
+  def sampleWeightedQ(spark: SparkSession, dir: String): DataFrame = {
+    val hh = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val w = (regexp_extract(col("source"), "([0-9]+)", 1).cast("int") % 4) * 20 + 20
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        w.as("keep_pct"), (hh < w).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val TrimBudget = 10000L
+
+  /** Per-source token-BUDGET trim: in deterministic doc_id order, each
+    * source keeps whole documents while its cumulative token count stays
+    * within budget — the "cap every source at N tokens" mixing primitive.
+    * Same distributed shape as `pack_bins`: one window (partition-sort)
+    * per source stratum, strata parallelize, no second shuffle. */
+  def budgetTrimQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("kept", (col("cum") <= TrimBudget).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- //
   // Oracles                                                           //
   // ---------------------------------------------------------------- //
 
@@ -261,6 +302,26 @@ object CurationQueries {
        AND a.p_name < b.p_name
       WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
       ORDER BY name_a, name_b""")),
+    GQuery("sample_weighted", sampleWeightedQ, Some(s"""
+      SELECT doc_id, source,
+             CAST((regexp_extract(source, '([0-9]+)', 1)::INT % 4) * 20 + 20 AS INT)
+               AS keep_pct,
+             CAST(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                            < (regexp_extract(source, '([0-9]+)', 1)::INT % 4) * 20 + 20
+                       THEN 1 ELSE 0 END AS INT) AS kept
+      FROM documents ORDER BY doc_id""")),
+    GQuery("corpus_budget_trim", budgetTrimQ, Some(s"""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len($duckToks) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum,
+             CAST(CASE WHEN cum <= $TrimBudget THEN 1 ELSE 0 END AS INT) AS kept
+      FROM c ORDER BY doc_id""")),
     GQuery("sample_stratified", sampleStratifiedQ, Some(s"""
       WITH h AS (
         SELECT source, doc_id,

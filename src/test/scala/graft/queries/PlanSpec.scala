@@ -133,6 +133,23 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<p_name:string>")
   }
 
+  test("sample_weighted: narrow map — weights in the expression, no shuffle, no join") {
+    val df = CurationQueries.sampleWeightedQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "Exchange hashpartitioning"
+    p should not include "Join"
+  }
+
+  test("corpus_budget_trim: the per-source window is the only hash shuffle") {
+    val df = CurationQueries.budgetTrimQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    hashKeys shouldBe Set("source")
+  }
+
   test("sample_stratified: bounded heap aggregate, no rank window") {
     val df = CurationQueries.sampleStratifiedQ(spark, dir)
     df.collect()
