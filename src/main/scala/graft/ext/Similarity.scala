@@ -165,6 +165,53 @@ object Similarity {
       .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
   }
 
+  /** Lloyd k-means over an embedding column, DETERMINISTIC and therefore
+    * fully oracle-checkable — the claim that k-means "cannot be
+    * hash-compared" only holds for randomized init and run-to-
+    * convergence; with (a) closed-form init (the k smallest vec_ids),
+    * (b) a FIXED iteration count, and (c) DECIMAL-exact per-dimension
+    * centroid means (aggregation order cannot perturb a bit), every
+    * engine computes bit-identical centroids, hence identical argmax
+    * assignments (ties → smaller cluster id).
+    *
+    * Scale shape per round: the k×dim centroid table is BROADCAST to a
+    * narrow assignment map (corpus never reshuffles for assignment; the
+    * per-vector argmax runs through [[BoundedTopK]] with k=1 so one row
+    * per vector crosses the agg shuffle), then the mean update is a
+    * posexplode → (cluster, dim) partial aggregate — k·dim cells
+    * regardless of corpus size. Rounds are Spark jobs chained on a
+    * broadcast-size intermediate, the same iterate-on-small-state
+    * pattern as [[Dedup.connectedComponents]] but with O(k·dim) state.
+    *
+    * Returns (idCol, cluster) for every input vector after `iters`
+    * assignment rounds. */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    def assign(centroids: DataFrame): DataFrame = vecs
+      .crossJoin(broadcast(centroids))
+      .groupBy(col(idCol))
+      .agg(BoundedTopK.topk(
+        cosine(col(vecCol), col("__centroid")), col("__cid"), 1).as("__top"))
+      .select(col(idCol), col("__top").getItem(0).getField("id").as("cluster"))
+    def update(assigned: DataFrame): DataFrame = vecs
+      .join(assigned, idCol)
+      .select(col("cluster").as("__cid"), posexplode(col(vecCol)).as(Seq("__p", "__v")))
+      .groupBy(col("__cid"), col("__p"))
+      .agg((sum(col("__v").cast(DecimalType(28, 9))).cast("double")
+        / count(lit(1))).as("__c"))
+      .groupBy(col("__cid"))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
+      .select(col("__cid"), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
+    val init = vecs.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("__cid"),
+        transform(col(vecCol), v => v.cast("double")).as("__centroid"))
+    var assigned = assign(init)
+    for (_ <- 1 until iters) assigned = assign(update(assigned))
+    assigned
+  }
+
   /** Per-vector symmetric int8 quantization scale: 127 / max|x| (null for
     * an all-zero vector, so downstream math stays null instead of Inf).
     * With [[int8Quantize]]/[[int8Dequantize]] this is the 4× memory cut

@@ -57,6 +57,17 @@ object SimilarityQueries {
 
   private val NProbeLists = 2
 
+  private val KmK = 4
+  private val KmIters = 2
+
+  /** True Lloyd k-means (k=4, 2 fixed rounds, closed-form init) — every
+    * vector's final cluster assignment, hash-checked: deterministic init
+    * + fixed rounds + DECIMAL-exact centroid means make the whole
+    * training trajectory engine-independent ([[Similarity.kmeans]]). */
+  def kmeansQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(spark, dir), KmK, KmIters)
+      .orderBy("vec_id")
+
   /** SRP bucket occupancy — the partition-pruning histogram an operator
     * would use to pick nPlanes at scale. Rows-only. */
   def bucketStats(spark: SparkSession, dir: String): DataFrame = {
@@ -241,6 +252,38 @@ object SimilarityQueries {
   private val knnOracle: String = knnOracleWhere("")
 
   val queries: Seq[GQuery] = Seq(
+    GQuery("emb_kmeans", kmeansQ, Some(s"""
+      WITH init AS (
+        SELECT vec_id::BIGINT AS cid,
+               list_transform(embedding, x -> x::DOUBLE) AS centroid
+        FROM embeddings WHERE vec_id < $KmK),
+      a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                            c.cid) AS rk
+          FROM embeddings e, init c)
+        WHERE rk = 1),
+      ex AS (
+        SELECT a1.cluster AS cid,
+               unnest(list_transform(range(1, len(e.embedding) + 1),
+                 i -> struct_pack(p := i, v := e.embedding[i]::DOUBLE))) AS pv
+        FROM embeddings e JOIN a1 USING (vec_id)),
+      centd AS (
+        SELECT cid, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT cid, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      a2 AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                            c.cid) AS rk
+          FROM embeddings e, cent c)
+        WHERE rk = 1)
+      SELECT vec_id, cluster FROM a2 ORDER BY vec_id""")),
     GQuery("knn_exact", knnExact, Some(knnOracle)),
     GQuery("knn_topk_agg", knnTopK, Some(knnOracle)),
     GQuery("knn_lsh", knnLsh, Some {

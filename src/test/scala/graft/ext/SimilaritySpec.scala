@@ -106,6 +106,30 @@ class SimilaritySpec extends SparkSpec {
     inCluster.toDouble / pruned.length should be >= 0.9
   }
 
+  /** Three well-separated planted clusters, one seed vector from each as
+    * the closed-form init (ids 0,1,2 < k): two Lloyd rounds must land
+    * every member with its own seed, and assignments must be invariant
+    * across runs (determinism is the operator's contract). */
+  test("kmeans: recovers planted clusters and is deterministic") {
+    val rng = new scala.util.Random(7)
+    val dim = 32
+    val bases = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat * 3f))
+    val members = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 5
+    } yield {
+      val noisy = b.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      // ids 0,1,2 are one member of each cluster -> they seed the init
+      (ci + 3L * j, noisy.toSeq)
+    }
+    val df = vecDf(members)
+    val run = () => Similarity.kmeans(df, k = 3, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val got = run()
+    for ((id, cluster) <- got) cluster shouldBe (id % 3)
+    run() shouldBe got
+  }
+
   test("int8 quantization: values bounded, reconstruction within 0.5/scale, zero vector null") {
     val rng = new scala.util.Random(21)
     val rows = (0L until 50L).map(i => i -> Seq.fill(64)((rng.nextGaussian() * (i + 1)).toFloat))
