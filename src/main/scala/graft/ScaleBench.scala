@@ -129,6 +129,17 @@ object ScaleBench {
           docs.select(col("doc_id"),
             Text.maxRunCount(toks).as("top_tok"),
             Text.maxRunCount(Text.ngrams(toks)).as("top_bg"))
+        }),
+        // Lloyd k-means (2 rounds, k=8) over hashed pseudo-embeddings
+        // derived from the text: per round the corpus sees one broadcast
+        // assignment map + a k×dim-cell mean aggregate — must stay linear
+        // in docs with the centroid state constant-size
+        "kmeans" -> (() => {
+          val vecs = docs.select(col("doc_id").as("vec_id"),
+            transform(sequence(lit(0), lit(15)),
+              i => pmod(xxhash64(col("text"), i), lit(1000)).cast("float") / 1000f)
+              .as("embedding"))
+          graft.ext.Similarity.kmeans(vecs, k = 8, iters = 2)
         }))
       for ((name, op) <- ops) {
         val sec = timeOp(op())
