@@ -21,7 +21,7 @@ import graft.functions.{BoundedTopK, DotProduct}
   * as composed Catalyst expression trees (they stay inside whole-stage
   * codegen exactly like the Column API): `graft_tokens`, `graft_redact`,
   * `graft_fingerprint`, `graft_simhash`, `graft_jaccard`,
-  * `graft_cosine`, `graft_hamming64`.
+  * `graft_cosine`, `graft_hamming64`, `graft_max_run`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -86,7 +86,8 @@ object GraftExtensions {
     scalar1("graft_simhash", t => Dedup.simhash64(Dedup.tokenHashes(Text.tokens(t)))),
     scalar2("graft_jaccard", Dedup.jaccard),
     scalar2("graft_cosine", Similarity.cosine),
-    scalar2("graft_hamming64", Dedup.hamming64))
+    scalar2("graft_hamming64", Dedup.hamming64),
+    scalar1("graft_max_run", Text.maxRunCount))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -58,7 +58,8 @@ class GraftExtensionsSpec extends SparkSpec {
              graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
              graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c,
              graft_hamming64(7L, 1L) AS h,
-             size(graft_tokens('a b  c')) AS nt
+             size(graft_tokens('a b  c')) AS nt,
+             graft_max_run(array('x', 'y', 'x')) AS mr
     """).collect()(0)
     row.getString(0) shouldBe "mail <EMAIL> or <PHONE>"
     row.getString(1) shouldBe row.getString(2) // normalization-insensitive
@@ -66,6 +67,7 @@ class GraftExtensionsSpec extends SparkSpec {
     row.getDouble(4) shouldBe 0.0
     row.getInt(5) shouldBe 2 // bit_count yields INT
     row.getInt(6) shouldBe 3
+    row.getLong(7) shouldBe 2L
     // graft_simhash agrees with the DataFrame-level table form
     Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
       .createOrReplaceTempView("one_doc")
