@@ -187,6 +187,8 @@ object Similarity {
     * assignment rounds. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"kmeans: k must be positive, got $k")
+    require(iters >= 1, s"kmeans: at least one assignment round required, got $iters")
     import org.apache.spark.sql.types.DecimalType
     val vecs = corpus.select(col(idCol), col(vecCol))
     def assign(centroids: DataFrame): DataFrame = vecs
