@@ -179,6 +179,68 @@ object Pipeline {
       }
   }
 
+  /** A scored document entering the streaming curation funnel. */
+  final case class CurateRow(doc_id: Long, lang_pred: String, n_tokens: Long,
+                             fp: String, hh: Long)
+
+  /** A per-document routing decision from the streaming funnel. */
+  final case class CurateDecision(doc_id: Long, decision: String)
+
+  /** STREAMING curation funnel — the batch `corpus_curate` pipeline
+    * (lang-ID gate → quality gate → exact dedup → deterministic hash
+    * sample) over an unbounded document stream. The gates, fingerprint,
+    * and sampling hash are the SAME expression trees as the
+    * oracle-proved batch query; only the dedup decision is stateful: one
+    * `flatMapGroupsWithState` group per fingerprint holds "a qualified
+    * doc already claimed this content". Semantics difference vs batch,
+    * inherent to streaming: the FIRST qualified arrival wins the dedup
+    * (batch keeps the min doc_id); within a micro-batch, doc_id order
+    * makes replays deterministic. A doc that wins its fingerprint but
+    * fails the hash sample still claims the content (later copies are
+    * `drop_dup`, exactly like batch, where the sample gate applies only
+    * to the dedup winner).
+    *
+    * State is one boolean per DISTINCT fingerprint — O(unique content),
+    * the canonical streaming-dedup cost; a deployment bounding the dedup
+    * horizon swaps NoTimeout for event-time timeout, trading cross-epoch
+    * dedup for eviction (same trade-off as
+    * `dropDuplicatesWithinWatermark`). */
+  def curateStream(docs: DataFrame, minTokens: Int = 10,
+                   keepPct: Int = 50): Dataset[CurateDecision] = {
+    import docs.sparkSession.implicits._
+    val toks = Text.tokens(col("text"))
+    val hh = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val scored = docs.select(
+      col("doc_id"),
+      Text.langId(toks).as("lang_pred"),
+      size(toks).cast("long").as("n_tokens"),
+      Text.fingerprint(toks).as("fp"),
+      hh.as("hh")).as[CurateRow]
+    scored
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, CurateDecision](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: String, batch: Iterator[CurateRow], state: GroupState[Boolean]) =>
+          var claimed = state.getOption.getOrElse(false)
+          val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+            val decision =
+              if (d.lang_pred == "und") "drop_lang"
+              else if (d.n_tokens < minTokens) "drop_quality"
+              else if (claimed) "drop_dup"
+              else {
+                claimed = true
+                if (d.hh >= keepPct) "drop_sample" else "kept"
+              }
+            CurateDecision(d.doc_id, decision)
+          }
+          if (claimed) state.update(true)
+          out.iterator
+      }
+  }
+
   /** W6 — the reference's late-data quirk (`analytical_server.py:33-39`),
     * OFF by default: its hand-rolled accumulator only rolls the "current
     * minute" forward, so an event whose minute is ≤ the last minute seen is

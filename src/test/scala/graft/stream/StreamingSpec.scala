@@ -424,6 +424,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation funnel: gates, cross-batch dedup, and hash sample route every doc") {
+    // same portable hash as the batch funnel — used to pick planted ids
+    // on each side of the 50% sample split instead of hardcoding
+    def hh(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val goodText = "der die das und ist ein zug der die das und ist ein haus"
+    val keptId = (10L to 200L).find(hh(_) < 50).get
+    val sampledOutId = (10L to 200L).find(i => hh(i) >= 50 && i != keptId).get
+    val in = MemoryStream[(Long, String)]
+    val q = Pipeline.curateStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (keptId, goodText),                      // de, long enough, wins fp, hh<50
+        (1L, "zzz qqq xxx yyy www vvv uuu ttt sss rrr nnn mmm"), // no profile hit
+        (2L, "der und ist"))                     // de but < 10 tokens
+      q.processAllAvailable()
+      // batch 2: a normalized exact dup of the batch-1 winner (case +
+      // punctuation changes, same fingerprint) and a sampled-out doc
+      in.addData(
+        (keptId + 1000L, goodText.toUpperCase + "!!!"),
+        (sampledOutId, "el los y que es un sol el los y que es un mar"))
+      q.processAllAvailable()
+      val got = spark.table("curate_stream")
+        .as[(Long, String)].collect().toMap
+      got(keptId) shouldBe "kept"
+      got(1L) shouldBe "drop_lang"
+      got(2L) shouldBe "drop_quality"
+      got(keptId + 1000L) shouldBe "drop_dup" // first qualified arrival won
+      got(sampledOutId) shouldBe "drop_sample"
+    } finally q.stop()
+  }
+
   test("RocksDB changelog checkpointing: state recovers from checkpoint across restart") {
     // changelog checkpointing ships per-batch deltas to the checkpoint
     // instead of full RocksDB snapshots — the commit-latency conf a large
