@@ -71,9 +71,54 @@ object StreamReplayQueries {
       .orderBy("doc_id", "dup_of", "hamming")
   }
 
+  /** Streaming CURATION replay, fully ORACLE-CHECKED: the whole corpus
+    * replayed through [[Pipeline.curateStream]] in three doc_id-ordered
+    * micro-batches. Because arrival order is id order (and within-batch
+    * ties sort by id), streaming's first-qualified-arrival dedup winner
+    * IS batch's min-id winner — so the decision stream must reproduce
+    * the batch `corpus_curate` table exactly, and this query shares its
+    * DuckDB oracle: the hash compare proves batch/stream parity of the
+    * full funnel, state semantics included. */
+  def curateReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sample = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+    val n = sample.length
+    val chunks = Seq(
+      sample.slice(0, n / 3).toSeq,
+      sample.slice(n / 3, 2 * n / 3).toSeq,
+      sample.slice(2 * n / 3, n).toSeq)
+
+    val source = MemoryStream[(Long, String)]
+    val decisions = Pipeline.curateStream(
+      source.toDF().toDF("doc_id", "text"))
+    val table = s"replay_curate_${runId.incrementAndGet()}"
+    val q = decisions.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(table)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
     // rows-only: SimHash banding uses Spark's xxhash64 (no DuckDB twin);
     // the planted twins guarantee ≥ TwinCap·4 deterministic flag rows
-    GQuery("stream_near_dup_replay", nearDupReplay, None)
+    GQuery("stream_near_dup_replay", nearDupReplay, None),
+    // hash-checked against the BATCH funnel's oracle — see Scaladoc
+    GQuery("stream_curate_replay", curateReplay,
+      Some(TextQueries.curateOracleSql))
   )
 }

@@ -243,6 +243,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The curation-funnel oracle, shared by the batch `corpus_curate`
+    * query and the streaming replay `stream_curate_replay` (whose
+    * id-ordered arrival makes first-qualified-wins ≡ min-id-wins, so
+    * the same per-document decisions must fall out of both engines AND
+    * both execution modes). */
+  private[queries] lazy val curateOracleSql: String = {
+    val (cols, caseExpr) = duckLangId
+    s"""
+      WITH h AS (
+        SELECT doc_id,
+               $cols,
+               CAST(len($duckToks) AS BIGINT) AS n_tokens,
+               md5(array_to_string($duckToks, ' ')) AS fp,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n_tokens, fp, hh,
+               $caseExpr AS lang_pred
+        FROM h),
+      q AS (
+        SELECT *,
+               min(CASE WHEN lang_pred <> 'und' AND n_tokens >= 10
+                        THEN doc_id END) OVER (PARTITION BY fp) AS keep_id
+        FROM scored)
+      SELECT doc_id,
+             CASE WHEN lang_pred = 'und' THEN 'drop_lang'
+                  WHEN n_tokens < 10 THEN 'drop_quality'
+                  WHEN doc_id <> keep_id THEN 'drop_dup'
+                  WHEN hh >= 50 THEN 'drop_sample'
+                  ELSE 'kept' END AS decision
+      FROM q ORDER BY doc_id"""
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("text_redact", redactQ, Some(s"""
       WITH e AS (
@@ -349,33 +382,7 @@ object TextQueries {
              CAST(min(n) AS BIGINT) AS min_tokens,
              CAST(max(n) AS BIGINT) AS max_tokens
       FROM t GROUP BY 1 ORDER BY 1""")),
-    GQuery("corpus_curate", curate, Some {
-      val (cols, caseExpr) = duckLangId
-      s"""
-      WITH h AS (
-        SELECT doc_id,
-               $cols,
-               CAST(len($duckToks) AS BIGINT) AS n_tokens,
-               md5(array_to_string($duckToks, ' ')) AS fp,
-               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
-        FROM documents),
-      scored AS (
-        SELECT doc_id, n_tokens, fp, hh,
-               $caseExpr AS lang_pred
-        FROM h),
-      q AS (
-        SELECT *,
-               min(CASE WHEN lang_pred <> 'und' AND n_tokens >= 10
-                        THEN doc_id END) OVER (PARTITION BY fp) AS keep_id
-        FROM scored)
-      SELECT doc_id,
-             CASE WHEN lang_pred = 'und' THEN 'drop_lang'
-                  WHEN n_tokens < 10 THEN 'drop_quality'
-                  WHEN doc_id <> keep_id THEN 'drop_dup'
-                  WHEN hh >= 50 THEN 'drop_sample'
-                  ELSE 'kept' END AS decision
-      FROM q ORDER BY doc_id"""
-    }),
+    GQuery("corpus_curate", curate, Some(curateOracleSql)),
     GQuery("corpus_clean_stats", corpusCleanStats, Some(s"""
       WITH toks AS (
         SELECT doc_id, lang, $duckToks AS t FROM documents),
