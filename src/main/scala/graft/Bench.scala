@@ -32,7 +32,17 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   private def fmt(v: Double): String = f"$v%.3f"
-  private def fmt2(v: Double): String = f"$v%.2f"
+
+  /** Compact-line format: 2 dp with trailing zeros stripped ("0.50" →
+    * "0.5", "2.00" → "2") — still valid JSON numbers, ~50 chars saved
+    * across the registry. The consumer keeps only a ~2000-char stdout
+    * TAIL, so every char of the final line competes with the sbt
+    * epilogue that follows it. */
+  private def fmt2(v: Double): String = {
+    val s = f"$v%.2f"
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else s
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
