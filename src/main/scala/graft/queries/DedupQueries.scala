@@ -31,6 +31,33 @@ object DedupQueries {
     Dedup.exactGroups(Tables.documents(spark, dir))
       .orderBy("fp")
 
+  private val IncrementalSplit = 400L
+
+  /** INCREMENTAL dedup — the production ingestion pattern: a new batch
+    * (doc_id ≥ split) deduped against the already-ingested corpus
+    * (doc_id < split) AND within itself. Per incoming doc:
+    * `dup_of_corpus` (fingerprint already ingested), `dup_in_batch`
+    * (an earlier batch doc claimed it), or `new`. Shape at 100 TB: the
+    * corpus side reduces to DISTINCT fixed-width fingerprints (a
+    * fingerprint index a real deployment keeps materialized), the
+    * decision is one fp equi-join + one fp window over the increment —
+    * the increment, not the corpus, bounds the heavy side. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+    val corpusFps = f.filter(col("doc_id") < IncrementalSplit)
+      .select(col("fp"), lit(1).as("__seen")).distinct()
+    val inc = f.filter(col("doc_id") >= IncrementalSplit)
+      .withColumn("first_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+    inc.join(corpusFps, Seq("fp"), "left")
+      .select(col("doc_id"),
+        when(col("__seen").isNotNull, "dup_of_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("new").as("decision"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic absolute-size cap for the demonstration/proof queries
     * below. doc_id is dense from 0, so `doc_id < cap` is a FIXED number of
     * documents at every sf — a fixed *fraction* (the round-2 form) shrinks
@@ -249,6 +276,20 @@ object DedupQueries {
              CAST(min(doc_id) AS BIGINT) AS keep_id,
              CAST(count(*) AS BIGINT) AS n_dups
       FROM documents GROUP BY 1 ORDER BY 1""")),
+    GQuery("dedup_incremental", incremental, Some(s"""
+      WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
+                 FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id < $IncrementalSplit),
+      inc AS (
+        SELECT doc_id, fp,
+               min(doc_id) OVER (PARTITION BY fp) AS first_id
+        FROM f WHERE doc_id >= $IncrementalSplit)
+      SELECT i.doc_id,
+             CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+                  WHEN i.doc_id <> i.first_id THEN 'dup_in_batch'
+                  ELSE 'new' END AS decision
+      FROM inc i LEFT JOIN corpus c USING (fp)
+      ORDER BY i.doc_id""")),
     GQuery("dedup_jaccard_pairs", jaccardPairs, Some(s"""
       WITH d AS (
         SELECT doc_id, source,
