@@ -159,6 +159,20 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("dedup_incremental: fingerprint equi-join + one fp window, scan pruned") {
+    val df = DedupQueries.incremental(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+    p should not include "NestedLoopJoin"
+    p should not include "CartesianProduct"
+    // every hash exchange keys on the fixed-width fingerprint — the
+    // corpus index, the window, and the decision join all cluster on fp
+    val hashKeys = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    hashKeys shouldBe Set("fp")
+  }
+
   test("documents scans prune to the referenced columns only") {
     val p = plan(DedupQueries.simhashQ(spark, dir))
     // the parquet scan must read (doc_id, text) and nothing else
