@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify consumer parses the LAST stdout line as JSON.
+// Three fixes keep that line clean (round-5 verdict, third ask):
+//  - StdoutOutput: forked `run` output bypasses the sbt logger, so no
+//    "[info] " prefix on the JSON line;
+//  - showSuccess/showTiming off: no "[success] Total time: …" epilogue
+//    printed AFTER the JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+ThisBuild / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
