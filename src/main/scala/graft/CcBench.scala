@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Tables
+import graft.ext.Dedup
+
+/** Isolated connected-components A/B harness (round-5 verdict #1).
+  *
+  * The shipping bench times `dedup_groups` (star) and
+  * `dedup_groups_minlabel` INSIDE a 78-query run, where run order decides
+  * who pays the LSH pipeline's codegen warm-up — which is how round 4
+  * recorded "star ~3× faster" and round 5's driver bench recorded the
+  * exact opposite. This harness removes both confounds:
+  *
+  *  - ONE algorithm per JVM (`GRAFT_CC_ALGO=star|minlabel|hybrid`) — run
+  *    it once per algorithm, fresh `sbt runMain` each;
+  *  - the pair list is pre-materialized (eager localCheckpoint + count)
+  *    BEFORE any timing, so reps measure the CC algorithm alone:
+  *    orient/checkpoint, propagation rounds, label extraction, noop write;
+  *  - rep 1 is reported but the summary median is over reps 2..n (rep 1
+  *    carries the algorithm's own codegen warm-up — reported so the
+  *    cold-start cost stays visible).
+  *
+  * `GRAFT_CC_PAIRS=portable|near` picks the `dedup_groups` sample pairs
+  * (default) or the full-corpus verified near-dup pairs. Results (median +
+  * all reps + pair/label counts) print as one JSON line; PERF_NOTES.md
+  * records the A/B table.
+  */
+object CcBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("GRAFT_CC_REPS", "5").toInt
+    val algoName = sys.env.getOrElse("GRAFT_CC_ALGO", "star")
+    val pairsName = sys.env.getOrElse("GRAFT_CC_PAIRS", "portable")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongConf._1, Tables.nanosAsLongConf._2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val rawPairs = pairsName match {
+      case "near" => Dedup.nearDupPairs(Tables.documents(spark, sfDir), 0.7)
+        .select("a_id", "b_id")
+      case _ => queries.DedupQueries.portablePairsFor(spark, sfDir)
+    }
+    val pairs = rawPairs.localCheckpoint() // eager: LSH runs here, untimed
+    val nPairs = pairs.count()
+
+    // star/minlabel force the DISTRIBUTED paths (driver-finish off) —
+    // that's the A/B the default choice rests on; "hybrid" measures the
+    // shipped defaults (driver union-find below the edge bound)
+    val run: () => Unit = algoName match {
+      case "minlabel" => () =>
+        exec(Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.MinLabel,
+          driverFinishEdges = 0L))
+      case "hybrid" => () =>
+        exec(Dedup.connectedComponents(pairs))
+      case _ => () =>
+        exec(Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.StarContraction,
+          driverFinishEdges = 0L))
+    }
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val warm = times.drop(1).sorted
+    val median = if (warm.nonEmpty) warm(warm.size / 2) else times.head
+    val ts = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"algo":"$algoName","pairs":"$pairsName","n_pairs":$nPairs,"median_warm":${f"$median%.3f"},"reps":$ts,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Labels frames returned by CC stay cached (they back the result);
+    * count() executes the full label plan, then the checkpoint cache is
+    * freed so reps don't accumulate storage. */
+  private def exec(labels: org.apache.spark.sql.DataFrame): Unit = {
+    labels.write.format("noop").mode("overwrite").save()
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(labels)
+  }
+}

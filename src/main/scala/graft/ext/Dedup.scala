@@ -165,27 +165,51 @@ object Dedup {
     /** Alternating large-star/small-star contraction (Kiveris et al.,
       * "Connected Components in MapReduce and Beyond"): O(log n) rounds
       * on ANY topology, two equi-joins + a set-equality check per round.
-      * The DEFAULT: its round bound does not depend on component
-      * diameter, and measured wall time at sf0.1 is ~3× faster than
-      * min-label even on the dense small-diameter dup families where
-      * min-label is at its best (fewer driver round-trips dominate at
-      * test scale; the O(log n) bound dominates at 100 TB). */
+      * The DEFAULT for the distributed regime: its round bound does not
+      * depend on component diameter. Isolated A/B (fresh JVM per
+      * algorithm, pairs pre-materialized — `graft.CcBench`, numbers in
+      * PERF_NOTES.md) shows star ≈ min-label at test scale (0.98 s vs
+      * 1.09 s warm median on the `dedup_groups` pairs at sf0.1; the
+      * earlier "star ~3× faster" reading was run-order contamination in
+      * the shared-JVM bench, withdrawn in round 6). The tie-break is the
+      * worst-case bound: min-label is O(diameter) rounds, star is
+      * O(log n) on the same per-round shuffle budget. */
     case object StarContraction extends CcAlgo
   }
 
+  /** Default edge-count bound below which [[connectedComponents]] skips
+    * the distributed rounds and finishes with a driver-side union-find:
+    * 500k oriented distinct edges ≈ 8 MB collected, label map ≤ 1M
+    * entries broadcast back — both well inside driver budgets, while the
+    * distributed tail rounds those edges would otherwise cost are 4-6
+    * shuffle stages EACH over a nearly-contracted graph. At 100 TB this
+    * is the standard endgame: contraction shrinks the edge set
+    * geometrically, so the last O(log n) rounds operate on data that no
+    * longer needs a cluster. Set 0 to disable (pure distributed). */
+  val DriverFinishEdges: Long = 500000L
+
   /** Connected components over an undirected pair list.
     *
-    * Scale notes (shared by both algorithms):
+    * Execution is HYBRID (round-5 verdict #1): the pair list is oriented
+    * (larger endpoint first) and deduplicated once, then
+    *  - if the edge count is ≤ `driverFinishEdges`, a driver-side
+    *    union-find labels the graph in ONE collect + one broadcast-joined
+    *    local relation — no iterative rounds at all. Contraction endgames
+    *    and test-scale graphs both land here; the bound is explicit and
+    *    the collect is provably ≤ 16·bound bytes.
+    *  - otherwise the distributed `algo` runs (star contraction default).
+    *
+    * Scale notes (shared by both distributed algorithms):
     *  - per-round cost is equi-join + partial aggregate — never all-pairs;
     *  - every round's labels are marked for a LAZY `localCheckpoint` whose
     *    materializing action is the convergence count, so a round is ONE
     *    Spark job and the plan stays constant-size (lineage truncation
     *    beats the classic iterative-Spark plan blowup);
-    *  - convergence is checked every `checkEvery` rounds (both
-    *    algorithms): at small data sizes wall time is probes × job
-    *    round-trip latency, so batching rounds cuts latency; both
-    *    algorithms decrease a potential monotonically, so "the batch
-    *    composite changed nothing" remains a sound fixpoint test;
+    *  - convergence is checked every `checkEvery` rounds (min-label): at
+    *    small data sizes wall time is probes × job round-trip latency, so
+    *    batching rounds cuts latency; the label sum decreases
+    *    monotonically, so "the batch composite changed nothing" remains a
+    *    sound fixpoint test;
     *  - each round UNPERSISTS the previous round's checkpointed labels
     *    once the new ones are materialized (via the RDD-level handle —
     *    `Dataset.unpersist` cannot reach a checkpoint's cache). Without
@@ -196,51 +220,99 @@ object Dedup {
     *    non-convergence beats silently wrong groups.
     *
     * Returns (id, component) for every endpoint appearing in `pairs`;
-    * `component` is the smallest id in the node's component.
+    * `component` is the smallest id in the node's component. Ids must be
+    * integral (they are compared, min-reduced, and — on the driver-finish
+    * path — held as longs).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIters: Int = 25,
                           checkEvery: Int = 3,
-                          algo: CcAlgo = CcAlgo.StarContraction): DataFrame =
-    algo match {
-      case CcAlgo.MinLabel        => ccMinLabel(pairs, aCol, bCol, maxIters, checkEvery)
+                          algo: CcAlgo = CcAlgo.StarContraction,
+                          driverFinishEdges: Long = DriverFinishEdges): DataFrame = {
+    // orient + dedup ONCE, shared by every path; the checkpoint truncates
+    // the (potentially huge) pair-pipeline lineage so the edge-count
+    // probe and the rounds both read the materialized edge set. Keeps
+    // self-pairs so isolated endpoints still get a label.
+    val base = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    val small = driverFinishEdges > 0 &&
+      base.filter(col("u") =!= col("v")).count() <= driverFinishEdges
+    if (small) ccDriverFinish(base)
+    else algo match {
+      case CcAlgo.MinLabel => ccMinLabelFrom(base, maxIters, checkEvery)
       // star gets per-round probes regardless of checkEvery: its rounds
       // are stage-heavy (4 shuffles each) while a probe is one cheap
       // full-outer join, so a batch's wasted post-fixpoint rounds cost
       // more than the probe jobs it saves (measured: batching at 2-3
       // ADDED ~1 s/query at sf0.1). ccStar keeps the batching knob for
       // deployments where driver→cluster job latency dominates stages.
-      case CcAlgo.StarContraction =>
-        ccStar(pairs, aCol, bCol, maxIters, checkEvery = 1)._1
+      case CcAlgo.StarContraction => ccStarFrom(base, maxIters, checkEvery = 1)._1
     }
+  }
 
   private def unpersistCkpt(df: DataFrame): Unit =
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(df)
 
-  private def ccMinLabel(pairs: DataFrame, aCol: String, bCol: String,
-                         maxIters: Int, checkEvery: Int): DataFrame = {
-    // localCheckpoint, NOT persist: a persisted frame keeps the full
-    // upstream plan (here: the whole LSH pair pipeline) in its analyzed
-    // tree, and every per-round Dataset op re-ANALYZES a tree embedding
-    // several copies of it — at sf0.1 that driver-side Catalyst time was
-    // ~10 s while the actual jobs took ~0.7 s. The checkpoint truncates
-    // the lineage to a LogicalRDD leaf, so round plans stay constant-size
-    // and analysis is O(round body). Lazy: the first batch's convergence
-    // count materializes it.
-    // explode, not union-of-two-projections: a union would embed the
-    // (potentially huge) pair-pipeline subtree TWICE in every analyzed
-    // plan and compute it twice at runtime. No distinct(): min-label
-    // propagation is duplicate-insensitive (min over a multiset), the
-    // engine's pair generators already emit distinct pairs, and skipping
-    // it keeps edge materialization shuffle-free. A caller with a
-    // heavily duplicated pair list should distinct() it first — dup
-    // edges cost every round's join, dedup costs one shuffle.
-    val edges = pairs
+  /** Driver-side union-find finish for edge sets under the explicit
+    * bound: one collect (≤ 16 bytes × bound), union-by-min-root with path
+    * halving (component = min id falls straight out of the root), labels
+    * returned as a local relation every downstream join broadcasts.
+    * `base` stays cached — it backs the returned node list. */
+  private def ccDriverFinish(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val es = base.select(col("u").cast("long"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long](es.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      } // union by min root ⇒ every root IS its component's minimum
+    }
+    val labels = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val id = it.next()
+      labels(i) = (id, find(id))
+      i += 1
+    }
+    import spark.implicits._
+    spark.createDataset(labels.toIndexedSeq).toDF("id", "component")
+  }
+
+  private def ccMinLabelFrom(base: DataFrame, maxIters: Int, checkEvery: Int): DataFrame = {
+    // localCheckpoint, NOT persist (done once in connectedComponents): a
+    // persisted frame keeps the full upstream plan (here: the whole LSH
+    // pair pipeline) in its analyzed tree, and every per-round Dataset op
+    // re-ANALYZES a tree embedding several copies of it — at sf0.1 that
+    // driver-side Catalyst time was ~10 s while the actual jobs took
+    // ~0.7 s. The checkpoint truncates the lineage to a LogicalRDD leaf,
+    // so round plans stay constant-size and analysis is O(round body).
+    // explode, not union-of-two-projections: a union would read the edge
+    // checkpoint twice per round. Self-pairs propagate their own label —
+    // harmless, and they keep isolated endpoints labelled.
+    val edges = base
       .select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(false)
     var ckpt = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
@@ -280,7 +352,9 @@ object Dedup {
       labels = next
       iter += rounds
     }
-    unpersistCkpt(edges)
+    // the final labels are a self-contained LogicalRDD; the shared edge
+    // base no longer backs anything this function returns
+    unpersistCkpt(base)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations")
@@ -323,14 +397,18 @@ object Dedup {
   private[ext] def ccStar(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id",
                           maxIters: Int = 20,
-                          checkEvery: Int = 2): (DataFrame, Int) = {
-    // base keeps self-pairs so isolated endpoints still get a label; it
-    // stays cached (it backs the returned plan — see class doc on the
-    // one-frame-per-call residue).
-    val base = pairs
+                          checkEvery: Int = 2): (DataFrame, Int) =
+    ccStarFrom(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(false), maxIters, checkEvery)
+
+  /** The contraction loop over a pre-oriented, deduplicated, checkpointed
+    * edge base (self-pairs included — they keep isolated endpoints
+    * labelled). `base` stays cached: it backs the returned plan (see
+    * class doc on the one-frame-per-call residue). */
+  private def ccStarFrom(base: DataFrame, maxIters: Int,
+                         checkEvery: Int): (DataFrame, Int) = {
     var edges = base.filter(col("u") =!= col("v"))
     var prevCkpt: DataFrame = null
     var converged = false

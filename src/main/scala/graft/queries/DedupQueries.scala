@@ -118,6 +118,12 @@ object DedupQueries {
     * every decision — shingle hashes, 64 signature mins, 16 band keys, the
     * bucket self-join — is hash-checkable against DuckDB. The production
     * path keeps xxhash64 (faster at scale); this proves the LSH logic. */
+  /** The `dedup_groups` pair pipeline on its fixed sample — exposed for
+    * the isolated CC A/B harness ([[graft.CcBench]]), which pre-materializes
+    * these pairs so algorithm timings exclude the LSH stage entirely. */
+  private[graft] def portablePairsFor(spark: SparkSession, dir: String): DataFrame =
+    portablePairs(Tables.documents(spark, dir).filter(col("doc_id") < PortableCap))
+
   private def portablePairs(docs: DataFrame): DataFrame = {
     val sh = array_distinct(Text.ngrams(Text.tokens(col("text")), 3))
     val hm = transform(sh, s =>
@@ -156,25 +162,36 @@ object DedupQueries {
   }
 
   /** Near-dup GROUP RESOLUTION, oracle-proved: portable candidate pairs →
-    * connected components ([[Dedup.connectedComponents]], the default
-    * O(log n) large-star/small-star contraction) → every sampled doc
-    * mapped to its canonical (component-min) id. DuckDB recomputes the
-    * same components with a recursive CTE, so the transitive closure
-    * itself is hash-checked — A~B and B~C must land B AND C on A's
-    * canonical in both engines. */
+    * connected components ([[Dedup.connectedComponents]] with its SHIPPED
+    * defaults — the hybrid that takes the bounded driver-side union-find
+    * on small edge sets and star contraction above the bound) → every
+    * sampled doc mapped to its canonical (component-min) id. DuckDB
+    * recomputes the same components with a recursive CTE, so the
+    * transitive closure itself is hash-checked — A~B and B~C must land B
+    * AND C on A's canonical in both engines. The two `_star`/`_minlabel`
+    * twins pin the DISTRIBUTED algorithms against the same oracle. */
   def groupsPortable(spark: SparkSession, dir: String): DataFrame =
-    groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction)
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction,
+      Dedup.DriverFinishEdges)
 
-  /** Same pipeline resolved with the batched min-label propagation CC —
-    * proving the alternative algorithm against the SAME recursive-CTE
-    * oracle as `dedup_groups`. */
+  /** Same pipeline forced through the distributed large-star/small-star
+    * contraction (driver-finish disabled) — the above-bound code path,
+    * hash-proved against the same recursive-CTE oracle. */
+  def groupsPortableStar(spark: SparkSession, dir: String): DataFrame =
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction, 0L)
+
+  /** Same pipeline forced through the distributed batched min-label
+    * propagation — the alternative above-bound algorithm, against the
+    * SAME oracle. */
   def groupsPortableMinLabel(spark: SparkSession, dir: String): DataFrame =
-    groupsPortableWith(spark, dir, Dedup.CcAlgo.MinLabel)
+    groupsPortableWith(spark, dir, Dedup.CcAlgo.MinLabel, 0L)
 
   private def groupsPortableWith(spark: SparkSession, dir: String,
-                                 algo: Dedup.CcAlgo): DataFrame = {
+                                 algo: Dedup.CcAlgo,
+                                 driverFinishEdges: Long): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
-    val cc = Dedup.connectedComponents(portablePairs(docs), algo = algo)
+    val cc = Dedup.connectedComponents(portablePairs(docs), algo = algo,
+      driverFinishEdges = driverFinishEdges)
     docs.select("doc_id")
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -185,11 +202,41 @@ object DedupQueries {
   /** PRODUCTION near-dup survivor map over the FULL corpus: xxhash LSH
     * candidates → Jaccard-verified pairs → connected components →
     * (doc_id, canonical_id). Rows-only (engine-specific hashing); the
-    * transitive-resolution logic is oracle-proved by [[groupsPortable]]
-    * and the planted-chain DedupSpec case. */
+    * FULL pipeline shape — candidates, verification, transitive
+    * resolution — is hash-proved by [[nearGroupsPortable]], so the
+    * residual risk here is confined to the xxhash64-vs-md5 key choice. */
   def nearGroups(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDupGroups(Tables.documents(spark, dir), threshold = 0.7)
       .orderBy("doc_id")
+
+  /** The portable twin of [[nearGroups]] — the COMPLETE near-dup
+    * pipeline with engine-neutral hashing, hash-checked end to end
+    * (round-5 verdict #5): portable-LSH candidates → exact shingle
+    * Jaccard ≥ 0.7 verification (string shingles, no hashing, so both
+    * engines compute identical rationals) → connected components →
+    * canonical map. DuckDB recomputes every stage including the
+    * recursive-CTE closure over the VERIFIED edge set. */
+  def nearGroupsPortable(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
+    val sh = docs.select(col("doc_id"),
+        array_distinct(Text.ngrams(Text.tokens(col("text")), 3)).as("sh"))
+      .withColumn("ns", size(col("sh")))
+    val verified = portablePairs(docs)
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("ns").as("a_n")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("ns").as("b_n")), "b_id")
+      .withColumn("__i", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("__j",
+        when(col("a_n") + col("b_n") - col("__i") === 0, lit(0.0))
+          .otherwise(col("__i").cast("double") / (col("a_n") + col("b_n") - col("__i"))))
+      .filter(col("__j") >= 0.7)
+      .select(col("a_id"), col("b_id"))
+    val cc = Dedup.connectedComponents(verified)
+    docs.select("doc_id")
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .orderBy("doc_id")
+  }
 
   /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific hash);
     * [[Dedup.simhashTable]]'s explode+aggregate plan, equivalence with
@@ -316,11 +363,39 @@ object DedupQueries {
       FROM documents d LEFT JOIN deg USING (doc_id)
       WHERE d.doc_id < $PortableCap ORDER BY d.doc_id""")),
     GQuery("dedup_groups", groupsPortable, Some(groupsOracleSql)),
-    // same oracle on purpose: the min-label CC must produce the exact
-    // same canonical map as star contraction (and as DuckDB's closure)
+    // same oracle on purpose: every CC path — the shipped hybrid
+    // (driver-finish), distributed star, distributed min-label — must
+    // produce the exact same canonical map as DuckDB's closure
+    GQuery("dedup_groups_star", groupsPortableStar, Some(groupsOracleSql)),
     GQuery("dedup_groups_minlabel", groupsPortableMinLabel, Some(groupsOracleSql)),
     GQuery("dedup_simhash", simhashQ, None),
-    GQuery("dedup_near_groups", nearGroups, None)
+    GQuery("dedup_near_groups", nearGroups, None),
+    // the full near-dup pipeline (candidates → Jaccard verify → CC)
+    // hash-proved with engine-neutral hashing — see nearGroupsPortable
+    GQuery("dedup_near_groups_portable", nearGroupsPortable, Some(s"""
+      WITH RECURSIVE $portableCtes,
+      vp AS (
+        SELECT p.a_id, p.b_id
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id
+        WHERE CASE WHEN len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) = 0
+                   THEN 0.0
+                   ELSE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+              END >= 0.7),
+      e2(src, dst) AS (
+        SELECT a_id, b_id FROM vp
+        UNION
+        SELECT b_id, a_id FROM vp),
+      cc2(id, label) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT e.dst, cc2.label FROM cc2 JOIN e2 e ON e.src = cc2.id),
+      comp2 AS (SELECT id, min(label) AS c FROM cc2 GROUP BY 1)
+      SELECT d.doc_id, CAST(coalesce(comp2.c, d.doc_id) AS BIGINT) AS canonical_id
+      FROM documents d LEFT JOIN comp2 ON comp2.id = d.doc_id
+      WHERE d.doc_id < $PortableCap ORDER BY d.doc_id"""))
   )
 
   /** The recursive-CTE components oracle shared by `dedup_groups`

@@ -100,6 +100,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("connectedComponents: chains collapse to the min label; disjoint components stay apart") {
+    // default path: the edge set is under DriverFinishEdges, so this
+    // exercises the driver-side union-find finish
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
     cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L)
@@ -107,11 +109,12 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponents: cycle converges and maxIters guard throws when too tight") {
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a_id", "b_id")
-    Dedup.connectedComponents(cycle).as[(Long, Long)].collect().toMap shouldBe
+    Dedup.connectedComponents(cycle, driverFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap shouldBe
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
     an[IllegalStateException] should be thrownBy
-      Dedup.connectedComponents(chain, maxIters = 1)
+      Dedup.connectedComponents(chain, maxIters = 1, driverFinishEdges = 0L)
   }
 
   test("star contraction: O(log n) rounds on a 64-node chain where min-label is O(n)") {
@@ -123,18 +126,22 @@ class DedupSpec extends SparkSpec {
     labels.as[(Long, Long)].collect().toMap shouldBe
       (1L to 64L).map(_ -> 1L).toMap
     // the same budget starves min-label on this topology — that's the
-    // reason star contraction is the default
+    // reason star contraction is the distributed default
     an[IllegalStateException] should be thrownBy
-      Dedup.connectedComponents(chain, maxIters = 12, algo = Dedup.CcAlgo.MinLabel)
+      Dedup.connectedComponents(chain, maxIters = 12,
+        algo = Dedup.CcAlgo.MinLabel, driverFinishEdges = 0L)
   }
 
-  test("star contraction: same components as min-label, incl. cycle and self-pair") {
+  test("star contraction and driver-finish: same components, incl. cycle and self-pair") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L), (30L, 30L)).toDF("a_id", "b_id")
-    val star = Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.StarContraction)
-      .as[(Long, Long)].collect().toMap
-    star shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L)
+    Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.StarContraction,
+        driverFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap shouldBe expect
+    // the hybrid's small-edge path must agree exactly
+    Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap shouldBe expect
   }
 
   test("nearDupGroups: planted A~B~C chain collapses to one canonical; singletons self-map") {

@@ -104,7 +104,7 @@ object ExtProperties extends Properties("graft.ext") {
     nodes.groupBy(find).flatMap { case (_, ns) => ns.map(_ -> ns.min) }
   }
 
-  property("connectedComponents ≡ union-find on random graphs") =
+  property("connectedComponents (hybrid driver-finish) ≡ union-find on random graphs") =
     forAll(edgesGen) { edges =>
       val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
         .as[(Long, Long)].collect().toMap
@@ -115,7 +115,7 @@ object ExtProperties extends Properties("graft.ext") {
     forAll(edgesGen) { edges =>
       val got = Dedup
         .connectedComponents(edges.toDF("a_id", "b_id"),
-          algo = Dedup.CcAlgo.StarContraction)
+          algo = Dedup.CcAlgo.StarContraction, driverFinishEdges = 0L)
         .as[(Long, Long)].collect().toMap
       got == unionFind(edges)
     }
