@@ -129,10 +129,19 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             listCol: String = "label"): DataFrame = {
+             listCol: String = "label"): DataFrame =
+    ivfSearch(coarseCentroids(corpus, listCol, vecCol),
+      corpus.select(col(idCol), col(vecCol), col(listCol)),
+      probes, k, nprobe, idCol, vecCol, listCol)
+
+  /** Centroid per inverted list: exact-decimal per-dimension mean —
+    * deterministic (aggregation order cannot perturb a bit), therefore
+    * fully oracle-checkable. Shared by the in-query [[knnIvf]] build and
+    * the persisted [[buildIvfIndex]]. */
+  def coarseCentroids(corpus: DataFrame, listCol: String = "label",
+                      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // centroid per inverted list: exact-decimal per-dimension mean
-    val cent = corpus
+    corpus
       .select(col(listCol), posexplode(col(vecCol)).as(Seq("__p", "__v")))
       .groupBy(col(listCol), col("__p"))
       .agg((sum(col("__v").cast(DecimalType(28, 9))).cast("double")
@@ -140,9 +149,49 @@ object Similarity {
       .groupBy(col(listCol))
       .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
       .select(col(listCol), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
-    // probe → nprobe nearest centroids via the bounded heap (the centroid
-    // table is broadcast-size; same score-desc/id-asc order the old
-    // row_number window used, so results are bit-identical)
+  }
+
+  /** Persist the IVF index (round-5 verdict #8 — the index BUILD story):
+    * the centroid table as plain parquet and the corpus
+    * HIVE-PARTITIONED BY the inverted-list id. Build cost is paid once
+    * per corpus lifetime; [[knnIvfIndexed]] probes then (a) skip the
+    * centroid aggregation entirely and (b) read ONLY the selected list
+    * directories — the partition layout turns "scan |corpus|·nprobe/
+    * nlists rows" from a filter into directory pruning the scan never
+    * opens. Returns the centroid table as re-read from the index (so
+    * callers verify exactly what was persisted). */
+  def buildIvfIndex(corpus: DataFrame, indexPath: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    listCol: String = "label"): DataFrame = {
+    coarseCentroids(corpus, listCol, vecCol)
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    corpus.select(col(idCol), col(vecCol), col(listCol))
+      .write.mode("overwrite").partitionBy(listCol).parquet(s"$indexPath/lists")
+    corpus.sparkSession.read.parquet(s"$indexPath/centroids")
+  }
+
+  /** IVF search against a [[buildIvfIndex]] index: identical semantics
+    * (and oracle) to [[knnIvf]], but the centroid build is a 2-file read
+    * and the inverted lists resolve by partition pruning. */
+  def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    probes: DataFrame, k: Int, nprobe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    listCol: String = "label"): DataFrame =
+    ivfSearch(spark.read.parquet(s"$indexPath/centroids"),
+      spark.read.parquet(s"$indexPath/lists")
+        .select(col(idCol), col(vecCol), col(listCol)),
+      probes, k, nprobe, idCol, vecCol, listCol)
+
+  /** The IVF probe stage over a (centroids, inverted-lists) pair:
+    * probe → nprobe nearest centroids via the bounded heap (the centroid
+    * table is broadcast-size; same score-desc/id-asc order the old
+    * row_number window used, so results are bit-identical), then the
+    * expensive exact cosine confined to the selected lists; per-probe
+    * top-k through the same heap aggregate — ≤ k rows per probe cross
+    * the final shuffle instead of a full per-probe candidate sort. */
+  private def ivfSearch(cent: DataFrame, lists: DataFrame, probes: DataFrame,
+                        k: Int, nprobe: Int, idCol: String, vecCol: String,
+                        listCol: String): DataFrame = {
     val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .crossJoin(broadcast(cent))
       .groupBy("probe_id")
@@ -152,10 +201,11 @@ object Similarity {
           cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
       .select(col("probe_id"), col("__pv"), explode(col("__top")).as("__t"))
       .select(col("probe_id"), col("__pv"), col("__t.id").as(listCol))
-    // exact search confined to the selected inverted lists; per-probe
-    // top-k through the same heap aggregate — ≤ k rows per probe cross
-    // the final shuffle instead of a full per-probe candidate sort
-    probed.join(corpus.select(col(idCol), col(vecCol), col(listCol)), listCol)
+    // broadcast the tiny probe→list frame: the list scan stays on the
+    // probe side of a broadcast join, which is what lets dynamic
+    // partition pruning skip unselected list directories on the indexed
+    // path (and costs nothing on the in-query path)
+    lists.join(broadcast(probed), listCol)
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"),
         cosine(col(vecCol), col("__pv")).as("cos_sim"), col(idCol))
@@ -206,7 +256,10 @@ object Similarity {
       .groupBy(col("__cid"))
       .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
       .select(col("__cid"), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
-    val init = vecs.filter(col(idCol) < k)
+    // the k smallest ids, not `id < k`: with sparse/offset id spaces the
+    // filter form silently under-seeds (fewer than k clusters); a sorted
+    // limit is exact for any id space and the k-row result broadcasts
+    val init = vecs.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long").as("__cid"),
         transform(col(vecCol), v => v.cast("double")).as("__centroid"))
     var assigned = assign(init)

@@ -298,7 +298,7 @@ object CurationQueries {
       SELECT a.p_name AS name_a, b.p_name AS name_b,
              CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       FROM n a JOIN n b
-        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+        ON (string_split(a.p_name, ' '))[-1] = (string_split(b.p_name, ' '))[-1]
        AND a.p_name < b.p_name
       WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
       ORDER BY name_a, name_b""")),

@@ -57,6 +57,42 @@ object SimilarityQueries {
 
   private val NProbeLists = 2
 
+  /** Per-sf-dir location of the persisted IVF index (under target/ so a
+    * clean wipes it; rebuilt idempotently — content is deterministic). */
+  private def ivfIndexPath(dir: String): String =
+    s"target/graft_ivf_index/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+
+  private def ensureIvfIndex(spark: SparkSession, dir: String): String = {
+    val path = ivfIndexPath(dir)
+    if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+      Similarity.buildIvfIndex(Tables.embeddings(spark, dir), path)
+    path
+  }
+
+  /** IVF index BUILD as a registered query: persists centroids + the
+    * hive-partitioned inverted lists ([[Similarity.buildIvfIndex]]) and
+    * returns the PERSISTED centroid table exploded to scalar rows, so
+    * the oracle hash proves the index content bit-for-bit (exact-decimal
+    * means — see [[Similarity.coarseCentroids]]). */
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    Similarity.buildIvfIndex(Tables.embeddings(spark, dir), ivfIndexPath(dir))
+      .select(col("label"), posexplode(col("__centroid")).as(Seq("p", "c")))
+      .select(col("label"), (col("p") + 1).cast("int").as("p"),
+        round(col("c"), 6).as("c"))
+      .orderBy("label", "p")
+
+  /** IVF search against the PERSISTED index — identical semantics and
+    * oracle as `knn_ivf`, but query time pays no centroid aggregation
+    * and the inverted lists resolve by partition pruning
+    * ([[Similarity.knnIvfIndexed]]). Builds the index first if missing
+    * (deterministic content, so correctness is unaffected; the bench
+    * reps after the first measure the probe-only cost). */
+  def knnIvfIndexedQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    finish(Similarity.knnIvfIndexed(spark, path, probes(spark, dir), K,
+      nprobe = NProbeLists))
+  }
+
   private val KmK = 4
   private val KmIters = 2
 
@@ -363,36 +399,14 @@ object SimilarityQueries {
              CAST(sum(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
                            AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
       FROM embeddings GROUP BY 1 ORDER BY 1""")),
-    GQuery("knn_ivf", knnIvf, Some(s"""
-      WITH ex AS (
-        SELECT label,
-               unnest(list_transform(range(1, len(embedding) + 1),
-                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
-        FROM embeddings),
-      centd AS (
-        -- exact-decimal per-dimension mean: aggregation order cannot
-        -- perturb a bit, so Spark and DuckDB centroids are identical
-        SELECT label, pv.p AS p,
-               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-        FROM ex GROUP BY 1, 2),
-      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
-      sel AS (
-        SELECT probe_id, pv, label FROM (
-          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
-                 row_number() OVER (PARTITION BY p.vec_id
-                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
-                            c.label) AS crk
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
-        WHERE crk <= $NProbeLists)
-      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
-        SELECT s.probe_id, e.vec_id AS neighbor_id,
-               list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
-               row_number() OVER (PARTITION BY s.probe_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
-                          e.vec_id) AS rk
-        FROM sel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id)
-      WHERE rk <= $K
-      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
+    GQuery("knn_ivf", knnIvf, Some(ivfOracle)),
+    GQuery("ann_index_build", annIndexBuild, Some(s"""
+      WITH $ivfCentroidCtes
+      SELECT label, CAST(p AS INT) AS p, ROUND(c, 6) AS c
+      FROM centd ORDER BY label, p""")),
+    // the SAME oracle as knn_ivf on purpose: probing the persisted index
+    // must be answer-identical to the in-query build
+    GQuery("knn_ivf_indexed", knnIvfIndexedQ, Some(ivfOracle)),
     GQuery("emb_near_dup", embNearDup, Some(s"""
       WITH $embPairCtes
       SELECT a_id, b_id, cos_sim FROM pairs
@@ -412,6 +426,43 @@ object SimilarityQueries {
       FROM embeddings v LEFT JOIN comp ON comp.id = v.vec_id
       ORDER BY v.vec_id"""))
   )
+
+  /** The exact-decimal per-list centroid CTEs, shared by the `knn_ivf`/
+    * `knn_ivf_indexed` oracle and the `ann_index_build` content check. */
+  private lazy val ivfCentroidCtes: String = s"""ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM embeddings),
+      centd AS (
+        -- exact-decimal per-dimension mean: aggregation order cannot
+        -- perturb a bit, so Spark and DuckDB centroids are identical
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM ex GROUP BY 1, 2)"""
+
+  /** The IVF search oracle (in-query build and persisted index give the
+    * same answer, so two registry queries share it). */
+  private lazy val ivfOracle: String = s"""
+      WITH $ivfCentroidCtes,
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      sel AS (
+        SELECT probe_id, pv, label FROM (
+          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
+        WHERE crk <= $NProbeLists)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT s.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (PARTITION BY s.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
+                          e.vec_id) AS rk
+        FROM sel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
 
   /** Shared DuckDB CTE chain for the embedding near-dup oracles: SRP
     * buckets from the same literal hyperplanes, bucket equi-join, 6-dp

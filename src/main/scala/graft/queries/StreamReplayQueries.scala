@@ -26,6 +26,7 @@ object StreamReplayQueries {
 
   private val ReplayCap = 200L // originals replayed, split over two chunks
   private val TwinCap = 50L    // exact-text twins replayed in a third chunk
+  private val CurateCap = 600L // docs through the curation replay (3 chunks)
 
   private val runId = new AtomicInteger(0)
 
@@ -71,19 +72,25 @@ object StreamReplayQueries {
       .orderBy("doc_id", "dup_of", "hamming")
   }
 
-  /** Streaming CURATION replay, fully ORACLE-CHECKED: the whole corpus
-    * replayed through [[Pipeline.curateStream]] in three doc_id-ordered
-    * micro-batches. Because arrival order is id order (and within-batch
-    * ties sort by id), streaming's first-qualified-arrival dedup winner
-    * IS batch's min-id winner — so the decision stream must reproduce
-    * the batch `corpus_curate` table exactly, and this query shares its
-    * DuckDB oracle: the hash compare proves batch/stream parity of the
-    * full funnel, state semantics included. */
+  /** Streaming CURATION replay, fully ORACLE-CHECKED: a fixed
+    * [[CurateCap]]-document prefix replayed through
+    * [[Pipeline.curateStream]] in three doc_id-ordered micro-batches.
+    * Because arrival order is id order (and within-batch ties sort by
+    * id), streaming's first-qualified-arrival dedup winner IS batch's
+    * min-id winner — so the decision stream must reproduce the batch
+    * funnel's decisions exactly, and this query runs the batch
+    * `corpus_curate` DuckDB oracle restricted to the same prefix
+    * ([[TextQueries.curateOracleSqlOver]]): the hash compare proves
+    * batch/stream parity of the full funnel, state semantics included.
+    * The cap keeps the driver-side collect constant-size at every sf —
+    * the MemoryStream twin of a Kafka topic, not an engine-path collect
+    * (round-5 verdict #2). */
   def curateReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val sample = Tables.documents(spark, dir)
+      .filter(col("doc_id") < CurateCap)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .collect()
@@ -117,8 +124,9 @@ object StreamReplayQueries {
     // rows-only: SimHash banding uses Spark's xxhash64 (no DuckDB twin);
     // the planted twins guarantee ≥ TwinCap·4 deterministic flag rows
     GQuery("stream_near_dup_replay", nearDupReplay, None),
-    // hash-checked against the BATCH funnel's oracle — see Scaladoc
+    // hash-checked against the BATCH funnel's oracle, restricted to the
+    // replayed prefix — see Scaladoc
     GQuery("stream_curate_replay", curateReplay,
-      Some(TextQueries.curateOracleSql))
+      Some(TextQueries.curateOracleSqlOver(s"WHERE doc_id < $CurateCap")))
   )
 }

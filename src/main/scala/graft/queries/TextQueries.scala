@@ -248,7 +248,14 @@ object TextQueries {
     * id-ordered arrival makes first-qualified-wins ≡ min-id-wins, so
     * the same per-document decisions must fall out of both engines AND
     * both execution modes). */
-  private[queries] lazy val curateOracleSql: String = {
+  private[queries] lazy val curateOracleSql: String = curateOracleSqlOver("")
+
+  /** Same oracle over a restricted document set. The predicate applies to
+    * the SOURCE table (inside the first CTE), not the result: a doc's
+    * `drop_dup` decision depends on which fingerprint twins are in the
+    * curated set, so the streaming replay's capped sample needs the
+    * oracle's dedup window computed over exactly the same cap. */
+  private[queries] def curateOracleSqlOver(where: String): String = {
     val (cols, caseExpr) = duckLangId
     s"""
       WITH h AS (
@@ -257,7 +264,7 @@ object TextQueries {
                CAST(len($duckToks) AS BIGINT) AS n_tokens,
                md5(array_to_string($duckToks, ' ')) AS fp,
                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS hh
-        FROM documents),
+        FROM documents $where),
       scored AS (
         SELECT doc_id, n_tokens, fp, hh,
                $caseExpr AS lang_pred

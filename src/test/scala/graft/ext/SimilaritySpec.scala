@@ -106,6 +106,33 @@ class SimilaritySpec extends SparkSpec {
     inCluster.toDouble / pruned.length should be >= 0.9
   }
 
+  test("knnIvfIndexed: persisted index answers exactly like the in-query build; probe plan pays no centroid aggregation") {
+    val rng = new scala.util.Random(17)
+    val dim = 32
+    val bases = Seq.fill(5)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 8
+    } yield (ci * 100L + j, ci, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val corpusDf = corpus.toDF("vec_id", "label", "embedding")
+    val probesDf = corpus.filter(_._1 % 100 == 0)
+      .map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    val path = s"target/test_ivf_index_${System.nanoTime()}"
+    val persisted = Similarity.buildIvfIndex(corpusDf, path)
+    persisted.count() shouldBe 5 // one centroid per inverted list
+    val indexed = Similarity.knnIvfIndexed(spark, path, probesDf, k = 5, nprobe = 2)
+    key(indexed) shouldBe key(Similarity.knnIvf(corpusDf, probesDf, k = 5, nprobe = 2))
+    // probe-side plan: the centroid build (posexplode + decimal means)
+    // must NOT appear — the index read replaces it
+    val again = Similarity.knnIvfIndexed(spark, path, probesDf, k = 5, nprobe = 2)
+    again.collect()
+    val plan = again.queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "posexplode"
+  }
+
   /** Three well-separated planted clusters, one seed vector from each as
     * the closed-form init (ids 0,1,2 < k): two Lloyd rounds must land
     * every member with its own seed, and assignments must be invariant
