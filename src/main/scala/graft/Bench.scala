@@ -85,10 +85,21 @@ object Bench {
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"bench detail (medians 3dp + spreads): $detailPath")
-    // LAST line: compact, parseable, < ~1500 chars.
+    // full per-query compact medians (2 dp), second-to-last
     val qs2 = results.map { case (k, t) => s"\"$k\":${fmt2(t(t.size / 2))}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
+    // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
+    // target — total + per-family median sums + the detail pointer. The
+    // per-query line above will eventually outgrow the consumer's
+    // ~2000-char stdout tail as the registry grows; this one cannot
+    // (family count is bounded by name prefixes, not registry size).
+    val fams = results
+      .groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"$f\":${fmt2(rs.map(t => t._2(t._2.size / 2)).sum)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
