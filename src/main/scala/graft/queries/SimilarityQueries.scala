@@ -472,7 +472,10 @@ object SimilarityQueries {
     s"""b AS (SELECT vec_id, embedding,
                      ${duckBucket("embedding", planes)} AS bucket
               FROM embeddings),
-      pairs AS (
+      pairs AS MATERIALIZED (
+        -- MATERIALIZED: the recursive emb_dup_groups oracle references
+        -- this twice (both edge directions); inlining re-evaluates the
+        -- bucket self-join — measured 9.2 → ~4 s
         SELECT x.vec_id AS a_id, y.vec_id AS b_id,
                ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
                                             y.embedding::DOUBLE[]), 6) AS cos_sim
