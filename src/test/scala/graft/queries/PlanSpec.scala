@@ -29,6 +29,24 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("knn_ivf_indexed: probe plan prunes list partitions dynamically, no centroid build, no scan-side exchange") {
+    val df = SimilarityQueries.knnIvfIndexedQ(spark, dir)
+    df.collect() // drive AQE to the final plan on this same handle
+    val p = plan(df)
+    // the persisted index replaces the centroid aggregation entirely
+    p should not include "posexplode"
+    // the inverted lists resolve by DYNAMIC partition pruning: the scan's
+    // PartitionFilters must carry the probe-derived subquery, which also
+    // proves the probe side broadcasts (DPP reuses that broadcast) and
+    // the list scan feeds the join with no exchange of the corpus side
+    p should include("dynamicpruningexpression")
+    p should include("BroadcastHashJoin")
+    // index scan reads only (vec_id, embedding) — list id comes from the
+    // directory, text-free fixed-width probe rows come from broadcast
+    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>".r
+      .findFirstIn(p) should not be None
+  }
+
   test("LSH band table: signature barrier exchanges survive and the self-join reuses one") {
     val pairs = graft.ext.Dedup.candidatePairs(
       graft.core.Tables.documents(spark, dir))
