@@ -22,10 +22,15 @@ import graft.ext.Dedup
   *    carries the algorithm's own codegen warm-up — reported so the
   *    cold-start cost stays visible).
   *
-  * `GRAFT_CC_PAIRS=portable|near` picks the `dedup_groups` sample pairs
-  * (default) or the full-corpus verified near-dup pairs. Results (median +
-  * all reps + pair/label counts) print as one JSON line; PERF_NOTES.md
-  * records the A/B table.
+  * `GRAFT_CC_PAIRS=portable|near|family:<k>` picks the `dedup_groups`
+  * sample pairs (default), the full-corpus verified near-dup pairs, or a
+  * self-generated k×-scaled dup-family CLIQUE edge set (ids replicated k
+  * times off sf docs, every copy paired with every family member —
+  * C(k,2)·families edges, the verified-pair topology at k-fold
+  * duplication; family:30 ≈ 2.2M edges at sf0.1, well above the
+  * driver-finish bound, so star and min-label get a distributed-regime
+  * A/B too). Results (median + all reps + pair/label counts) print as
+  * one JSON line; PERF_NOTES.md records the A/B table.
   */
 object CcBench {
   def main(args: Array[String]): Unit = {
@@ -46,6 +51,18 @@ object CcBench {
     val rawPairs = pairsName match {
       case "near" => Dedup.nearDupPairs(Tables.documents(spark, sfDir), 0.7)
         .select("a_id", "b_id")
+      case f if f.startsWith("family:") =>
+        import org.apache.spark.sql.functions._
+        val k = f.stripPrefix("family:").toInt
+        val base = Tables.documents(spark, sfDir).select("doc_id")
+        val n = base.count()
+        val fams = base
+          .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+          .select((col("doc_id") + col("__i") * lit(n)).as("doc_id"),
+            col("doc_id").as("__f"))
+        fams.as("x").join(fams.as("y"),
+            col("x.__f") === col("y.__f") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       case _ => queries.DedupQueries.portablePairsFor(spark, sfDir)
     }
     val pairs = rawPairs.localCheckpoint() // eager: LSH runs here, untimed

@@ -35,6 +35,16 @@ object ScaleBench {
     }.sorted.apply(reps / 2)
   }
 
+  /** For operators that run EAGER jobs during construction (connected
+    * components executes its rounds before returning): rebuild the frame
+    * inside the timer, else the measured exec is only the final join. */
+  private def timeOpFull(df: => DataFrame, reps: Int = 3): Double = {
+    exec(df) // warm (full build + exec)
+    (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); exec(df); (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(reps / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,30")
@@ -145,6 +155,24 @@ object ScaleBench {
         val sec = timeOp(op())
         val usPerDoc = sec * 1e6 / nd
         println(f"""{"metric":"scale","op":"$name","scale":$k,"docs":$nd,"sec":$sec%.3f,"us_per_doc":$usPerDoc%.2f}""")
+      }
+
+      // Connected components over the dup-family clique edge set (every
+      // copy pairs with every other in its family — C(k,2) edges per
+      // family, the exact pair topology the verified near-dup stage
+      // emits here). The HYBRID's two regimes both get measured: 10×
+      // (~225k edges) finishes driver-side under the 500k bound,
+      // 30×/100× (~2.2M/24.7M edges) run distributed star contraction.
+      // Edge construction is an equi-join on the family key (fixed-width
+      // longs) and is included in the timed build, as in a real pipeline.
+      if (k > 1) {
+        val fams = docs.select(col("doc_id"), pmod(col("doc_id"), lit(n)).as("__f"))
+        def pairs = fams.as("x").join(fams.as("y"),
+            col("x.__f") === col("y.__f") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        val nEdges = nd / n * (nd / n - 1) / 2 * n
+        val sec = timeOpFull(Dedup.connectedComponents(pairs), reps = 1)
+        println(f"""{"metric":"scale","op":"cc_groups","scale":$k,"docs":$nd,"edges":$nEdges,"sec":$sec%.3f,"us_per_doc":${sec * 1e6 / nd}%.2f}""")
       }
     }
     spark.stop()
