@@ -71,15 +71,16 @@ object CcBench {
     // star/minlabel force the DISTRIBUTED paths (driver-finish off) —
     // that's the A/B the default choice rests on; "hybrid" measures the
     // shipped defaults (driver union-find below the edge bound)
+    val checkEvery = sys.env.getOrElse("GRAFT_CC_CHECKEVERY", "3").toInt
     val run: () => Unit = algoName match {
       case "minlabel" => () =>
         exec(Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.MinLabel,
-          driverFinishEdges = 0L))
+          checkEvery = checkEvery, driverFinishEdges = 0L))
       case "hybrid" => () =>
         exec(Dedup.connectedComponents(pairs))
       case _ => () =>
         exec(Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.StarContraction,
-          driverFinishEdges = 0L))
+          checkEvery = checkEvery, driverFinishEdges = 0L))
     }
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()

@@ -242,11 +242,13 @@ object Dedup {
     if (small) ccDriverFinish(base)
     else algo match {
       case CcAlgo.MinLabel => ccMinLabelFrom(base, maxIters, checkEvery)
-      // star gets per-round probes regardless of checkEvery: its rounds
-      // are stage-heavy (4 shuffles each) while a probe is one cheap
-      // full-outer join, so a batch's wasted post-fixpoint rounds cost
-      // more than the probe jobs it saves (measured: batching at 2-3
-      // ADDED ~1 s/query at sf0.1). ccStar keeps the batching knob for
+      // star gets per-round probes regardless of checkEvery, measured in
+      // BOTH regimes: at tiny edge counts batching 2-3 ADDED ~1 s/query
+      // (sf0.1, round 5), and at 2.2M edges CcBench measured 8.1 s
+      // (per-round) vs 10.8 s (batch 2) vs 18.4 s (batch 3) — dup
+      // topologies converge in ~2 composite rounds, so a batch's wasted
+      // post-fixpoint rounds (6 shuffle stages each) always cost more
+      // than the probe they skip. ccStar keeps the batching knob for
       // deployments where driver→cluster job latency dominates stages.
       case CcAlgo.StarContraction => ccStarFrom(base, maxIters, checkEvery = 1)._1
     }
