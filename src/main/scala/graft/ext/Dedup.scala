@@ -250,7 +250,12 @@ object Dedup {
       // post-fixpoint rounds (6 shuffle stages each) always cost more
       // than the probe they skip. ccStar keeps the batching knob for
       // deployments where driver→cluster job latency dominates stages.
-      case CcAlgo.StarContraction => ccStarFrom(base, maxIters, checkEvery = 1)._1
+      // The bound also rides along as the mid-loop endgame cutover: once
+      // contraction shrinks the edge set under it, the remaining rounds
+      // collapse into the driver union-find.
+      case CcAlgo.StarContraction =>
+        ccStarFrom(base, maxIters, checkEvery = 1,
+          cutoverEdges = driverFinishEdges)._1
     }
   }
 
@@ -261,10 +266,31 @@ object Dedup {
     * bound: one collect (≤ 16 bytes × bound), union-by-min-root with path
     * halving (component = min id falls straight out of the root), labels
     * returned as a local relation every downstream join broadcasts.
-    * `base` stays cached — it backs the returned node list. */
+    * `base` includes self-pairs, so every endpoint gets a label row. */
   private def ccDriverFinish(base: DataFrame): DataFrame = {
     val spark = base.sparkSession
-    val es = base.select(col("u").cast("long"), col("v").cast("long"))
+    import spark.implicits._
+    spark.createDataset(collectUnionFind(base).toIndexedSeq)
+      .toDF("id", "component")
+  }
+
+  /** Mid-loop endgame finish: union-find over the CONTRACTED edge set,
+    * labels joined back to the FULL original node list (isolated or
+    * self-paired nodes label as themselves). Components over any
+    * intermediate star edge set equal components over the original
+    * non-isolated nodes — see [[ccStarFrom]]. */
+  private def ccDriverFinishOver(base: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val mapDf = spark.createDataset(collectUnionFind(edges).toIndexedSeq)
+      .toDF("id", "component")
+    base.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+      .join(broadcast(mapDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  private def collectUnionFind(edgeDf: DataFrame): Array[(Long, Long)] = {
+    val es = edgeDf.select(col("u").cast("long"), col("v").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = new java.util.HashMap[Long, Long](es.length * 2)
     def find(x0: Long): Long = {
@@ -295,8 +321,7 @@ object Dedup {
       labels(i) = (id, find(id))
       i += 1
     }
-    import spark.implicits._
-    spark.createDataset(labels.toIndexedSeq).toDF("id", "component")
+    labels
   }
 
   private def ccMinLabelFrom(base: DataFrame, maxIters: Int, checkEvery: Int): DataFrame = {
@@ -408,9 +433,21 @@ object Dedup {
   /** The contraction loop over a pre-oriented, deduplicated, checkpointed
     * edge base (self-pairs included — they keep isolated endpoints
     * labelled). `base` stays cached: it backs the returned plan (see
-    * class doc on the one-frame-per-call residue). */
+    * class doc on the one-frame-per-call residue).
+    *
+    * `cutoverEdges` > 0 enables the mid-loop ENDGAME: the convergence
+    * probe also counts the contracted edge set (same job — the probe is
+    * a full-outer join of next vs prev, so |next| is one more aggregate
+    * over it), and once it shrinks under the bound the remaining rounds
+    * are replaced by the driver union-find. Sound because neither star
+    * round ever drops a node from the edge set (a node's smaller
+    * neighbours re-emit it from largeStar, its own min-row keeps it in
+    * smallStar), so components over any intermediate edge set equal
+    * components over the original restricted to non-isolated nodes —
+    * the same invariant the fixpoint label extraction relies on. */
   private def ccStarFrom(base: DataFrame, maxIters: Int,
-                         checkEvery: Int): (DataFrame, Int) = {
+                         checkEvery: Int,
+                         cutoverEdges: Long = 0L): (DataFrame, Int) = {
     var edges = base.filter(col("u") =!= col("v"))
     var prevCkpt: DataFrame = null
     var converged = false
@@ -443,7 +480,11 @@ object Dedup {
       // ONE probe job per round (it also materializes the lazy
       // checkpoint) — the two exceptAll probes this replaces cost a
       // second job per round, pure driver round-trip latency at test
-      // scale and a second full shuffle of both edge sets at 100 TB.
+      // scale and a second full shuffle of both edge sets at 100 TB. The
+      // limit(1) matters: an unchanged round is the RARE case, so the
+      // probe short-circuits after the first mismatching row instead of
+      // iterating the full join output (replacing it with a counting
+      // aggregate measured 50 s vs 20 s on the 24.75M-edge CcBench set).
       val prev = edges.select(col("u").as("pu"), col("v").as("pv"))
       converged = next.join(prev,
           col("u") === col("pu") && col("v") === col("pv"), "full_outer")
@@ -454,6 +495,15 @@ object Dedup {
       prevCkpt = edges
       edges = next
       iter += rounds
+      if (!converged && cutoverEdges > 0 &&
+          edges.count() <= cutoverEdges) {
+        // endgame: the contracted edge set no longer needs a cluster.
+        // The count is a near-free second job — `edges` is the checkpoint
+        // the probe just materialized, so it sums cached block counts.
+        val labels = ccDriverFinishOver(base, edges)
+        unpersistCkpt(edges)
+        return (labels, iter)
+      }
     }
     if (prevCkpt != null) unpersistCkpt(prevCkpt)
     if (!converged)

@@ -132,6 +132,19 @@ class DedupSpec extends SparkSpec {
         algo = Dedup.CcAlgo.MinLabel, driverFinishEdges = 0L)
   }
 
+  test("star mid-loop endgame: cutover below the bound labels a chain exactly") {
+    // 200-node chain = 199 oriented edges: above a bound of 150, so the
+    // pre-check takes the distributed path; after one star round the
+    // contracted set is under the bound and the endgame union-find must
+    // finish it — labels identical to the pure distributed run
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val expect = (1L to 200L).map(_ -> 1L).toMap
+    Dedup.connectedComponents(chain, driverFinishEdges = 150L)
+      .as[(Long, Long)].collect().toMap shouldBe expect
+    Dedup.connectedComponents(chain, driverFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap shouldBe expect
+  }
+
   test("star contraction and driver-finish: same components, incl. cycle and self-pair") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L), (30L, 30L)).toDF("a_id", "b_id")
