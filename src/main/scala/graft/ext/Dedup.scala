@@ -561,7 +561,8 @@ object Dedup {
     * map-side in the same stage: the shuffle carries 64 longs per doc.
     * `explode_outer` keeps empty documents (null hash votes −1 on every
     * bit, so they fingerprint to 0L exactly like the fold form). */
-  def simhashTable(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def simhashTable(docs: DataFrame, idCol: String = "doc_id",
+                   hashFn: Column => Column = tokenHashes): DataFrame = {
     val sums = (0 until 64).map { i =>
       sum(when(col("__h").bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)).as(s"__b$i")
     }
@@ -569,7 +570,7 @@ object Dedup {
       .map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
     docs
-      .select(col(idCol), explode_outer(tokenHashes(Text.tokens(col("text")))).as("__h"))
+      .select(col(idCol), explode_outer(hashFn(Text.tokens(col("text")))).as("__h"))
       .groupBy(col(idCol))
       .agg(sums.head, sums.tail: _*)
       .select(col(idCol), bits.as("simhash"))

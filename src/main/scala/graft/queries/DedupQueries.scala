@@ -248,6 +248,22 @@ object DedupQueries {
       Dedup.rebalance(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id"))
       .orderBy("doc_id")
 
+  /** The portable twin of [[simhashQ]]: the SAME 64-bit-vote SimHash
+    * fold ([[Dedup.simhash64]]) over engine-neutral md5-prefix token
+    * hashes (60 effective bits — the top 4 vote −n per doc and land 0 in
+    * both engines), so DuckDB recomputes the fingerprint bit-for-bit and
+    * the hash compare proves the bit-vote logic end to end. With this,
+    * `dedup_simhash`'s residual rows-only risk is confined to the
+    * xxhash64-vs-md5 token-hash choice, same as the LSH family. */
+  def simhashPortableQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashTable(
+      Dedup.rebalance(
+        Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
+          .select(col("doc_id"), col("text")), "doc_id"),
+      hashFn = toks => transform(toks,
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      .orderBy("doc_id")
+
   /** Deterministic stratified sampling: keep a doc iff an engine-neutral
     * hash of its id (md5-prefix mod 100 — the same portable-hash recipe
     * as the LSH twin) lands under the rate. Per-source stats plus the
@@ -369,6 +385,20 @@ object DedupQueries {
     GQuery("dedup_groups_star", groupsPortableStar, Some(groupsOracleSql)),
     GQuery("dedup_groups_minlabel", groupsPortableMinLabel, Some(groupsOracleSql)),
     GQuery("dedup_simhash", simhashQ, None),
+    // the same 64-bit-vote fold over engine-neutral md5 token hashes —
+    // DuckDB rebuilds every fingerprint bit-for-bit
+    GQuery("dedup_simhash_portable", simhashPortableQ, Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform($duckToks, t ->
+                 ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hm
+        FROM documents WHERE doc_id < $PortableCap)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 64), i ->
+               CASE WHEN coalesce(list_sum(list_transform(hm,
+                      x -> CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      FROM h ORDER BY doc_id""")),
     GQuery("dedup_near_groups", nearGroups, None),
     // the full near-dup pipeline (candidates → Jaccard verify → CC)
     // hash-proved with engine-neutral hashing — see nearGroupsPortable
