@@ -202,6 +202,36 @@ object Parity {
         col("event_type"), col("cnt"))
       .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
 
+  /** [[rollupMinuteType]]'s CUBE sibling: all four grouping sets of
+    * (minute, type) in one pass — the remaining OLAP grouping shape. The
+    * plan is a single Expand + hash aggregate, so at scale it costs one
+    * extra pass over the (tiny) aggregate, not extra scans. */
+  def cubeMinuteType(spark: SparkSession, dir: String): DataFrame =
+    WindowAgg.withMinute(Tables.events(spark, dir))
+      .cube(col("minute"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** Distribution window functions over the minute series: per-type
+    * quartile bucket (`ntile`) and `percent_rank` of each minute by its
+    * count — the remaining rank-family shapes (`row_number`/`rank` ride
+    * in `top_types_per_minute`, `lag` in the deltas pair). The inner
+    * ORDER BY is total (cnt, then minute), so both engines assign
+    * identical ranks; percent_rank is an exact small-integer ratio, so
+    * the double compares clean. */
+  def minuteNtile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("cnt"), col("window_start"))
+    WindowAgg.minuteTypeCounts(Tables.events(spark, dir), "event_type")
+      .select(minuteStr("minute"), col("event_type"), col("cnt"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy("event_type", "window_start")
+  }
+
   /** §2.6 ranking window function: top-3 types per minute by count (the
     * dashboard's per-minute leaderboard shape). */
   def topTypesPerMinute(spark: SparkSession, dir: String): DataFrame = {
@@ -394,6 +424,20 @@ object Parity {
       FROM (SELECT $duckMinute AS window_start, event_type FROM events)
       GROUP BY ROLLUP (window_start, event_type)
       ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
+    GQuery("cube_minute_type", cubeMinuteType, Some(s"""
+      SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT $duckMinute AS window_start, event_type FROM events)
+      GROUP BY CUBE (window_start, event_type)
+      ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""")),
+    GQuery("minute_ntile", minuteNtile, Some(s"""
+      SELECT window_start, event_type, cnt,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             percent_rank() OVER w AS pct_rank
+      FROM (SELECT $duckMinute AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2)
+      WINDOW w AS (PARTITION BY event_type ORDER BY cnt, window_start)
+      ORDER BY event_type, window_start""")),
     GQuery("top_types_per_minute", topTypesPerMinute, Some(s"""
       SELECT window_start, event_type, cnt, rk FROM (
         SELECT $duckMinute AS window_start, event_type,
