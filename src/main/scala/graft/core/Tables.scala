@@ -49,10 +49,17 @@ object Tables {
 
   /** Register every table as a temp view so queries can be authored in
     * pure SQL (`spark.sql`). Idempotent per session+dir. */
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    events(spark, dir).createOrReplaceTempView("events")
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-      "region", "documents", "embeddings")
-      .foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
-  }
+  private val viewsFor =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Idempotent per (session, dir): re-registering costs ~0.5 s of
+    * driver-side parquet footer reads per call, which dominated the
+    * repeated `sql_flagship` bench reps. Switching dirs re-registers. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    if (viewsFor.put(spark, dir) != dir) {
+      events(spark, dir).createOrReplaceTempView("events")
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings")
+        .foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+    }
 }
