@@ -94,11 +94,12 @@ object CcBench {
     spark.stop()
   }
 
-  /** Labels frames returned by CC stay cached (they back the result);
-    * count() executes the full label plan, then the checkpoint cache is
-    * freed so reps don't accumulate storage. */
+  /** Labels frames returned by CC keep their backing checkpoints cached
+    * (the one-frame-per-call residue); free every reachable one after
+    * the noop write so reps measure the algorithm, not accumulating
+    * storage pressure. */
   private def exec(labels: org.apache.spark.sql.DataFrame): Unit = {
     labels.write.format("noop").mode("overwrite").save()
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(labels)
+    org.apache.spark.sql.GraftColumnBridge.unpersistReachableLocalCheckpoints(labels)
   }
 }
