@@ -27,6 +27,7 @@ object StreamReplayQueries {
   private val ReplayCap = 200L // originals replayed, split over two chunks
   private val TwinCap = 50L    // exact-text twins replayed in a third chunk
   private val CurateCap = 600L // docs through the curation replay (3 chunks)
+  private val FlagshipCap = 4000L // events through the flagship replay
 
   private val runId = new AtomicInteger(0)
 
@@ -120,6 +121,51 @@ object StreamReplayQueries {
       .orderBy("doc_id")
   }
 
+  /** The FLAGSHIP aggregate replayed through the real Structured
+    * Streaming pipeline ([[Pipeline.flagship]]: watermark → 1-minute
+    * window → count → scaled_count), fully ORACLE-CHECKED: a fixed
+    * [[FlagshipCap]] event-id prefix is fed in timestamp order over
+    * three micro-batches into a complete-mode memory sink, so the final
+    * table must equal the batch flagship aggregate over the same events
+    * — the driver's hash gate then covers the core streaming aggregate's
+    * cross-batch state, not just StreamingSpec. Complete mode makes the
+    * result chunk-boundary-independent; the id-prefix cap keeps the
+    * driver collect constant-size at every sf. */
+  def flagshipReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sample = Tables.events(spark, dir)
+      .filter(col("event_id") < FlagshipCap)
+      .select(col("user_id").cast("string"), col("event_type"), col("ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .collect()
+      .sortBy(_._3.getTime)
+    val per = math.max(1, sample.length / 3 + 1)
+    val chunks = sample.grouped(per).toSeq
+
+    val source = MemoryStream[(String, String, java.sql.Timestamp)]
+    val agg = Pipeline.flagship(
+      source.toDF().toDF("user_id", "emoji_type", "event_time"))
+    val table = s"replay_flagship_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(table)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("emoji_type"), col("scaled_count"))
+      .orderBy("window_start", "emoji_type")
+  }
+
   val queries: Seq[GQuery] = Seq(
     // rows-only: SimHash banding uses Spark's xxhash64 (no DuckDB twin);
     // the planted twins guarantee ≥ TwinCap·4 deterministic flag rows
@@ -127,6 +173,15 @@ object StreamReplayQueries {
     // hash-checked against the BATCH funnel's oracle, restricted to the
     // replayed prefix — see Scaladoc
     GQuery("stream_curate_replay", curateReplay,
-      Some(TextQueries.curateOracleSqlOver(s"WHERE doc_id < $CurateCap")))
+      Some(TextQueries.curateOracleSqlOver(s"WHERE doc_id < $CurateCap"))),
+    // hash-checked against the batch flagship aggregate over the same
+    // event prefix — the streaming core's driver-gate proof
+    GQuery("stream_flagship_replay", flagshipReplay, Some(s"""
+      SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type AS emoji_type,
+             CAST(CASE WHEN count(*) <= 1000 THEN 1.0
+                       ELSE count(*) / 1000.0 END AS DOUBLE) AS scaled_count
+      FROM events WHERE event_id < $FlagshipCap
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
