@@ -79,6 +79,19 @@ object JoinQueries {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy("c_mktsegment")
 
+  /** Left semi join — the anti join's positive twin: customers with at
+    * least one urgent order, counted per segment. Semi joins matter at
+    * scale because the probe side never materializes order columns —
+    * the build side reduces to a custkey existence set. */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
   /** Set ops over (event_type, hour) activity pairs of two user cohorts:
     * EXCEPT (in cohort 0's activity, not cohort 1's) and INTERSECT counts
     * — DISTINCT set semantics on both engines. */
@@ -122,6 +135,13 @@ object JoinQueries {
       FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      GROUP BY 1 ORDER BY 1""")),
+    GQuery("join_semi_customers", customersWithUrgentOrders, Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
       GROUP BY 1 ORDER BY 1""")),
     GQuery("set_ops_types", eventTypeSetOps, Some("""
       WITH b0 AS (SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS h
