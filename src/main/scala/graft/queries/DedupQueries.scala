@@ -238,11 +238,12 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific hash);
-    * [[Dedup.simhashTable]]'s explode+aggregate plan, equivalence with
-    * the fold form asserted in DedupSpec. Rebalanced by id first for the
-    * same reason as [[Dedup.bandTable]]: the hash stage is CPU-bound and
-    * must not inherit the scan's split skew. */
+  /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific
+    * xxhash token hashes); the bit-vote logic is hash-proved by
+    * [[simhashPortableQ]], and table≡fold equivalence by DedupSpec.
+    * Rebalanced by id first for the same reason as [[Dedup.bandTable]]:
+    * the hash stage is CPU-bound and must not inherit the scan's split
+    * skew. */
   def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashTable(
       Dedup.rebalance(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id"))
