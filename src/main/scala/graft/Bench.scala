@@ -16,18 +16,41 @@ import graft.core.Tables
   *  - each query runs SPARK_GRAFT_REPS times (default 3) and reports the
   *    MEDIAN, with per-query min/max spread in the JSON — single-shot
   *    numbers varied ~2× run-to-run, making round deltas meaningless
-  *    (round-2 verdict fix).
+  *    (round-2 verdict fix);
+  *  - reps are INTERLEAVED (round-6 verdict fix #1): the run is
+  *    structured as `reps` full passes over the registry, each pass in a
+  *    different deterministic shuffle order, so an external load burst
+  *    lands on a different query set in every pass instead of sitting on
+  *    one alphabetical block (the round-6 "d-block" artifact). Per-rep
+  *    wall-times and a 1-min system loadavg sample taken immediately
+  *    before each execution go into BENCH_DETAIL.json, so a contended
+  *    rep is attributable from the artifact alone.
+  *
+  * Evidence-vs-engine split (round-6 verdict fix #2): queries in
+  * `EvidenceQueries` exist to keep A/B evidence honest (they pin
+  * deliberately pessimized code paths, e.g. the pure-distributed CC
+  * twins with `driverFinishEdges=0`) and are DESIGNED to lose to the
+  * shipped defaults. They still run and stay in CORRECTNESS, but they
+  * are priced separately: the headline `value` is the ENGINE total and
+  * `evidence_sec` carries their sum, grouped under an "evidence" family.
   *
   * SPARK_GRAFT_QUERIES=a,b,c restricts the set (local iteration only;
   * the driver runs the full registry).
   *
   * Output contract (round-4 verdict fix): the consumer keeps only a
   * ~2000-char TAIL of stdout, so the LAST line is a compact summary —
-  * total + per-query medians at 2 dp, no spreads — kept under ~1500
-  * chars. Full 3-dp medians + min/max spreads go to `BENCH_DETAIL.json`
-  * in the working directory (path echoed on the line before last).
+  * engine total + per-family median sums at 2 dp + loadavg range — kept
+  * well under ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
+  * times, per-rep load samples, and per-pass run order go to
+  * `BENCH_DETAIL.json` in the working directory (path echoed earlier).
   */
 object Bench {
+
+  /** Deliberately pessimized A/B pin twins — correctness evidence, not
+    * engine pricing. See Scaladoc above and DedupQueries (driverFinishEdges=0
+    * pins). */
+  val EvidenceQueries: Set[String] = Set("dedup_groups_star", "dedup_groups_minlabel")
+
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -60,46 +83,78 @@ object Bench {
     // checkpoint, and any log line after the final JSON line would
     // pollute the consumer's stdout tail
     spark.sparkContext.setLogLevel("ERROR")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val nq = queries.size
     try exec(SparkEntry.queries("flagship")(spark, sfDir)) // warm-up, untimed
     catch { case _: Throwable => () }
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
+
+    // reps × full-registry passes; each pass a different seeded shuffle.
+    // times/loads are indexed [query][rep] in PASS order (rep 0 first) —
+    // NOT sorted — so the detail file shows what happened when.
+    val times = Array.fill(nq, reps)(0.0)
+    val loads = Array.fill(nq, reps)(0.0)
+    val passOrder: IndexedSeq[Seq[Int]] = (0 until reps).map { r =>
+      new scala.util.Random(0xC0FFEE + r).shuffle((0 until nq).toList)
     }
-    val total = results.map(_._2(reps / 2)).sum
+    for (r <- 0 until reps; i <- passOrder(r)) {
+      val (_, fn) = queries(i)
+      loads(i)(r) = osBean.getSystemLoadAverage
+      val t0 = System.nanoTime()
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      times(i)(r) = (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(ts: Array[Double]): Double = ts.sorted.apply(ts.length / 2)
+    val results = queries.zipWithIndex.map { case ((name, _), i) => (name, times(i), loads(i)) }
+    val engineResults = results.filterNot(r => EvidenceQueries.contains(r._1))
+    val engineTotal = engineResults.map(r => median(r._2)).sum
+    val evidenceSec = results.filter(r => EvidenceQueries.contains(r._1)).map(r => median(r._2)).sum
+    val allLoads = loads.flatten.filter(_ >= 0).sorted
+    val loadRange =
+      if (allLoads.isEmpty) "[-1,-1,-1]"
+      else s"[${fmt2(allLoads.head)},${fmt2(allLoads(allLoads.length / 2))},${fmt2(allLoads.last)}]"
+
     val detail = {
-      val qs = results.map { case (k, t) => s"\"$k\":${fmt(t(t.size / 2))}" }
+      val qs = results.map { case (k, t, _) => s"\"$k\":${fmt(median(t))}" }
         .mkString("{", ",", "}")
       val spread = results
-        .map { case (k, t) => s"\"$k\":[${fmt(t.head)},${fmt(t.last)}]" }
+        .map { case (k, t, _) => s"\"$k\":[${fmt(t.min)},${fmt(t.max)}]" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      val perRep = results
+        .map { case (k, t, _) => s"\"$k\":[${t.map(fmt).mkString(",")}]" }
+        .mkString("{", ",", "}")
+      val perLoad = results
+        .map { case (k, _, l) => s"\"$k\":[${l.map(fmt2).mkString(",")}]" }
+        .mkString("{", ",", "}")
+      val orderJson = passOrder
+        .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(engineTotal)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"bench detail (medians 3dp + spreads): $detailPath")
+    println(s"bench detail (medians 3dp + spreads + per-rep times/loads + pass order): $detailPath")
     // full per-query compact medians (2 dp), second-to-last
-    val qs2 = results.map { case (k, t) => s"\"$k\":${fmt2(t(t.size / 2))}" }
+    val qs2 = results.map { case (k, t, _) => s"\"$k\":${fmt2(median(t))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
     // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
-    // target — total + per-family median sums + the detail pointer. The
-    // per-query line above will eventually outgrow the consumer's
-    // ~2000-char stdout tail as the registry grows; this one cannot
-    // (family count is bounded by name prefixes, not registry size).
+    // target — engine total + evidence total + per-family median sums +
+    // loadavg [min,med,max] + the detail pointer. The per-query line
+    // above will eventually outgrow the consumer's ~2000-char stdout
+    // tail as the registry grows; this one cannot (family count is
+    // bounded by name prefixes, not registry size).
     val fams = results
-      .groupBy { case (k, _) => k.takeWhile(_ != '_') }
+      .groupBy { case (k, _, _) =>
+        if (EvidenceQueries.contains(k)) "evidence" else k.takeWhile(_ != '_')
+      }
       .toSeq.sortBy(_._1)
-      .map { case (f, rs) => s"\"$f\":${fmt2(rs.map(t => t._2(t._2.size / 2)).sum)}" }
+      .map { case (f, rs) => s"\"$f\":${fmt2(rs.map(r => median(r._2)).sum)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${results.size},"interleaved":true,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
