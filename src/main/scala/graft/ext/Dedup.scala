@@ -192,12 +192,19 @@ object Dedup {
     *
     * Execution is HYBRID (round-5 verdict #1): the pair list is oriented
     * (larger endpoint first) and deduplicated once, then
-    *  - if the edge count is ≤ `driverFinishEdges`, a driver-side
-    *    union-find labels the graph in ONE collect + one broadcast-joined
-    *    local relation — no iterative rounds at all. Contraction endgames
-    *    and test-scale graphs both land here; the bound is explicit and
-    *    the collect is provably ≤ 16·bound bytes.
+    *  - if the edge-set row count — self-pairs INCLUDED, because the
+    *    driver finish collects all of them — is ≤ `driverFinishEdges`, a
+    *    driver-side union-find labels the graph in ONE collect + one
+    *    broadcast-joined local relation — no iterative rounds at all.
+    *    Contraction endgames and test-scale graphs both land here; the
+    *    bound is explicit and the collect is provably ≤ 16·bound bytes
+    *    (the gate counts exactly the rows collected).
     *  - otherwise the distributed `algo` runs (star contraction default).
+    *
+    * The driver finish holds ids as longs, so it (and the star endgame
+    * cutover) engages only when BOTH id columns are integral; any other
+    * orderable id type (e.g. string fingerprints) runs the distributed
+    * path end-to-end, which never narrows the type.
     *
     * Scale notes (shared by both distributed algorithms):
     *  - per-round cost is equi-join + partial aggregate — never all-pairs;
@@ -220,9 +227,7 @@ object Dedup {
     *    non-convergence beats silently wrong groups.
     *
     * Returns (id, component) for every endpoint appearing in `pairs`;
-    * `component` is the smallest id in the node's component. Ids must be
-    * integral (they are compared, min-reduced, and — on the driver-finish
-    * path — held as longs).
+    * `component` is the smallest id in the node's component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
                           bCol: String = "b_id", maxIters: Int = 25,
@@ -237,8 +242,24 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
       .distinct()
       .localCheckpoint(false)
-    val small = driverFinishEdges > 0 &&
-      base.filter(col("u") =!= col("v")).count() <= driverFinishEdges
+    // driver finish requires integral ids (collected as longs); anything
+    // else — string fingerprints, decimals — stays distributed, where the
+    // algorithms only compare and min-reduce.
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(aCol, bCol).forall { c =>
+        pairs.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
+    }
+    // gate on base.count() — self-pairs INCLUDED — because that is the
+    // exact row set ccDriverFinish collects; filtering self-pairs here
+    // made the "collect ≤ 16·bound bytes" claim false for inputs with
+    // many isolated (self-paired) endpoints.
+    val small = integralIds && driverFinishEdges > 0 &&
+      base.count() <= driverFinishEdges
     if (small) ccDriverFinish(base)
     else algo match {
       case CcAlgo.MinLabel => ccMinLabelFrom(base, maxIters, checkEvery)
@@ -255,7 +276,7 @@ object Dedup {
       // collapse into the driver union-find.
       case CcAlgo.StarContraction =>
         ccStarFrom(base, maxIters, checkEvery = 1,
-          cutoverEdges = driverFinishEdges)._1
+          cutoverEdges = if (integralIds) driverFinishEdges else 0L)._1
     }
   }
 
@@ -270,8 +291,14 @@ object Dedup {
   private def ccDriverFinish(base: DataFrame): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
-    spark.createDataset(collectUnionFind(base).toIndexedSeq)
-      .toDF("id", "component")
+    val labels = collectUnionFind(base)
+    // the returned frame is a pure local relation with no reference back
+    // to `base`, so the edge-set checkpoint (materialized by the gate's
+    // count, collected just above) is dead — free it here, or every
+    // connectedComponents call on this default path leaks one cached RDD
+    // for the JVM's lifetime.
+    unpersistCkpt(base)
+    spark.createDataset(labels.toIndexedSeq).toDF("id", "component")
   }
 
   /** Mid-loop endgame finish: union-find over the CONTRACTED edge set,
@@ -500,8 +527,13 @@ object Dedup {
         // endgame: the contracted edge set no longer needs a cluster.
         // The count is a near-free second job — `edges` is the checkpoint
         // the probe just materialized, so it sums cached block counts.
+        // The union-find collect inside ccDriverFinishOver is eager, so
+        // both the contracted set and the loop's previous checkpoint are
+        // dead on return (the early return otherwise skips the loop-exit
+        // prevCkpt unpersist — the round-6 advisor leak).
         val labels = ccDriverFinishOver(base, edges)
         unpersistCkpt(edges)
+        if (prevCkpt != null) unpersistCkpt(prevCkpt)
         return (labels, iter)
       }
     }

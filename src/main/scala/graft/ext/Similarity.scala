@@ -160,6 +160,13 @@ object Similarity {
     * nlists rows" from a filter into directory pruning the scan never
     * opens. Returns the centroid table as re-read from the index (so
     * callers verify exactly what was persisted). */
+  /** Top-level completion marker, written strictly AFTER both index
+    * artifacts: readiness checks must gate on this (not on
+    * `centroids/_SUCCESS`, which exists as soon as the FIRST write lands
+    * — a crash between the two writes would otherwise leave a half-built
+    * index that looks complete forever). */
+  val IndexCompleteMarker = "_GRAFT_INDEX_COMPLETE"
+
   def buildIvfIndex(corpus: DataFrame, indexPath: String,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     listCol: String = "label"): DataFrame = {
@@ -167,12 +174,25 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
     corpus.select(col(idCol), col(vecCol), col(listCol))
       .write.mode("overwrite").partitionBy(listCol).parquet(s"$indexPath/lists")
+    // Hadoop FS, not java.io: the index path may be HDFS/S3 at scale
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IndexCompleteMarker")
+    val fs = marker.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
 
   /** IVF search against a [[buildIvfIndex]] index: identical semantics
     * (and oracle) to [[knnIvf]], but the centroid build is a 2-file read
-    * and the inverted lists resolve by partition pruning. */
+    * and the inverted lists resolve by partition pruning.
+    *
+    * SCALE ASSUMPTION — probe side is BROADCAST on this path: dynamic
+    * partition pruning of the list directories requires the probe→list
+    * frame on the build side of a broadcast join, so the probe set must
+    * fit the broadcast limit (spark.sql.maxBroadcastTableSize, 8 GB
+    * hard cap). That is the right trade for an index lookup — probes are
+    * queries, not a second corpus — but for probe sets of corpus scale,
+    * batch the probes or use [[knnIvf]], whose join strategy is
+    * planner-chosen. */
   def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     probes: DataFrame, k: Int, nprobe: Int = 2,
                     idCol: String = "vec_id", vecCol: String = "embedding",
@@ -180,7 +200,7 @@ object Similarity {
     ivfSearch(spark.read.parquet(s"$indexPath/centroids"),
       spark.read.parquet(s"$indexPath/lists")
         .select(col(idCol), col(vecCol), col(listCol)),
-      probes, k, nprobe, idCol, vecCol, listCol)
+      probes, k, nprobe, idCol, vecCol, listCol, broadcastProbes = true)
 
   /** The IVF probe stage over a (centroids, inverted-lists) pair:
     * probe → nprobe nearest centroids via the bounded heap (the centroid
@@ -191,7 +211,7 @@ object Similarity {
     * the final shuffle instead of a full per-probe candidate sort. */
   private def ivfSearch(cent: DataFrame, lists: DataFrame, probes: DataFrame,
                         k: Int, nprobe: Int, idCol: String, vecCol: String,
-                        listCol: String): DataFrame = {
+                        listCol: String, broadcastProbes: Boolean = false): DataFrame = {
     val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .crossJoin(broadcast(cent))
       .groupBy("probe_id")
@@ -201,11 +221,14 @@ object Similarity {
           cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
       .select(col("probe_id"), col("__pv"), explode(col("__top")).as("__t"))
       .select(col("probe_id"), col("__pv"), col("__t.id").as(listCol))
-    // broadcast the tiny probe→list frame: the list scan stays on the
-    // probe side of a broadcast join, which is what lets dynamic
-    // partition pruning skip unselected list directories on the indexed
-    // path (and costs nothing on the in-query path)
-    lists.join(broadcast(probed), listCol)
+    // indexed path: FORCE the probe→list frame broadcast — the list scan
+    // must sit on the streaming side of a broadcast join for dynamic
+    // partition pruning to skip unselected list directories. In-query
+    // path: leave the strategy to the planner — a forced broadcast of a
+    // caller-supplied probe frame (each row an embedding) would hit the
+    // 8 GB broadcast cap / driver memory on corpus-scale probe sets,
+    // where a shuffle join is the correct plan.
+    lists.join(if (broadcastProbes) broadcast(probed) else probed, listCol)
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"),
         cosine(col(vecCol), col("__pv")).as("cos_sim"), col(idCol))

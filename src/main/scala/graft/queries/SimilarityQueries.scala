@@ -57,14 +57,23 @@ object SimilarityQueries {
 
   private val NProbeLists = 2
 
-  /** Per-sf-dir location of the persisted IVF index (under target/ so a
-    * clean wipes it; rebuilt idempotently — content is deterministic). */
-  private def ivfIndexPath(dir: String): String =
-    s"target/graft_ivf_index/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+  /** Per-sf-dir location of the persisted IVF index: ABSOLUTE, anchored
+    * to the system temp root (round-6 verdict #5) — a cwd-relative
+    * `target/...` path meant any cwd change silently rebuilt a duplicate
+    * index. Rebuilt idempotently; content is deterministic. */
+  private def ivfIndexPath(dir: String): String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_ivf_index/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+  }
 
+  /** Gate on [[Similarity.IndexCompleteMarker]], the marker written
+    * AFTER both index artifacts (round-6 advisor): gating on
+    * `centroids/_SUCCESS` — the FIRST artifact written — treated a build
+    * interrupted between the centroid and list writes as complete
+    * forever, and every later probe read a half-built index. */
   private def ensureIvfIndex(spark: SparkSession, dir: String): String = {
     val path = ivfIndexPath(dir)
-    if (!new java.io.File(s"$path/centroids/_SUCCESS").exists())
+    if (!new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists())
       Similarity.buildIvfIndex(Tables.embeddings(spark, dir), path)
     path
   }
@@ -290,9 +299,13 @@ object SimilarityQueries {
   val queries: Seq[GQuery] = Seq(
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH init AS (
+        -- seed = the k SMALLEST vec_ids (not vec_id < k): tracks the
+        -- library's sorted-limit init, which stays exact for sparse or
+        -- offset id spaces where the filter form under-seeds
         SELECT vec_id::BIGINT AS cid,
                list_transform(embedding, x -> x::DOUBLE) AS centroid
-        FROM embeddings WHERE vec_id < $KmK),
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT $KmK)),
       a1 AS (
         SELECT vec_id, cid AS cluster FROM (
           SELECT e.vec_id, c.cid,
