@@ -181,6 +181,65 @@ object Similarity {
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
 
+  /** Assignment stage of [[upsertIvfIndex]], exposed for plan audits:
+    * each new vector → its nearest EXISTING centroid (score-desc /
+    * list-asc ties, the same [[BoundedTopK]] order as every rank in this
+    * file). The centroid table is a 2-file parquet READ broadcast to a
+    * narrow map — an upsert must never pay (or re-trigger) the centroid
+    * aggregation, which is what PlanSpec asserts on this frame. */
+  def assignToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    newVecs: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    listCol: String = "label"): DataFrame = {
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    newVecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cent))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        BoundedTopK.topk(
+          cosine(col(vecCol), col("__centroid")), col(listCol), 1).as("__top"))
+      .select(col(idCol), col(vecCol),
+        col("__top").getItem(0).getField("id").as(listCol))
+  }
+
+  /** Incremental index maintenance (round-6 verdict #8 — the missing
+    * half of the build-once story): assign a batch of NEW vectors to the
+    * EXISTING centroids and persist them as a DELTA segment
+    * (`lists_delta/`, hive-partitioned by list id like the base lists).
+    * The base segment is never rewritten and the centroids are never
+    * retrained — this is the LSM shape of index maintenance: probes read
+    * base ∪ delta with the same partition pruning; when drift crosses
+    * the re-cluster bar, a full [[buildIvfIndex]] is the compaction.
+    * The delta is written with OVERWRITE, so re-running the same batch
+    * is idempotent (same reasoning as the build: deterministic content).
+    *
+    * Returns the maintenance report read back from the PERSISTED
+    * segments — (list, n_base, n_added, n_total, recluster) — so a
+    * hash gate on the report proves the delta landed where it should:
+    * `recluster` trips when the delta reaches 25% of its base list, the
+    * point where assigning to stale centroids starts costing recall. */
+  def upsertIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     newVecs: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     listCol: String = "label"): DataFrame = {
+    assignToIndex(spark, indexPath, newVecs, idCol, vecCol, listCol)
+      .write.mode("overwrite").partitionBy(listCol)
+      .parquet(s"$indexPath/lists_delta")
+    val base = spark.read.parquet(s"$indexPath/lists")
+      .groupBy(col(listCol).cast("int").as(listCol))
+      .agg(count(lit(1)).as("n_base"))
+    val delta = spark.read.parquet(s"$indexPath/lists_delta")
+      .groupBy(col(listCol).cast("int").as(listCol))
+      .agg(count(lit(1)).as("n_added"))
+    base.join(delta, Seq(listCol), "left")
+      .na.fill(0L, Seq("n_added"))
+      .select(col(listCol), col("n_base"), col("n_added"),
+        (col("n_base") + col("n_added")).as("n_total"),
+        (col("n_added") * 4 >= col("n_base")).as("recluster"))
+      .orderBy(listCol)
+  }
+
   /** IVF search against a [[buildIvfIndex]] index: identical semantics
     * (and oracle) to [[knnIvf]], but the centroid build is a 2-file read
     * and the inverted lists resolve by partition pruning.

@@ -102,6 +102,41 @@ object SimilarityQueries {
       nprobe = NProbeLists))
   }
 
+  /** Arrivals split for the upsert query: vectors [0, UpsertSplit) are
+    * the indexed corpus, [UpsertSplit, ∞) the new batch — the same
+    * old-corpus-vs-new-batch shape as `dedup_incremental`. */
+  private val UpsertSplit = 400
+
+  /** Separate index root from [[ivfIndexPath]] on purpose: the upsert
+    * base indexes only the old split, the search index the full corpus. */
+  private def upsertIndexPath(dir: String): String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_ivf_upsert/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+  }
+
+  /** Test-only accessor so PlanSpec audits the exact frame the upsert
+    * writes from. */
+  private[queries] def upsertIndexPathForTest(dir: String): String =
+    upsertIndexPath(dir)
+
+  /** Incremental IVF maintenance as a registered query
+    * ([[Similarity.upsertIvfIndex]]): base index over vectors
+    * [0, UpsertSplit) (built once, marker-gated), then the new batch is
+    * assigned to the EXISTING centroids and persisted as a delta
+    * segment. The hash-checked report proves assignment AND placement:
+    * n_added per list must equal DuckDB's argmax-cosine assignment of
+    * the new batch against centroids recomputed from the OLD split only
+    * — a plan that retrained centroids on old+new would shift
+    * assignments and hash-mismatch, and PlanSpec separately asserts the
+    * assignment plan contains no centroid aggregation. */
+  def annIndexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = upsertIndexPath(dir)
+    val e = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists())
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < UpsertSplit), path)
+    Similarity.upsertIvfIndex(spark, path, e.filter(col("vec_id") >= UpsertSplit))
+  }
+
   private val KmK = 4
   private val KmIters = 2
 
@@ -420,6 +455,38 @@ object SimilarityQueries {
     // the SAME oracle as knn_ivf on purpose: probing the persisted index
     // must be answer-identical to the in-query build
     GQuery("knn_ivf_indexed", knnIvfIndexedQ, Some(ivfOracle)),
+    // incremental maintenance: new-batch assignment against OLD-split
+    // centroids, read back from the persisted base+delta segments
+    GQuery("ann_index_upsert", annIndexUpsert, Some(s"""
+      WITH ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM embeddings WHERE vec_id < $UpsertSplit),
+      centd AS (
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      assign AS (
+        SELECT vec_id, label FROM (
+          SELECT n.vec_id, c.label,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_cosine_similarity(n.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS rk
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= $UpsertSplit) n, cent c)
+        WHERE rk = 1),
+      b AS (SELECT label, count(*) AS nb FROM embeddings
+            WHERE vec_id < $UpsertSplit GROUP BY 1),
+      a AS (SELECT label, count(*) AS na FROM assign GROUP BY 1)
+      SELECT b.label,
+             CAST(b.nb AS BIGINT) AS n_base,
+             CAST(coalesce(a.na, 0) AS BIGINT) AS n_added,
+             CAST(b.nb + coalesce(a.na, 0) AS BIGINT) AS n_total,
+             coalesce(a.na, 0) * 4 >= b.nb AS recluster
+      FROM b LEFT JOIN a USING (label)
+      ORDER BY label""")),
     GQuery("emb_near_dup", embNearDup, Some(s"""
       WITH $embPairCtes
       SELECT a_id, b_id, cos_sim FROM pairs

@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupState
 
@@ -144,11 +144,12 @@ object Pipeline {
     * eventually stop matching (the usual streaming-dedup trade-off).
     */
   def nearDupStream(docs: DataFrame, maxHamming: Int = 3,
-                    maxPerBucket: Int = 64): Dataset[NearDupFlag] = {
+                    maxPerBucket: Int = 64,
+                    hashFn: Column => Column = Dedup.tokenHashes): Dataset[NearDupFlag] = {
     import docs.sparkSession.implicits._
     val banded = docs
       .select(col("doc_id"),
-        Dedup.simhash64(Dedup.tokenHashes(Text.tokens(col("text")))).as("simhash"))
+        Dedup.simhash64(hashFn(Text.tokens(col("text")))).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         explode(Dedup.simhashBands(col("simhash"))).as("k"))
       .select(col("doc_id"), col("simhash"),

@@ -47,6 +47,26 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p) should not be None
   }
 
+  test("ann_index_upsert: assignment never rebuilds centroids — parquet read, broadcast, heap argmax") {
+    // drive the registered query once so the base index exists, then
+    // audit the assignment frame the upsert writes from
+    SimilarityQueries.annIndexUpsert(spark, dir).collect()
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val df = graft.ext.Similarity.assignToIndex(
+      spark, SimilarityQueries.upsertIndexPathForTest(dir),
+      e.filter(org.apache.spark.sql.functions.col("vec_id") >= 400))
+    df.collect()
+    val p = plan(df)
+    // no centroid aggregation anywhere in the upsert plan: centroids
+    // come from the persisted 2-file parquet read
+    p should not include "posexplode"
+    // broadcast the tiny centroid table; argmax through the bounded heap
+    p should include("BroadcastNestedLoopJoin")
+    p should include("bounded_top_k")
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
+
   test("LSH band table: signature barrier exchanges survive and the self-join reuses one") {
     val pairs = graft.ext.Dedup.candidatePairs(
       graft.core.Tables.documents(spark, dir))
