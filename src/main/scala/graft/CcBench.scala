@@ -72,12 +72,18 @@ object CcBench {
     // that's the A/B the default choice rests on; "hybrid" measures the
     // shipped defaults (driver union-find below the edge bound)
     val checkEvery = sys.env.getOrElse("GRAFT_CC_CHECKEVERY", "3").toInt
+    // GRAFT_CC_BOUND (hybrid only): override DriverFinishEdges — raise it
+    // above the edge count to force the driver union-find on edge sets
+    // beyond the shipping bound, the knob behind the crossing-point A/B
+    // that justifies where the bound sits (round-6 verdict #9)
+    val bound = sys.env.get("GRAFT_CC_BOUND").map(_.toLong)
+      .getOrElse(Dedup.DriverFinishEdges)
     val run: () => Unit = algoName match {
       case "minlabel" => () =>
         exec(Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.MinLabel,
           checkEvery = checkEvery, driverFinishEdges = 0L))
       case "hybrid" => () =>
-        exec(Dedup.connectedComponents(pairs))
+        exec(Dedup.connectedComponents(pairs, driverFinishEdges = bound))
       case _ => () =>
         exec(Dedup.connectedComponents(pairs, algo = Dedup.CcAlgo.StarContraction,
           checkEvery = checkEvery, driverFinishEdges = 0L))

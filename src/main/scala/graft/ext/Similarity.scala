@@ -181,6 +181,24 @@ object Similarity {
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
 
+  /** IVF search over an UPSERTED index — base lists ∪ delta segment,
+    * original (never retrained) centroids. This is the read side of the
+    * LSM maintenance story: a probe sees vectors added by
+    * [[upsertIvfIndex]] without any rebuild, because delta rows carry
+    * their ASSIGNED list id and therefore land in exactly the
+    * directories the centroid routing probes. Same probe-side broadcast
+    * assumption as [[knnIvfIndexed]]. */
+  def knnIvfUpserted(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     probes: DataFrame, k: Int, nprobe: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     listCol: String = "label"): DataFrame = {
+    val segment = (name: String) => spark.read.parquet(s"$indexPath/$name")
+      .select(col(idCol), col(vecCol), col(listCol))
+    ivfSearch(spark.read.parquet(s"$indexPath/centroids"),
+      segment("lists").unionByName(segment("lists_delta")),
+      probes, k, nprobe, idCol, vecCol, listCol, broadcastProbes = true)
+  }
+
   /** Assignment stage of [[upsertIvfIndex]], exposed for plan audits:
     * each new vector → its nearest EXISTING centroid (score-desc /
     * list-asc ties, the same [[BoundedTopK]] order as every rank in this

@@ -137,6 +137,21 @@ object SimilarityQueries {
     Similarity.upsertIvfIndex(spark, path, e.filter(col("vec_id") >= UpsertSplit))
   }
 
+  /** Probe the UPSERTED index ([[Similarity.knnIvfUpserted]]): base ∪
+    * delta lists under the old-split centroids. Hash-checked against
+    * DuckDB routing the probes through old-split centroids over a corpus
+    * whose list ids are `label` for indexed vectors and the ASSIGNED
+    * list for delta vectors — a probe that failed to read the delta (or
+    * an upsert that placed a vector in the wrong list) shifts the
+    * neighbor set and hash-mismatches. */
+  def knnIvfUpsertedQ(spark: SparkSession, dir: String): DataFrame = {
+    // the upsert's segment writes are eager inside the call; the report
+    // frame itself isn't needed here
+    annIndexUpsert(spark, dir)
+    finish(Similarity.knnIvfUpserted(spark, upsertIndexPath(dir),
+      probes(spark, dir), K, nprobe = NProbeLists))
+  }
+
   private val KmK = 4
   private val KmIters = 2
 
@@ -455,6 +470,52 @@ object SimilarityQueries {
     // the SAME oracle as knn_ivf on purpose: probing the persisted index
     // must be answer-identical to the in-query build
     GQuery("knn_ivf_indexed", knnIvfIndexedQ, Some(ivfOracle)),
+    // probe the upserted (base ∪ delta) index: old-split centroids route
+    // the probes; delta vectors are discoverable under their ASSIGNED
+    // list, proving the maintenance write is actually served
+    GQuery("knn_ivf_upserted", knnIvfUpsertedQ, Some(s"""
+      WITH ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM embeddings WHERE vec_id < $UpsertSplit),
+      centd AS (
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      assign AS (
+        SELECT vec_id, label FROM (
+          SELECT n.vec_id, c.label,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_cosine_similarity(n.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS rk
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= $UpsertSplit) n, cent c)
+        WHERE rk = 1),
+      corp AS (
+        SELECT vec_id, embedding, label AS lst FROM embeddings
+        WHERE vec_id < $UpsertSplit
+        UNION ALL
+        SELECT e.vec_id, e.embedding, a.label AS lst
+        FROM embeddings e JOIN assign a USING (vec_id)),
+      sel AS (
+        SELECT probe_id, pv, label FROM (
+          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
+        WHERE crk <= $NProbeLists)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT s.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (PARTITION BY s.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
+                          e.vec_id) AS rk
+        FROM sel s JOIN corp e ON e.lst = s.label AND e.vec_id <> s.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
     // incremental maintenance: new-batch assignment against OLD-split
     // centroids, read back from the persisted base+delta segments
     GQuery("ann_index_upsert", annIndexUpsert, Some(s"""

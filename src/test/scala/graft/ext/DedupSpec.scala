@@ -145,6 +145,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap shouldBe expect
   }
 
+  test("connectedComponents: non-integral ids route around the driver finish and still label correctly") {
+    // string fingerprints as node ids: the driver union-find holds longs,
+    // so the default call must fall through to the distributed path (no
+    // runtime cast failure) and produce min-id components under STRING
+    // ordering ("b10" < "b2" lexicographically — asserted on purpose)
+    val pairs = Seq(("b2", "a1"), ("b2", "b10"), ("c7", "c8"))
+      .toDF("a_id", "b_id")
+    Dedup.connectedComponents(pairs).as[(String, String)].collect().toMap shouldBe
+      Map("a1" -> "a1", "b2" -> "a1", "b10" -> "a1", "c7" -> "c7", "c8" -> "c7")
+  }
+
   test("star contraction and driver-finish: same components, incl. cycle and self-pair") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (22L, 20L), (30L, 30L)).toDF("a_id", "b_id")
