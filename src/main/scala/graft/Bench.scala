@@ -47,9 +47,9 @@ import graft.core.Tables
 object Bench {
 
   /** Deliberately pessimized A/B pin twins — correctness evidence, not
-    * engine pricing. See Scaladoc above and DedupQueries (driverFinishEdges=0
-    * pins). */
-  val EvidenceQueries: Set[String] = Set("dedup_groups_star", "dedup_groups_minlabel")
+    * engine pricing. The set is owned by DedupQueries, beside the pin
+    * definitions, so a rename there cannot desync this split. */
+  val EvidenceQueries: Set[String] = graft.queries.DedupQueries.EvidencePins
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -151,6 +151,13 @@ object Similarity {
       .select(col(listCol), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
   }
 
+  /** Top-level completion marker, written strictly AFTER both index
+    * artifacts: readiness checks must gate on this (not on
+    * `centroids/_SUCCESS`, which exists as soon as the FIRST write lands
+    * — a crash between the two writes would otherwise leave a half-built
+    * index that looks complete forever). */
+  val IndexCompleteMarker = "_GRAFT_INDEX_COMPLETE"
+
   /** Persist the IVF index (round-5 verdict #8 — the index BUILD story):
     * the centroid table as plain parquet and the corpus
     * HIVE-PARTITIONED BY the inverted-list id. Build cost is paid once
@@ -160,23 +167,20 @@ object Similarity {
     * nlists rows" from a filter into directory pruning the scan never
     * opens. Returns the centroid table as re-read from the index (so
     * callers verify exactly what was persisted). */
-  /** Top-level completion marker, written strictly AFTER both index
-    * artifacts: readiness checks must gate on this (not on
-    * `centroids/_SUCCESS`, which exists as soon as the FIRST write lands
-    * — a crash between the two writes would otherwise leave a half-built
-    * index that looks complete forever). */
-  val IndexCompleteMarker = "_GRAFT_INDEX_COMPLETE"
-
   def buildIvfIndex(corpus: DataFrame, indexPath: String,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     listCol: String = "label"): DataFrame = {
+    // Hadoop FS, not java.io: the index path may be HDFS/S3 at scale
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IndexCompleteMarker")
+    val fs = marker.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    // retract the PREVIOUS build's marker before touching either
+    // artifact: a rebuild that crashes between the two writes must read
+    // as incomplete, not serve new centroids against old lists
+    fs.delete(marker, false)
     coarseCentroids(corpus, listCol, vecCol)
       .write.mode("overwrite").parquet(s"$indexPath/centroids")
     corpus.select(col(idCol), col(vecCol), col(listCol))
       .write.mode("overwrite").partitionBy(listCol).parquet(s"$indexPath/lists")
-    // Hadoop FS, not java.io: the index path may be HDFS/S3 at scale
-    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$IndexCompleteMarker")
-    val fs = marker.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
@@ -192,11 +196,12 @@ object Similarity {
                      probes: DataFrame, k: Int, nprobe: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      listCol: String = "label"): DataFrame = {
-    val segment = (name: String) => spark.read.parquet(s"$indexPath/$name")
+    val base = spark.read.parquet(s"$indexPath/lists")
       .select(col(idCol), col(vecCol), col(listCol))
+    val lists = deltaSegment(spark, indexPath, idCol, vecCol, listCol)
+      .map(base.unionByName(_)).getOrElse(base)
     ivfSearch(spark.read.parquet(s"$indexPath/centroids"),
-      segment("lists").unionByName(segment("lists_delta")),
-      probes, k, nprobe, idCol, vecCol, listCol, broadcastProbes = true)
+      lists, probes, k, nprobe, idCol, vecCol, listCol, broadcastProbes = true)
   }
 
   /** Assignment stage of [[upsertIvfIndex]], exposed for plan audits:
@@ -241,21 +246,48 @@ object Similarity {
                      newVecs: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      listCol: String = "label"): DataFrame = {
-    assignToIndex(spark, indexPath, newVecs, idCol, vecCol, listCol)
-      .write.mode("overwrite").partitionBy(listCol)
-      .parquet(s"$indexPath/lists_delta")
+    // probe the INPUT for emptiness (one scan-limit-1 job), not the
+    // assignment frame — the latter would execute the broadcast argmax
+    // once for the check and again for the write
+    if (newVecs.select(col(idCol)).isEmpty) {
+      // an empty arrival batch is a normal maintenance call, not an
+      // error: remove any previous delta (idempotency — this call's
+      // state is "nothing upserted") rather than writing a partitioned
+      // dir with no part files, which parquet cannot schema-infer back
+      val delta = new org.apache.hadoop.fs.Path(s"$indexPath/lists_delta")
+      delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(delta, true)
+    } else
+      assignToIndex(spark, indexPath, newVecs, idCol, vecCol, listCol)
+        .write.mode("overwrite").partitionBy(listCol)
+        .parquet(s"$indexPath/lists_delta")
     val base = spark.read.parquet(s"$indexPath/lists")
       .groupBy(col(listCol).cast("int").as(listCol))
       .agg(count(lit(1)).as("n_base"))
-    val delta = spark.read.parquet(s"$indexPath/lists_delta")
-      .groupBy(col(listCol).cast("int").as(listCol))
-      .agg(count(lit(1)).as("n_added"))
-    base.join(delta, Seq(listCol), "left")
+    base.join(deltaSegment(spark, indexPath, idCol, vecCol, listCol)
+        .map(_.groupBy(col(listCol).cast("int").as(listCol))
+          .agg(count(lit(1)).as("n_added")))
+        .getOrElse(base.select(col(listCol), lit(0L).as("n_added"))),
+        Seq(listCol), "left")
       .na.fill(0L, Seq("n_added"))
       .select(col(listCol), col("n_base"), col("n_added"),
         (col("n_base") + col("n_added")).as("n_total"),
         (col("n_added") * 4 >= col("n_base")).as("recluster"))
       .orderBy(listCol)
+  }
+
+  /** The delta segment, if one exists with data — None after a build
+    * with no upserts or an empty-batch upsert (both leave no readable
+    * delta on purpose; see [[upsertIvfIndex]]). */
+  private def deltaSegment(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, idCol: String, vecCol: String,
+                           listCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/lists_delta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString)
+        .select(col(idCol), col(vecCol), col(listCol)))
+    else None
   }
 
   /** IVF search against a [[buildIvfIndex]] index: identical semantics

@@ -174,6 +174,12 @@ object DedupQueries {
     groupsPortableWith(spark, dir, Dedup.CcAlgo.StarContraction,
       Dedup.DriverFinishEdges)
 
+  /** The registry names of the two deliberately pessimized CC pin twins
+    * below — OWNED HERE, next to their definitions, so a rename cannot
+    * silently desync the bench's evidence split (`graft.Bench` prices
+    * this set outside the headline engine total). */
+  val EvidencePins: Set[String] = Set("dedup_groups_star", "dedup_groups_minlabel")
+
   /** Same pipeline forced through the distributed large-star/small-star
     * contraction (driver-finish disabled) — the above-bound code path,
     * hash-proved against the same recursive-CTE oracle. */

@@ -57,14 +57,23 @@ object SimilarityQueries {
 
   private val NProbeLists = 2
 
-  /** Per-sf-dir location of the persisted IVF index: ABSOLUTE, anchored
-    * to the system temp root (round-6 verdict #5) — a cwd-relative
-    * `target/...` path meant any cwd change silently rebuilt a duplicate
-    * index. Rebuilt idempotently; content is deterministic. */
-  private def ivfIndexPath(dir: String): String = {
+  /** Root for persisted index artifacts: ABSOLUTE, anchored to the
+    * system temp root (round-6 verdict #5) — a cwd-relative `target/...`
+    * path meant any cwd change silently rebuilt a duplicate index — and
+    * KEYED BY THE FIXTURE's (mtime, length), so regenerating the
+    * embeddings parquet invalidates the cached index by changing its
+    * path instead of serving stale vectors behind a still-valid
+    * completion marker (the invalidation `target/ clean` used to
+    * provide). Stale generations linger in tmp; they are small and the
+    * OS owns that lifecycle. */
+  private def indexRoot(kind: String, dir: String): String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_ivf_index/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    s"$tmp/$kind/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}_${src.lastModified}_${src.length}"
   }
+
+  private def ivfIndexPath(dir: String): String =
+    indexRoot("graft_ivf_index", dir)
 
   /** Gate on [[Similarity.IndexCompleteMarker]], the marker written
     * AFTER both index artifacts (round-6 advisor): gating on
@@ -104,15 +113,15 @@ object SimilarityQueries {
 
   /** Arrivals split for the upsert query: vectors [0, UpsertSplit) are
     * the indexed corpus, [UpsertSplit, ∞) the new batch — the same
-    * old-corpus-vs-new-batch shape as `dedup_incremental`. */
-  private val UpsertSplit = 400
+    * old-corpus-vs-new-batch shape as `dedup_incremental`.
+    * `private[queries]` so PlanSpec audits the same frame the query
+    * writes (a hardcoded copy there could silently diverge). */
+  private[queries] val UpsertSplit = 400
 
   /** Separate index root from [[ivfIndexPath]] on purpose: the upsert
     * base indexes only the old split, the search index the full corpus. */
-  private def upsertIndexPath(dir: String): String = {
-    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_ivf_upsert/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
-  }
+  private def upsertIndexPath(dir: String): String =
+    indexRoot("graft_ivf_upsert", dir)
 
   /** Test-only accessor so PlanSpec audits the exact frame the upsert
     * writes from. */

@@ -54,7 +54,8 @@ class PlanSpec extends SparkSpec {
     val e = graft.core.Tables.embeddings(spark, dir)
     val df = graft.ext.Similarity.assignToIndex(
       spark, SimilarityQueries.upsertIndexPathForTest(dir),
-      e.filter(org.apache.spark.sql.functions.col("vec_id") >= 400))
+      e.filter(org.apache.spark.sql.functions.col("vec_id") >=
+        SimilarityQueries.UpsertSplit))
     df.collect()
     val p = plan(df)
     // no centroid aggregation anywhere in the upsert plan: centroids
@@ -215,6 +216,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(DedupQueries.simhashQ(spark, dir))
     // the parquet scan must read (doc_id, text) and nothing else
     "ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p) should not be None
+  }
+
+  test("evidence pins name real registry queries (bench split cannot silently desync)") {
+    // the other rename direction: if a pin QUERY is renamed but the set
+    // is not, the stale name must fail here rather than re-price the pin
+    // into the bench's engine total
+    DedupQueries.EvidencePins.subsetOf(graft.SparkEntry.queries.keySet) shouldBe true
   }
 
   test("flagship scan prunes to (ts, event_type)") {
