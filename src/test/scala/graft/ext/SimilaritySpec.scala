@@ -133,6 +133,46 @@ class SimilaritySpec extends SparkSpec {
     plan.toLowerCase should not include "posexplode"
   }
 
+  test("upsertIvfIndex: delta vectors are served by the probe; an empty batch is a no-op report") {
+    val rng = new scala.util.Random(23)
+    val dim = 32
+    val bases = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    def vecsNear(ci: Int, ids: Range) = ids.map { j =>
+      (ci * 100L + j, ci, bases(ci).map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    }
+    val baseDf = (0 until 3).flatMap(ci => vecsNear(ci, 0 until 6))
+      .toDF("vec_id", "label", "embedding")
+    val path = s"target/test_ivf_upsert_${System.nanoTime()}"
+    Similarity.buildIvfIndex(baseDf, path)
+
+    // arrivals near cluster 1's base: they must assign to list 1...
+    val newDf = vecsNear(1, 50 until 54)
+      .map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    val report = Similarity.upsertIvfIndex(spark, path, newDf)
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    report.map(r => (r._1, r._2, r._3)) shouldBe
+      List((0, 6L, 0L), (1, 6L, 4L), (2, 6L, 0L))
+    report.find(_._1 == 1).get._5 shouldBe true // 4*4 >= 6: drift tripped
+
+    // ...and be FINDABLE: probing near cluster 1 returns the new ids
+    val probe = Seq((999L, bases(1).toSeq)).toDF("vec_id", "embedding")
+    val found = Similarity.knnIvfUpserted(spark, path, probe, k = 10, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    (150L until 154L).toSet.subsetOf(found) shouldBe true
+
+    // empty batch: previous delta retracted, report shows zero added,
+    // probe falls back to base-only without error
+    val emptyBatch = spark.emptyDataset[(Long, Seq[Float])]
+      .toDF("vec_id", "embedding")
+    val report2 = Similarity.upsertIvfIndex(spark, path, emptyBatch)
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    report2.map(r => (r._1, r._2, r._3)) shouldBe
+      List((0, 6L, 0L), (1, 6L, 0L), (2, 6L, 0L))
+    val baseOnly = Similarity.knnIvfUpserted(spark, path, probe, k = 10, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    (150L until 154L).toSet.intersect(baseOnly) shouldBe Set.empty
+  }
+
   /** Three well-separated planted clusters, one seed vector from each as
     * the closed-form init (ids 0,1,2 < k): two Lloyd rounds must land
     * every member with its own seed, and assignments must be invariant
