@@ -185,21 +185,37 @@ object Similarity {
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
 
-  /** IVF search over an UPSERTED index — base lists ∪ delta segment,
-    * original (never retrained) centroids. This is the read side of the
-    * LSM maintenance story: a probe sees vectors added by
+  /** IVF search over an UPSERTED index — base lists ∪ live delta
+    * generations, original (never retrained) centroids. This is the read
+    * side of the LSM maintenance story: a probe sees vectors added by
     * [[upsertIvfIndex]] without any rebuild, because delta rows carry
     * their ASSIGNED list id and therefore land in exactly the
     * directories the centroid routing probes. Same probe-side broadcast
-    * assumption as [[knnIvfIndexed]]. */
+    * assumption as [[knnIvfIndexed]].
+    *
+    * UPSERT (not insert-only) read rule: a delta row REPLACES any base
+    * row with the same id — base is anti-joined against the live delta's
+    * id set, so a re-upserted vector is served exactly once, from its
+    * latest assignment (which may be a different list than its stale
+    * base copy; removing the stale copy therefore cannot be done
+    * per-list). The anti-join build side is the delta's ids only,
+    * broadcast: the delta is bounded by the re-cluster bar (25% of its
+    * base list trips compaction), so its id set stays far below the
+    * broadcast cap in any maintained index — if deltas are allowed to
+    * grow past broadcastable, the index is overdue for
+    * [[compactIvfIndex]], not a bigger join. */
   def knnIvfUpserted(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                      probes: DataFrame, k: Int, nprobe: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      listCol: String = "label"): DataFrame = {
     val base = spark.read.parquet(s"$indexPath/lists")
       .select(col(idCol), col(vecCol), col(listCol))
-    val lists = deltaSegment(spark, indexPath, idCol, vecCol, listCol)
-      .map(base.unionByName(_)).getOrElse(base)
+    val lists = deltaSegment(spark, indexPath, idCol, vecCol, listCol) match {
+      case Some(d) =>
+        base.join(broadcast(d.select(col(idCol))), Seq(idCol), "left_anti")
+          .unionByName(d)
+      case None => base
+    }
     ivfSearch(spark.read.parquet(s"$indexPath/centroids"),
       lists, probes, k, nprobe, idCol, vecCol, listCol, broadcastProbes = true)
   }
@@ -226,21 +242,61 @@ object Similarity {
         col("__top").getItem(0).getField("id").as(listCol))
   }
 
+  /** Per-generation completion marker, written strictly AFTER the
+    * generation's parquet commit — the delta-side mirror of
+    * [[IndexCompleteMarker]] (round-7 advisor): a crash mid delta write
+    * must leave an INVISIBLE generation (no marker → never read), not a
+    * half-committed directory that probes serve as valid. */
+  val DeltaCompleteMarker = "_GRAFT_DELTA_COMPLETE"
+
+  private def deltaRoot(indexPath: String) = s"$indexPath/lists_delta"
+  private def deltaGenPath(indexPath: String, gen: Int) =
+    s"${deltaRoot(indexPath)}/gen=$gen"
+
+  /** Generation numbers of all COMPLETED delta segments, ascending.
+    * Directories without the completion marker (crashed writes) are
+    * invisible here and get reclaimed either by the next upsert reusing
+    * their number (overwrite) or by compaction deleting the root. */
+  private def completedDeltaGens(fs: org.apache.hadoop.fs.FileSystem,
+                                 indexPath: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(deltaRoot(indexPath))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${deltaGenPath(indexPath, g)}/$DeltaCompleteMarker")))
+      .sorted
+  }
+
   /** Incremental index maintenance (round-6 verdict #8 — the missing
     * half of the build-once story): assign a batch of NEW vectors to the
-    * EXISTING centroids and persist them as a DELTA segment
-    * (`lists_delta/`, hive-partitioned by list id like the base lists).
-    * The base segment is never rewritten and the centroids are never
-    * retrained — this is the LSM shape of index maintenance: probes read
-    * base ∪ delta with the same partition pruning; when drift crosses
-    * the re-cluster bar, a full [[buildIvfIndex]] is the compaction.
-    * The delta is written with OVERWRITE, so re-running the same batch
-    * is idempotent (same reasoning as the build: deterministic content).
+    * EXISTING centroids and persist them as a new delta GENERATION
+    * (`lists_delta/gen=N/`, hive-partitioned by list id like the base
+    * lists, completion-marked after the commit). The base segment is
+    * never rewritten and the centroids are never retrained — this is the
+    * LSM shape of index maintenance: generations ACCUMULATE (round-7
+    * verdict #1 — a second distinct batch lands beside the first, not
+    * over it), probes read base ∪ all live generations with the same
+    * partition pruning, and [[compactIvfIndex]] folds them back into a
+    * retrained base when drift crosses the re-cluster bar.
+    *
+    * Semantics per call:
+    *  - an EMPTY batch is a no-op: nothing to add, prior generations
+    *    stay live (retracting them would be the silent data drop this
+    *    design exists to kill);
+    *  - a batch re-upserting an id supersedes every earlier copy — base
+    *    or older generation — at read time (latest generation wins; see
+    *    [[deltaSegment]] / [[knnIvfUpserted]]). Re-running the SAME
+    *    batch therefore re-lands as a new generation but serves and
+    *    reports identically (dedup collapses the copies): idempotent in
+    *    content, reclaimed in storage at the next compaction.
     *
     * Returns the maintenance report read back from the PERSISTED
-    * segments — (list, n_base, n_added, n_total, recluster) — so a
-    * hash gate on the report proves the delta landed where it should:
-    * `recluster` trips when the delta reaches 25% of its base list, the
+    * segments — (list, n_base, n_added, n_total, recluster) — so a hash
+    * gate on the report proves the cumulative delta landed where it
+    * should: `n_added` counts LIVE delta vectors across all generations,
+    * and `recluster` trips when they reach 25% of their base list, the
     * point where assigning to stale centroids starts costing recall. */
   def upsertIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                      newVecs: DataFrame, idCol: String = "vec_id",
@@ -249,18 +305,18 @@ object Similarity {
     // probe the INPUT for emptiness (one scan-limit-1 job), not the
     // assignment frame — the latter would execute the broadcast argmax
     // once for the check and again for the write
-    if (newVecs.select(col(idCol)).isEmpty) {
-      // an empty arrival batch is a normal maintenance call, not an
-      // error: remove any previous delta (idempotency — this call's
-      // state is "nothing upserted") rather than writing a partitioned
-      // dir with no part files, which parquet cannot schema-infer back
-      val delta = new org.apache.hadoop.fs.Path(s"$indexPath/lists_delta")
-      delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(delta, true)
-    } else
+    if (!newVecs.select(col(idCol)).isEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // next = max COMPLETED + 1: a crashed (marker-less) attempt at
+      // that number is cleared by the overwrite and its slot reused
+      val next = completedDeltaGens(fs, indexPath).lastOption.getOrElse(0) + 1
       assignToIndex(spark, indexPath, newVecs, idCol, vecCol, listCol)
         .write.mode("overwrite").partitionBy(listCol)
-        .parquet(s"$indexPath/lists_delta")
+        .parquet(deltaGenPath(indexPath, next))
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"${deltaGenPath(indexPath, next)}/$DeltaCompleteMarker"), true).close()
+    }
     val base = spark.read.parquet(s"$indexPath/lists")
       .groupBy(col(listCol).cast("int").as(listCol))
       .agg(count(lit(1)).as("n_base"))
@@ -276,19 +332,90 @@ object Similarity {
       .orderBy(listCol)
   }
 
-  /** The delta segment, if one exists with data — None after a build
-    * with no upserts or an empty-batch upsert (both leave no readable
-    * delta on purpose; see [[upsertIvfIndex]]). */
+  /** The LIVE delta — all completed generations unioned, deduplicated by
+    * id with the LATEST generation winning — or None when no completed
+    * generation exists. Within a generation ids are unique by
+    * construction ([[assignToIndex]] groups by id), so the single-
+    * generation fast path skips the dedup shuffle entirely; across
+    * generations the `max_by` agg is deterministic because generation
+    * numbers are distinct. The dedup shuffles DELTA rows only — bounded
+    * by the re-cluster bar, never corpus-scale. */
   private def deltaSegment(spark: org.apache.spark.sql.SparkSession,
                            indexPath: String, idCol: String, vecCol: String,
                            listCol: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/lists_delta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      Some(spark.read.parquet(p.toString)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = completedDeltaGens(fs, indexPath)
+    if (gens.isEmpty) None
+    else if (gens.sizeIs == 1)
+      Some(spark.read.parquet(deltaGenPath(indexPath, gens.head))
         .select(col(idCol), col(vecCol), col(listCol)))
-    else None
+    else Some(
+      gens.map(g => spark.read.parquet(deltaGenPath(indexPath, g))
+          .select(col(idCol), col(vecCol), col(listCol), lit(g).as("__gen")))
+        .reduce(_ unionByName _)
+        .groupBy(col(idCol))
+        .agg(max_by(struct(col(vecCol), col(listCol)), col("__gen")).as("__r"))
+        .select(col(idCol), col(s"__r.$vecCol").as(vecCol),
+          col(s"__r.$listCol").as(listCol)))
   }
+
+  /** Discard ALL delta generations without folding them into the base —
+    * the upserted vectors are gone from probes after this. A reset hook
+    * for rebuild-from-source flows and tests; production maintenance
+    * retires deltas through [[compactIvfIndex]], which preserves them. */
+  def dropIvfDelta(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(deltaRoot(indexPath))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** COMPACTION — the LSM fold that answers a tripped `recluster` flag
+    * (round-7 verdict #2): merge base ∪ live delta (delta wins on id,
+    * exactly the frame [[knnIvfUpserted]] serves), rebuild the index
+    * over the merged corpus with [[buildIvfIndex]] (per-list centroids
+    * RETRAIN — the means now include the delta vectors, each under its
+    * assigned list), then retire every delta generation. Returns the
+    * compacted centroid table, re-read from the index like the build.
+    *
+    * The merged corpus is STAGED to a scratch dir first: the rebuild
+    * overwrites `lists/`, which the merge frame reads — Spark (rightly)
+    * refuses to overwrite a path it is reading, and the staging write is
+    * one linear pass it would need anyway.
+    *
+    * Crash windows, in order: before the staging commit — nothing
+    * touched, index + deltas intact. During the rebuild —
+    * [[IndexCompleteMarker]] was retracted first, so the index reads as
+    * incomplete and marker-gated callers rebuild. After the rebuild's
+    * marker but before the delta delete — probes see the new base ∪ the
+    * now-stale delta, and the delta-wins anti-join makes that BENIGN:
+    * the stale generations hold exactly the rows the new base absorbed,
+    * so they mask their own copies and serve identical content until
+    * the next compaction reclaims them. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      listCol: String = "label"): DataFrame =
+    deltaSegment(spark, indexPath, idCol, vecCol, listCol) match {
+      case None => // nothing outstanding: compaction is a no-op read
+        spark.read.parquet(s"$indexPath/centroids")
+      case Some(d) =>
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // no leading underscore: Hadoop's hidden-path filter skips
+        // `_*`/`.*` names during file listing, and a staging dir that
+        // lists as empty would silently rebuild an EMPTY index
+        val staging = s"$indexPath/compact-staging"
+        spark.read.parquet(s"$indexPath/lists")
+          .select(col(idCol), col(vecCol), col(listCol))
+          .join(broadcast(d.select(col(idCol))), Seq(idCol), "left_anti")
+          .unionByName(d)
+          .write.mode("overwrite").parquet(staging)
+        val cent = buildIvfIndex(spark.read.parquet(staging), indexPath,
+          idCol, vecCol, listCol)
+        fs.delete(new org.apache.hadoop.fs.Path(deltaRoot(indexPath)), true)
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        cent
+    }
 
   /** IVF search against a [[buildIvfIndex]] index: identical semantics
     * (and oracle) to [[knnIvf]], but the centroid build is a 2-file read

@@ -65,7 +65,20 @@ object SimilarityQueries {
     * path instead of serving stale vectors behind a still-valid
     * completion marker (the invalidation `target/ clean` used to
     * provide). Stale generations linger in tmp; they are small and the
-    * OS owns that lifecycle. */
+    * OS owns that lifecycle.
+    *
+    * CONCURRENCY CONTRACT (round-7 verdict #8): one writer per root.
+    * The driver runs queries sequentially, so builds never race here;
+    * if two builders DID race on the same root, the (mtime, length) key
+    * makes the race benign-but-last-writer-wins — both write the same
+    * deterministic content, but interleaved `mode("overwrite")` commits
+    * of the two artifacts are not atomic as a pair, so the completion
+    * marker must only ever be trusted for single-writer roots. A
+    * multi-writer deployment needs an external lock (or a
+    * write-to-new-root-then-swap-pointer scheme); a lock FILE here
+    * cannot be atomic on every Hadoop filesystem (object stores lack
+    * create-if-absent), so we document the contract instead of shipping
+    * a lock that only works locally. */
   private def indexRoot(kind: String, dir: String): String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
     val src = new java.io.File(s"$dir/embeddings.parquet")
@@ -132,18 +145,55 @@ object SimilarityQueries {
     * ([[Similarity.upsertIvfIndex]]): base index over vectors
     * [0, UpsertSplit) (built once, marker-gated), then the new batch is
     * assigned to the EXISTING centroids and persisted as a delta
-    * segment. The hash-checked report proves assignment AND placement:
-    * n_added per list must equal DuckDB's argmax-cosine assignment of
-    * the new batch against centroids recomputed from the OLD split only
-    * — a plan that retrained centroids on old+new would shift
-    * assignments and hash-mismatch, and PlanSpec separately asserts the
-    * assignment plan contains no centroid aggregation. */
+    * generation. The hash-checked report proves assignment AND
+    * placement: n_added per list must equal DuckDB's argmax-cosine
+    * assignment of the new batch against centroids recomputed from the
+    * OLD split only — a plan that retrained centroids on old+new would
+    * shift assignments and hash-mismatch, and PlanSpec separately
+    * asserts the assignment plan contains no centroid aggregation.
+    *
+    * This query pins the SINGLE-batch contract, so it resets the delta
+    * before upserting: without the reset each rerun would re-land the
+    * same batch as one more (content-identical, dedup-collapsed)
+    * generation — still hash-green, but with storage and read fan-in
+    * growing per rep for no coverage gain. The ACCUMULATION contract is
+    * `ann_upsert_multi`'s job. */
   def annIndexUpsert(spark: SparkSession, dir: String): DataFrame = {
     val path = upsertIndexPath(dir)
     val e = Tables.embeddings(spark, dir)
     if (!new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists())
       Similarity.buildIvfIndex(e.filter(col("vec_id") < UpsertSplit), path)
+    Similarity.dropIvfDelta(spark, path)
     Similarity.upsertIvfIndex(spark, path, e.filter(col("vec_id") >= UpsertSplit))
+  }
+
+  /** Boundary of the two-batch split used by the `*_multi` queries:
+    * batch A = [UpsertSplit, MultiSplit), batch B = [MultiSplit, ∞). */
+  private[queries] val MultiSplit = 450
+
+  /** Separate root for the two-batch lifecycle so its generation state
+    * never interleaves with the single-batch query's reset. */
+  private def multiIndexPath(dir: String): String =
+    indexRoot("graft_ivf_multi", dir)
+
+  /** TWO sequential DISTINCT upsert batches against the same base index
+    * (round-7 verdict #1 — the accumulation gate): batch A then batch B,
+    * each landing as its own delta generation. Returns the maintenance
+    * report AFTER BOTH, sharing the single-batch oracle: n_added per
+    * list must count the union of both batches, which is exactly what
+    * the round-7 single-slot delta lost (batch B overwrote batch A, so
+    * this query's report would have hash-mismatched with n_added missing
+    * batch A's 50 vectors). The delta is reset at entry so every run
+    * exercises the same build → upsert A → upsert B lifecycle. */
+  def annUpsertMulti(spark: SparkSession, dir: String): DataFrame = {
+    val path = multiIndexPath(dir)
+    val e = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists())
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < UpsertSplit), path)
+    Similarity.dropIvfDelta(spark, path)
+    Similarity.upsertIvfIndex(spark, path,
+      e.filter(col("vec_id") >= UpsertSplit && col("vec_id") < MultiSplit))
+    Similarity.upsertIvfIndex(spark, path, e.filter(col("vec_id") >= MultiSplit))
   }
 
   /** Probe the UPSERTED index ([[Similarity.knnIvfUpserted]]): base ∪
@@ -159,6 +209,50 @@ object SimilarityQueries {
     annIndexUpsert(spark, dir)
     finish(Similarity.knnIvfUpserted(spark, upsertIndexPath(dir),
       probes(spark, dir), K, nprobe = NProbeLists))
+  }
+
+  /** Probe after the TWO-batch upsert — same oracle as
+    * `knn_ivf_upserted` (the union of both batches is the same delta
+    * content as the single batch), but served from two generations: a
+    * probe path that dropped either generation shifts any neighbor set
+    * containing that generation's vectors and hash-mismatches. */
+  def knnIvfUpsertedMultiQ(spark: SparkSession, dir: String): DataFrame = {
+    annUpsertMulti(spark, dir)
+    finish(Similarity.knnIvfUpserted(spark, multiIndexPath(dir),
+      probes(spark, dir), K, nprobe = NProbeLists))
+  }
+
+  /** Own root: the compaction lifecycle rebuilds from scratch each run. */
+  private def compactIndexPath(dir: String): String =
+    indexRoot("graft_ivf_compact", dir)
+
+  /** The full LSM lifecycle as one registered query (round-7 verdict
+    * #2): build base over [0, UpsertSplit) → upsert batch A → upsert
+    * batch B → [[Similarity.compactIvfIndex]] → return the COMPACTED
+    * centroid table exploded to scalar rows. Hash-checked: the
+    * post-compaction centroids are the exact-decimal per-list means of
+    * the MERGED corpus (old split under its labels ∪ new vectors under
+    * their old-centroid-assigned lists), so a compaction that dropped a
+    * generation, double-counted a vector, or re-assigned lists shifts a
+    * mean and hash-mismatches. The index root is wiped at entry —
+    * compaction mutates the index in place (the base absorbs the deltas
+    * and the centroids retrain), so marker-gated reuse would hand the
+    * second run a different base and break idempotency. */
+  def annIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val path = compactIndexPath(dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    val e = Tables.embeddings(spark, dir)
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < UpsertSplit), path)
+    Similarity.upsertIvfIndex(spark, path,
+      e.filter(col("vec_id") >= UpsertSplit && col("vec_id") < MultiSplit))
+    Similarity.upsertIvfIndex(spark, path, e.filter(col("vec_id") >= MultiSplit))
+    Similarity.compactIvfIndex(spark, path)
+      .select(col("label"), posexplode(col("__centroid")).as(Seq("p", "c")))
+      .select(col("label"), (col("p") + 1).cast("int").as("p"),
+        round(col("c"), 6).as("c"))
+      .orderBy("label", "p")
   }
 
   private val KmK = 4
@@ -482,81 +576,19 @@ object SimilarityQueries {
     // probe the upserted (base ∪ delta) index: old-split centroids route
     // the probes; delta vectors are discoverable under their ASSIGNED
     // list, proving the maintenance write is actually served
-    GQuery("knn_ivf_upserted", knnIvfUpsertedQ, Some(s"""
-      WITH ex AS (
-        SELECT label,
-               unnest(list_transform(range(1, len(embedding) + 1),
-                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
-        FROM embeddings WHERE vec_id < $UpsertSplit),
-      centd AS (
-        SELECT label, pv.p AS p,
-               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-        FROM ex GROUP BY 1, 2),
-      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
-      assign AS (
-        SELECT vec_id, label FROM (
-          SELECT n.vec_id, c.label,
-                 row_number() OVER (PARTITION BY n.vec_id
-                   ORDER BY list_cosine_similarity(n.embedding::DOUBLE[], c.centroid) DESC,
-                            c.label) AS rk
-          FROM (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id >= $UpsertSplit) n, cent c)
-        WHERE rk = 1),
-      corp AS (
-        SELECT vec_id, embedding, label AS lst FROM embeddings
-        WHERE vec_id < $UpsertSplit
-        UNION ALL
-        SELECT e.vec_id, e.embedding, a.label AS lst
-        FROM embeddings e JOIN assign a USING (vec_id)),
-      sel AS (
-        SELECT probe_id, pv, label FROM (
-          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
-                 row_number() OVER (PARTITION BY p.vec_id
-                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
-                            c.label) AS crk
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
-        WHERE crk <= $NProbeLists)
-      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
-        SELECT s.probe_id, e.vec_id AS neighbor_id,
-               list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
-               row_number() OVER (PARTITION BY s.probe_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
-                          e.vec_id) AS rk
-        FROM sel s JOIN corp e ON e.lst = s.label AND e.vec_id <> s.probe_id)
-      WHERE rk <= $K
-      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
+    GQuery("knn_ivf_upserted", knnIvfUpsertedQ, Some(upsertProbeOracle)),
+    // the same probe served from TWO delta generations — dropping either
+    // generation (the round-7 single-slot failure) hash-mismatches
+    GQuery("knn_ivf_upserted_multi", knnIvfUpsertedMultiQ, Some(upsertProbeOracle)),
     // incremental maintenance: new-batch assignment against OLD-split
     // centroids, read back from the persisted base+delta segments
-    GQuery("ann_index_upsert", annIndexUpsert, Some(s"""
-      WITH ex AS (
-        SELECT label,
-               unnest(list_transform(range(1, len(embedding) + 1),
-                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
-        FROM embeddings WHERE vec_id < $UpsertSplit),
-      centd AS (
-        SELECT label, pv.p AS p,
-               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-        FROM ex GROUP BY 1, 2),
-      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
-      assign AS (
-        SELECT vec_id, label FROM (
-          SELECT n.vec_id, c.label,
-                 row_number() OVER (PARTITION BY n.vec_id
-                   ORDER BY list_cosine_similarity(n.embedding::DOUBLE[], c.centroid) DESC,
-                            c.label) AS rk
-          FROM (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id >= $UpsertSplit) n, cent c)
-        WHERE rk = 1),
-      b AS (SELECT label, count(*) AS nb FROM embeddings
-            WHERE vec_id < $UpsertSplit GROUP BY 1),
-      a AS (SELECT label, count(*) AS na FROM assign GROUP BY 1)
-      SELECT b.label,
-             CAST(b.nb AS BIGINT) AS n_base,
-             CAST(coalesce(a.na, 0) AS BIGINT) AS n_added,
-             CAST(b.nb + coalesce(a.na, 0) AS BIGINT) AS n_total,
-             coalesce(a.na, 0) * 4 >= b.nb AS recluster
-      FROM b LEFT JOIN a USING (label)
-      ORDER BY label""")),
+    GQuery("ann_index_upsert", annIndexUpsert, Some(upsertReportOracle)),
+    // two sequential DISTINCT batches: the report's n_added must count
+    // BOTH generations — the accumulation gate (round-7 verdict #1)
+    GQuery("ann_upsert_multi", annUpsertMulti, Some(upsertReportOracle)),
+    // build → upsert ×2 → compact: the compacted index's centroid table
+    // must equal the exact-decimal means of the merged corpus
+    GQuery("ann_index_compact", annIndexCompact, Some(compactCentroidOracle)),
     GQuery("emb_near_dup", embNearDup, Some(s"""
       WITH $embPairCtes
       SELECT a_id, b_id, cos_sim FROM pairs
@@ -613,6 +645,95 @@ object SimilarityQueries {
         FROM sel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id)
       WHERE rk <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  /** Shared CTE chain for every upsert-family oracle: old-split
+    * centroids (exact-decimal means over vec_id < UpsertSplit) and the
+    * argmax-cosine assignment of every newer vector against them. The
+    * assignment is per-vector, so it is batch-split-invariant: the same
+    * CTEs oracle both the single-batch and the two-batch lifecycles. */
+  private lazy val upsertAssignCtes: String = s"""ex AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM embeddings WHERE vec_id < $UpsertSplit),
+      centd AS (
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM ex GROUP BY 1, 2),
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      assign AS (
+        SELECT vec_id, label FROM (
+          SELECT n.vec_id, c.label,
+                 row_number() OVER (PARTITION BY n.vec_id
+                   ORDER BY list_cosine_similarity(n.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS rk
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= $UpsertSplit) n, cent c)
+        WHERE rk = 1)"""
+
+  /** The upserted index's SERVED corpus: old split under its labels ∪
+    * new vectors under their assigned lists. */
+  private lazy val upsertCorpCte: String = s"""corp AS (
+        SELECT vec_id, embedding, label AS lst FROM embeddings
+        WHERE vec_id < $UpsertSplit
+        UNION ALL
+        SELECT e.vec_id, e.embedding, a.label AS lst
+        FROM embeddings e JOIN assign a USING (vec_id))"""
+
+  /** Maintenance-report oracle (`ann_index_upsert` / `ann_upsert_multi`). */
+  private lazy val upsertReportOracle: String = s"""
+      WITH $upsertAssignCtes,
+      b AS (SELECT label, count(*) AS nb FROM embeddings
+            WHERE vec_id < $UpsertSplit GROUP BY 1),
+      a AS (SELECT label, count(*) AS na FROM assign GROUP BY 1)
+      SELECT b.label,
+             CAST(b.nb AS BIGINT) AS n_base,
+             CAST(coalesce(a.na, 0) AS BIGINT) AS n_added,
+             CAST(b.nb + coalesce(a.na, 0) AS BIGINT) AS n_total,
+             coalesce(a.na, 0) * 4 >= b.nb AS recluster
+      FROM b LEFT JOIN a USING (label)
+      ORDER BY label"""
+
+  /** Upserted-probe oracle (`knn_ivf_upserted` / `_multi`): old-split
+    * centroids route the probes over the served corpus. */
+  private lazy val upsertProbeOracle: String = s"""
+      WITH $upsertAssignCtes,
+      $upsertCorpCte,
+      sel AS (
+        SELECT probe_id, pv, label FROM (
+          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
+        WHERE crk <= $NProbeLists)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT s.probe_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (PARTITION BY s.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
+                          e.vec_id) AS rk
+        FROM sel s JOIN corp e ON e.lst = s.label AND e.vec_id <> s.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  /** Compacted-centroid oracle (`ann_index_compact`): exact-decimal
+    * per-list means over the MERGED corpus — what
+    * [[Similarity.compactIvfIndex]]'s rebuild must have persisted. */
+  private lazy val compactCentroidOracle: String = s"""
+      WITH $upsertAssignCtes,
+      $upsertCorpCte,
+      cex AS (
+        SELECT lst AS label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM corp),
+      centd2 AS (
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM cex GROUP BY 1, 2)
+      SELECT label, CAST(p AS INT) AS p, ROUND(c, 6) AS c
+      FROM centd2 ORDER BY label, p"""
 
   /** Shared DuckDB CTE chain for the embedding near-dup oracles: SRP
     * buckets from the same literal hyperplanes, bucket equi-join, 6-dp

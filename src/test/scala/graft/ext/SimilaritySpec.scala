@@ -133,44 +133,162 @@ class SimilaritySpec extends SparkSpec {
     plan.toLowerCase should not include "posexplode"
   }
 
-  test("upsertIvfIndex: delta vectors are served by the probe; an empty batch is a no-op report") {
-    val rng = new scala.util.Random(23)
+  /** Shared fixture for the upsert-lifecycle tests: 3 planted clusters,
+    * 6 base vectors each (ids ci*100+j), plus generators for arrivals
+    * near a given cluster. */
+  private final class UpsertFixture(seed: Int) {
+    val rng = new scala.util.Random(seed)
     val dim = 32
     val bases = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat))
-    def vecsNear(ci: Int, ids: Range) = ids.map { j =>
-      (ci * 100L + j, ci, bases(ci).map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
-    }
+    def vecNear(ci: Int): Seq[Float] =
+      bases(ci).map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq
+    def vecsNear(ci: Int, ids: Range) =
+      ids.map(j => (ci * 100L + j, ci, vecNear(ci)))
     val baseDf = (0 until 3).flatMap(ci => vecsNear(ci, 0 until 6))
       .toDF("vec_id", "label", "embedding")
+    def probeNear(ci: Int) =
+      Seq((999L, bases(ci).toSeq)).toDF("vec_id", "embedding")
+    def neighborsNear(path: String, ci: Int): Set[Long] =
+      Similarity.knnIvfUpserted(spark, path, probeNear(ci), k = 10, nprobe = 1)
+        .select("neighbor_id").as[Long].collect().toSet
+  }
+
+  test("upsertIvfIndex: delta served by probes; empty batch is a no-op; generations accumulate") {
+    val f = new UpsertFixture(23)
+    import f._
     val path = s"target/test_ivf_upsert_${System.nanoTime()}"
     Similarity.buildIvfIndex(baseDf, path)
 
-    // arrivals near cluster 1's base: they must assign to list 1...
-    val newDf = vecsNear(1, 50 until 54)
-      .map(t => (t._1, t._3)).toDF("vec_id", "embedding")
-    val report = Similarity.upsertIvfIndex(spark, path, newDf)
+    // batch 1, near cluster 1: must assign to list 1...
+    val batch1 = vecsNear(1, 50 until 54).map(t => (t._1, t._3))
+      .toDF("vec_id", "embedding")
+    val report = Similarity.upsertIvfIndex(spark, path, batch1)
       .as[(Int, Long, Long, Long, Boolean)].collect().toList
     report.map(r => (r._1, r._2, r._3)) shouldBe
       List((0, 6L, 0L), (1, 6L, 4L), (2, 6L, 0L))
     report.find(_._1 == 1).get._5 shouldBe true // 4*4 >= 6: drift tripped
 
     // ...and be FINDABLE: probing near cluster 1 returns the new ids
-    val probe = Seq((999L, bases(1).toSeq)).toDF("vec_id", "embedding")
-    val found = Similarity.knnIvfUpserted(spark, path, probe, k = 10, nprobe = 1)
-      .select("neighbor_id").as[Long].collect().toSet
-    (150L until 154L).toSet.subsetOf(found) shouldBe true
+    (150L until 154L).toSet.subsetOf(neighborsNear(path, 1)) shouldBe true
 
-    // empty batch: previous delta retracted, report shows zero added,
-    // probe falls back to base-only without error
+    // empty batch is a NO-OP (round-7 verdict #1: it must not retract
+    // the live delta): report and probes unchanged
     val emptyBatch = spark.emptyDataset[(Long, Seq[Float])]
       .toDF("vec_id", "embedding")
     val report2 = Similarity.upsertIvfIndex(spark, path, emptyBatch)
       .as[(Int, Long, Long, Long, Boolean)].collect().toList
     report2.map(r => (r._1, r._2, r._3)) shouldBe
+      List((0, 6L, 0L), (1, 6L, 4L), (2, 6L, 0L))
+    (150L until 154L).toSet.subsetOf(neighborsNear(path, 1)) shouldBe true
+
+    // batch 2, DISTINCT, near cluster 2: lands BESIDE batch 1 — n_added
+    // sums across generations and probes serve vectors from BOTH batches
+    // (the round-7 single-slot overwrite lost batch 1 here)
+    val batch2 = vecsNear(2, 50 until 53).map(t => (t._1, t._3))
+      .toDF("vec_id", "embedding")
+    val report3 = Similarity.upsertIvfIndex(spark, path, batch2)
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    report3.map(r => (r._1, r._2, r._3)) shouldBe
+      List((0, 6L, 0L), (1, 6L, 4L), (2, 6L, 3L))
+    (150L until 154L).toSet.subsetOf(neighborsNear(path, 1)) shouldBe true
+    (250L until 253L).toSet.subsetOf(neighborsNear(path, 2)) shouldBe true
+
+    // re-running the SAME batch re-lands as a new generation but the
+    // latest-generation dedup serves and reports it exactly once
+    val report4 = Similarity.upsertIvfIndex(spark, path, batch2)
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    report4.map(r => (r._1, r._2, r._3)) shouldBe
+      List((0, 6L, 0L), (1, 6L, 4L), (2, 6L, 3L))
+
+    // dropIvfDelta: all generations retracted, probe falls back to base
+    Similarity.dropIvfDelta(spark, path)
+    val report5 = Similarity.upsertIvfIndex(spark, path, emptyBatch)
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    report5.map(r => (r._1, r._2, r._3)) shouldBe
       List((0, 6L, 0L), (1, 6L, 0L), (2, 6L, 0L))
-    val baseOnly = Similarity.knnIvfUpserted(spark, path, probe, k = 10, nprobe = 1)
-      .select("neighbor_id").as[Long].collect().toSet
-    (150L until 154L).toSet.intersect(baseOnly) shouldBe Set.empty
+    (150L until 154L).toSet.intersect(neighborsNear(path, 1)) shouldBe Set.empty
+  }
+
+  test("upsertIvfIndex: re-upserted id supersedes base and older generations; marker-less dirs invisible") {
+    val f = new UpsertFixture(29)
+    import f._
+    val path = s"target/test_ivf_reupsert_${System.nanoTime()}"
+    Similarity.buildIvfIndex(baseDf, path)
+
+    // re-upsert BASE id 2 (cluster 0's vector) with a vector near
+    // cluster 2: the stale base copy must stop being served — an
+    // insert-only union would return it from list 0 (round-7 advisor)
+    val moveBase = Seq((2L, vecNear(2))).toDF("vec_id", "embedding")
+    Similarity.upsertIvfIndex(spark, path, moveBase)
+    neighborsNear(path, 2) should contain(2L)
+    neighborsNear(path, 0) should not contain 2L
+
+    // then re-upsert the SAME id again, now near cluster 1: the LATEST
+    // generation must win over the older generation too
+    val moveAgain = Seq((2L, vecNear(1))).toDF("vec_id", "embedding")
+    val rep = Similarity.upsertIvfIndex(spark, path, moveAgain)
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    rep.map(r => (r._1, r._3)) shouldBe List((0, 0L), (1, 1L), (2, 0L))
+    neighborsNear(path, 1) should contain(2L)
+    neighborsNear(path, 2) should not contain 2L
+    // n_base still counts raw base rows (6 per list): the masked copy is
+    // physically present until compaction reconciles it
+    rep.map(r => (r._1, r._2)) shouldBe List((0, 6L), (1, 6L), (2, 6L))
+
+    // a marker-less generation directory (crashed write) is invisible:
+    // plant one with junk and verify probes/report are unchanged
+    val junkDir = new java.io.File(s"$path/lists_delta/gen=99")
+    junkDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/lists_delta/gen=99/part-junk"),
+      "not parquet".getBytes)
+    val rep2 = Similarity.upsertIvfIndex(spark, path,
+        spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    rep2.map(r => (r._1, r._3)) shouldBe List((0, 0L), (1, 1L), (2, 0L))
+  }
+
+  test("compactIvfIndex: folds deltas into a retrained base, retires them, preserves served content") {
+    val f = new UpsertFixture(31)
+    import f._
+    val path = s"target/test_ivf_compact_${System.nanoTime()}"
+    Similarity.buildIvfIndex(baseDf, path)
+    val batch1 = vecsNear(1, 50 until 54).map(t => (t._1, t._3))
+      .toDF("vec_id", "embedding")
+    val batch2 = (vecsNear(2, 50 until 53).map(t => (t._1, t._3)) :+
+        (2L, vecNear(2))) // also replaces base id 2
+      .toDF("vec_id", "embedding")
+    val rep = Similarity.upsertIvfIndex(spark, path, batch1)
+    Similarity.upsertIvfIndex(spark, path, batch2)
+    // the drift flag is the prescribed compaction trigger
+    rep.filter(col("recluster")).count() should be >= 1L
+
+    def fullProbe() = // nprobe = nlists ⇒ routing-independent, exhaustive
+      Similarity.knnIvfUpserted(spark, path, probeNear(1), k = 20, nprobe = 3)
+        .select(col("neighbor_id"), round(col("cos_sim"), 9))
+        .as[(Long, Double)].collect().toSet
+    val before = fullProbe()
+
+    Similarity.compactIvfIndex(spark, path)
+
+    // deltas retired, index complete, served content IDENTICAL (at full
+    // nprobe the answer cannot depend on centroid routing)
+    new java.io.File(s"$path/lists_delta").exists() shouldBe false
+    new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists() shouldBe true
+    fullProbe() shouldBe before
+    // the indexed (delta-unaware) probe now serves the same content too
+    Similarity.knnIvfIndexed(spark, path, probeNear(1), k = 20, nprobe = 3)
+      .select(col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Double)].collect().toSet shouldBe before
+    // post-compaction report: everything is base now (6+4, 6+4 incl. the
+    // replaced id 2 moved from list 0, ...), nothing outstanding
+    val after = Similarity.upsertIvfIndex(spark, path,
+        spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+      .as[(Int, Long, Long, Long, Boolean)].collect().toList
+    after.map(r => (r._1, r._3)) shouldBe List((0, 0L), (1, 0L), (2, 0L))
+    after.map(_._2).sum shouldBe 25L // 18 base - 1 replaced + 7 upserted + 1 replacement
+    // compacting again with nothing outstanding is a no-op read
+    Similarity.compactIvfIndex(spark, path).count() shouldBe 3
   }
 
   /** Three well-separated planted clusters, one seed vector from each as
