@@ -39,8 +39,10 @@ import graft.core.Tables
   *
   * Output contract (round-4 verdict fix): the consumer keeps only a
   * ~2000-char TAIL of stdout, so the LAST line is a compact summary —
-  * engine total + per-family median sums at 2 dp + loadavg range — kept
-  * well under ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
+  * engine total (`value`, sum of medians) + least-contended floor
+  * (`value_best`, sum of per-query best reps — round-7 verdict #3) +
+  * per-family median sums at 2 dp + loadavg range — kept well under
+  * ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
   * times, per-rep load samples, and per-pass run order go to
   * `BENCH_DETAIL.json` in the working directory (path echoed earlier).
   */
@@ -110,6 +112,12 @@ object Bench {
     val results = queries.zipWithIndex.map { case ((name, _), i) => (name, times(i), loads(i)) }
     val engineResults = results.filterNot(r => EvidenceQueries.contains(r._1))
     val engineTotal = engineResults.map(r => median(r._2)).sum
+    // the least-contended engine floor (round-7 verdict #3): the sum of
+    // each query's BEST rep. On a quiet box best ≈ median; under external
+    // load the medians inflate while the best reps keep the committed
+    // floor — publishing both makes contention quantifiable from the
+    // artifact alone (value / value_best ≈ the load inflation factor).
+    val engineBest = engineResults.map(r => r._2.min).sum
     val evidenceSec = results.filter(r => EvidenceQueries.contains(r._1)).map(r => median(r._2)).sum
     val allLoads = loads.flatten.filter(_ >= 0).sorted
     val loadRange =
@@ -131,7 +139,7 @@ object Bench {
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
@@ -140,7 +148,7 @@ object Bench {
     // full per-query compact medians (2 dp), second-to-last
     val qs2 = results.map { case (k, t, _) => s"\"$k\":${fmt2(median(t))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
     // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
     // target — engine total + evidence total + per-family median sums +
     // loadavg [min,med,max] + the detail pointer. The per-query line
@@ -154,7 +162,10 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"$f\":${fmt2(rs.map(r => median(r._2)).sum)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${results.size},"interleaved":true,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // n_queries counts ENGINE queries only, matching what `value` sums
+    // (round-7 advisor: value/n_queries must reconcile); the pins are
+    // priced and counted separately as evidence
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"interleaved":true,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
