@@ -175,6 +175,79 @@ object ScaleBench {
         println(f"""{"metric":"scale","op":"cc_groups","scale":$k,"docs":$nd,"edges":$nEdges,"sec":$sec%.3f,"us_per_doc":${sec * 1e6 / nd}%.2f}""")
       }
     }
+
+    ivfLifecycle(spark, scales)
     spark.stop()
+  }
+
+  /** IVF maintenance lifecycle at scale (round-7 verdict #4): build a
+    * persisted index over 80% of a k× vector corpus, upsert the
+    * remaining 20% as FOUR sequential 5% batches — the delta fraction
+    * walks 6.25% → 25% of base, hitting the re-cluster bar exactly on
+    * the last batch — then compact. Measured per step:
+    *  - `ivf_upsert`: assignment + generation write (each batch lands
+    *    as its own completion-marked segment);
+    *  - `ivf_probe`: a fixed 5-probe k-NN through base ∪ N generations
+    *    — the delta READ AMPLIFICATION curve (per-generation parquet
+    *    fan-in + the latest-generation dedup once ≥ 2 generations);
+    *  - `ivf_compact`: fold + centroid retrain + generation retirement,
+    *    the cost that resets the curve;
+    *  - `ivf_probe_compacted`: the same probe after compaction — must
+    *    return to the zero-delta floor.
+    * Probe timings rebuild the frame inside the timer: generation
+    * listing + dedup planning are real per-query read costs, not
+    * amortizable setup. */
+  private def ivfLifecycle(spark: SparkSession, scales: Seq[Int]): Unit = {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val ne = emb.count()
+    for (k <- scales) {
+      val epath = s"/tmp/graft-scale/emb-x$k"
+      emb
+        .withColumn("__i", explode(sequence(lit(0), lit(k - 1))))
+        .select((col("vec_id") + col("__i") * ne).as("vec_id"),
+          col("label"), col("embedding"))
+        .repartition(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+        .write.mode("overwrite").parquet(epath)
+      val vecs = spark.read.parquet(epath)
+      val nv = k * ne
+      val baseN = nv * 8 / 10
+      val ixPath = s"/tmp/graft-scale/ivf-x$k"
+      val root = new org.apache.hadoop.fs.Path(ixPath)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+
+      val probes = vecs.filter(col("vec_id") < 5)
+      def probe() = graft.ext.Similarity.knnIvfUpserted(
+        spark, ixPath, probes, k = 10, nprobe = 2)
+
+      val tb0 = System.nanoTime()
+      graft.ext.Similarity.buildIvfIndex(vecs.filter(col("vec_id") < baseN), ixPath)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      println(f"""{"metric":"scale","op":"ivf_build","scale":$k,"vecs":$baseN,"sec":$buildSec%.3f}""")
+      val p0 = timeOpFull(probe())
+      println(f"""{"metric":"scale","op":"ivf_probe","scale":$k,"gens":0,"delta_pct":0.0,"sec":$p0%.3f}""")
+
+      val batchN = nv / 20
+      for (b <- 1 to 4) {
+        val lo = baseN + (b - 1) * batchN
+        val hi = if (b == 4) nv else baseN + b * batchN
+        val tu0 = System.nanoTime()
+        graft.ext.Similarity.upsertIvfIndex(spark, ixPath,
+          vecs.filter(col("vec_id") >= lo && col("vec_id") < hi))
+          .write.format("noop").mode("overwrite").save() // report executes here
+        val upSec = (System.nanoTime() - tu0) / 1e9
+        val deltaPct = (hi - baseN) * 100.0 / baseN
+        println(f"""{"metric":"scale","op":"ivf_upsert","scale":$k,"batch":$b,"vecs":${hi - lo},"sec":$upSec%.3f}""")
+        val ps = timeOpFull(probe())
+        println(f"""{"metric":"scale","op":"ivf_probe","scale":$k,"gens":$b,"delta_pct":$deltaPct%.2f,"sec":$ps%.3f}""")
+      }
+
+      val tc0 = System.nanoTime()
+      graft.ext.Similarity.compactIvfIndex(spark, ixPath)
+      val compactSec = (System.nanoTime() - tc0) / 1e9
+      println(f"""{"metric":"scale","op":"ivf_compact","scale":$k,"vecs":$nv,"sec":$compactSec%.3f}""")
+      val pc = timeOpFull(probe())
+      println(f"""{"metric":"scale","op":"ivf_probe_compacted","scale":$k,"gens":0,"delta_pct":0.0,"sec":$pc%.3f}""")
+    }
   }
 }
