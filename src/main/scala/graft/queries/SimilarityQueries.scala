@@ -176,6 +176,11 @@ object SimilarityQueries {
   private def multiIndexPath(dir: String): String =
     indexRoot("graft_ivf_multi", dir)
 
+  /** Test-only accessor so PlanSpec audits the exact index the
+    * two-batch query serves from. */
+  private[queries] def multiIndexPathForTest(dir: String): String =
+    multiIndexPath(dir)
+
   /** TWO sequential DISTINCT upsert batches against the same base index
     * (round-7 verdict #1 — the accumulation gate): batch A then batch B,
     * each landing as its own delta generation. Returns the maintenance

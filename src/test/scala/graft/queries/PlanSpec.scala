@@ -68,6 +68,32 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("knn_ivf_upserted (two generations): probe reads BOTH segments, dedups latest-gen, anti-joins base") {
+    import org.apache.spark.sql.functions.col
+    // drive the registered two-batch lifecycle so gen=1 and gen=2 exist
+    SimilarityQueries.annUpsertMulti(spark, dir).collect()
+    val df = graft.ext.Similarity.knnIvfUpserted(
+      spark, SimilarityQueries.multiIndexPathForTest(dir),
+      graft.core.Tables.embeddings(spark, dir).filter(col("vec_id") < 5),
+      k = 10)
+    df.collect()
+    // the served frame must actually SCAN both delta generations — a
+    // regression to any single-slot read drops one of them silently
+    // (hash gates catch content; this names the failing mechanism)
+    val files = df.inputFiles
+    withClue(files.mkString("\n")) {
+      files.exists(_.contains("gen=1")) shouldBe true
+      files.exists(_.contains("gen=2")) shouldBe true
+    }
+    val p = plan(df)
+    // latest-generation-wins dedup across segments
+    p should include("max_by")
+    // base copies of re-upserted ids are masked by the anti-join, and
+    // the delta id set rides a broadcast, never a shuffle of the base
+    p should include("LeftAnti")
+    p should not include "SortMergeJoin"
+  }
+
   test("LSH band table: signature barrier exchanges survive and the self-join reuses one") {
     val pairs = graft.ext.Dedup.candidatePairs(
       graft.core.Tables.documents(spark, dir))
