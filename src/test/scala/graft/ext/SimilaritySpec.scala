@@ -291,6 +291,50 @@ class SimilaritySpec extends SparkSpec {
     Similarity.compactIvfIndex(spark, path).count() shouldBe 3
   }
 
+  /** The compaction crash window the Scaladoc calls benign, exercised
+    * for real: a crash AFTER the rebuild's completion marker but BEFORE
+    * the delta delete leaves the new base coexisting with stale
+    * generations. Those generations hold exactly the rows the base
+    * absorbed, so the delta-wins read must serve identical content. */
+  test("compactIvfIndex crash window: stale generations left behind mask their own copies") {
+    val f = new UpsertFixture(37)
+    import f._
+    val path = s"target/test_ivf_crash_${System.nanoTime()}"
+    Similarity.buildIvfIndex(baseDf, path)
+    val batch = (vecsNear(1, 50 until 54).map(t => (t._1, t._3)) :+
+        (2L, vecNear(1))) // includes a base-id replacement
+      .toDF("vec_id", "embedding")
+    Similarity.upsertIvfIndex(spark, path, batch)
+
+    // snapshot the delta dir, compact, then RESTORE the snapshot —
+    // exactly the on-disk state of a crash before the delta delete
+    val delta = java.nio.file.Paths.get(s"$path/lists_delta")
+    val saved = java.nio.file.Paths.get(s"$path/../saved_delta_${System.nanoTime()}")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(delta, saved)
+    Similarity.compactIvfIndex(spark, path)
+    def probeAll() = Similarity.knnIvfUpserted(spark, path, probeNear(1), k = 20, nprobe = 3)
+      .select(col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Double)].collect().toSet
+    val clean = probeAll()
+    copyTree(saved, java.nio.file.Files.createDirectories(delta))
+    // stale generations present again: served content must not change
+    probeAll() shouldBe clean
+    // and the NEXT compaction reclaims them for good
+    Similarity.compactIvfIndex(spark, path)
+    new java.io.File(delta.toString).exists() shouldBe false
+    probeAll() shouldBe clean
+  }
+
   /** Three well-separated planted clusters, one seed vector from each as
     * the closed-form init (ids 0,1,2 < k): two Lloyd rounds must land
     * every member with its own seed, and assignments must be invariant
