@@ -86,6 +86,11 @@ object Bench {
     // pollute the consumer's stdout tail
     spark.sparkContext.setLogLevel("ERROR")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // ambient load, sampled BEFORE any Spark work: every later sample's
+    // 1-min average partly carries the bench's own preceding 32-thread
+    // query, so in-run loadavg conflates ambient and self-load — this
+    // one number is the uncontaminated external-contention bound
+    val ambientLoad = osBean.getSystemLoadAverage
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val nq = queries.size
@@ -139,7 +144,7 @@ object Bench {
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
@@ -165,7 +170,7 @@ object Bench {
     // n_queries counts ENGINE queries only, matching what `value` sums
     // (round-7 advisor: value/n_queries must reconcile); the pins are
     // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"interleaved":true,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
