@@ -283,7 +283,41 @@ object TextQueries {
       FROM q ORDER BY doc_id"""
   }
 
+  /** JSONL roundtrip gate for [[graft.core.CorpusIO]], the ingest-format
+    * reader: the documents table is dumped ONCE as JSONL shards (tmp,
+    * keyed by the fixture's (mtime, length) like the ANN index roots, so
+    * a regenerated fixture invalidates the dump; `_SUCCESS` is a valid
+    * completion gate here because the dump is a single write job), read
+    * back through the PERMISSIVE explicit-schema reader, and pinned
+    * column by column — text via md5, so the artifact stays small while
+    * any mangled byte still flips the hash. The corrupt-capture path is
+    * CorpusIOSpec's job (this fixture is clean by construction). */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val path = s"$tmp/graft_jsonl/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+      s"_${src.lastModified}_${src.length}"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.core.CorpusIO.writeJsonl(Tables.documents(spark, dir), path)
+    graft.core.CorpusIO.valid(
+        graft.core.CorpusIO.readJsonl(spark, path, schema))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    // the JSONL reader must hand back exactly what parquet holds — the
+    // oracle reads the parquet table directly, so every value (text
+    // md5-pinned) survives the write→parse roundtrip bit-for-bit
+    GQuery("corpus_jsonl_roundtrip", jsonlRoundtrip, Some("""
+      SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id""")),
     GQuery("text_redact", redactQ, Some(s"""
       WITH e AS (
         SELECT doc_id,
