@@ -315,6 +315,39 @@ object DedupQueries {
       .orderBy("test_id")
   }
 
+  /** Bloom-sketch decontamination — the SCALE twin of [[decontaminate]]
+    * (same planted split, same normalized fingerprints): the train
+    * corpus collapses to ONE Bloom blob (an aggregate — its rows never
+    * join or shuffle against the eval side) and the eval side is a
+    * NARROW filter probe, no join at all
+    * ([[graft.functions.BloomMembership]]; the no-join/no-shuffle plan
+    * is spec-gated). Eval set = the 50 planted contaminated docs (true
+    * members — the sketch's no-false-negative guarantee makes their
+    * flags deterministic) + 50 clean docs (fingerprints perturbed out
+    * of the train set), whose flags ride Spark's bloom hash seeds →
+    * rows-only, like the other sketches: the FPP bound is gated by
+    * BloomMembershipSpec and the exact equi-join twin stays hash-green
+    * beside it. The blob collect is one bounded sketch (≤ numBits/8
+    * bytes), the same driver-side shape as the HLL estimate — not a
+    * data collect. */
+  def deconBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomMembership
+    val docs = Tables.documents(spark, dir)
+    val blob = docs
+      .select(xxhash64(Text.fingerprint(Text.tokens(col("text")))).as("h"))
+      .agg(BloomMembership.bloomAgg(col("h"), 100000L, 1000000L))
+      .head.getAs[Array[Byte]](0)
+    val members = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 900000L).as("test_id"),
+        Text.fingerprint(Text.tokens(concat(upper(col("text")), lit("!!!")))).as("fp"))
+    val clean = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+      .select((col("doc_id") + 950000L).as("test_id"),
+        Text.fingerprint(Text.tokens(concat(col("text"), lit(" graftcleanmarker")))).as("fp"))
+    members.unionByName(clean)
+      .filter(BloomMembership.mightContain(lit(blob), xxhash64(col("fp"))))
+      .select("test_id").orderBy("test_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("sample_hash", sampleHash, Some("""
       WITH h AS (
@@ -341,6 +374,10 @@ object DedupQueries {
       SELECT te.test_id, CAST(min(tr.train_id) AS BIGINT) AS contaminated_by
       FROM te JOIN tr ON te.fp = tr.fp
       GROUP BY 1 ORDER BY 1""")),
+    // rows-only like the other sketches: member flags are guaranteed
+    // (no false negatives), non-member flags ride Spark's bloom hash
+    // seeds; the exact twin above stays hash-green beside it
+    GQuery("decon_bloom", deconBloom, None),
     GQuery("dedup_exact", exact, Some(s"""
       SELECT md5(array_to_string($duckToks, ' ')) AS fp,
              CAST(min(doc_id) AS BIGINT) AS keep_id,
