@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CurationQueries, DedupQueries, GQuery, JoinQueries, MultimodalQueries, Parity, SimilarityQueries, StreamReplayQueries, TemporalQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, GQuery, JoinQueries, LayoutQueries, MultimodalQueries, Parity, SimilarityQueries, StreamReplayQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Parity.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ JoinQueries.queries ++
       MultimodalQueries.queries ++ StreamReplayQueries.queries ++
-      TemporalQueries.queries ++ CurationQueries.queries
+      TemporalQueries.queries ++ CurationQueries.queries ++
+      LayoutQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -65,6 +65,43 @@ object CorpusIO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Read a CSV corpus under the SAME parse-or-quarantine contract as
+    * [[readJsonl]]: explicit schema, PERMISSIVE mode, and every line that
+    * fails to parse (wrong column count, a value that won't cast to its
+    * declared type) lands raw in [[CorruptCol]] instead of crashing the
+    * job or vanishing.
+    *
+    * `multiLine` is the CSV-specific scale trap, off by default: RFC-4180
+    * quoting allows embedded newlines, but honoring them forces
+    * `multiLine=true`, and a multiLine CSV file CANNOT be split — each
+    * file becomes one task regardless of size (same failure shape as
+    * gzip JSONL shards above). A corpus whose text column carries
+    * newlines should be recoded through [[writeJsonl]]/parquet instead;
+    * enable `multiLine` only for small, already-sharded inputs. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, multiLine: Boolean = false): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header)
+      .option("multiLine", multiLine)
+      // match our writer (and RFC 4180): quotes escaped by doubling, not
+      // backslash — Spark's reader default is backslash, a mismatch that
+      // silently corrupts any field containing a quote
+      .option("escape", "\"")
+      .csv(path)
+
+  /** Write CSV shards with RFC-4180 quoting (quote doubling), headers on
+    * each shard. Fields containing the delimiter, quotes, or newlines are
+    * quoted by the writer; reading embedded newlines back needs
+    * `multiLine=true` — see the [[readCsv]] scale note. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("header", header)
+      .option("escape", "\"")
+      .csv(path)
+
   /** The one-pass ingest recode: parsed rows to parquet (the processing
     * format), quarantined raw lines to a side directory. Returns
     * (n_valid, n_quarantined) — the same counters the ingest path

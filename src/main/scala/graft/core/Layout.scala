@@ -35,4 +35,55 @@ object Layout {
   /** Write `df` hive-partitioned by `partitionCol` for directory pruning. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Write `df` RANGE-SORTED on `sortCol`: `repartitionByRange` gives
+    * each output file a disjoint key range, and the within-partition sort
+    * makes every parquet row group's min/max stats tight. A selective
+    * range predicate then touches one file's worth of row groups and the
+    * parquet reader (predicate pushdown) skips the rest — the
+    * sort-based complement of [[writePartitioned]]'s directory pruning,
+    * and the right layout for time-range scans where hive-partitioning
+    * by a high-cardinality timestamp would explode the directory count.
+    *
+    * At 100 TB this is the difference between "a 10-minute window scans
+    * ~1/Nth of the corpus" and "every query scans everything": unsorted
+    * parquet has every file's min/max spanning the full key range, so
+    * stats prune nothing. Cost: one range shuffle (with a sampling pass
+    * to pick balanced bounds) paid once at write time. LayoutSpec proves
+    * the per-file ranges are disjoint. */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, df.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Compact a parquet directory's small files to ~`targetFileBytes`
+    * each, returning (filesBefore, filesAfter, bytes). The small-files
+    * problem is the classic 100 TB operational hazard: a pipeline that
+    * writes one file per task per micro-batch ends up with millions of
+    * KB-sized files whose open/footer overhead dominates every later
+    * scan (and whose listing alone stalls planning).
+    *
+    * `shuffle=false` (default) compacts with `coalesce` — no shuffle,
+    * the common case where the data is small relative to the cluster and
+    * the read parallelism collapse is irrelevant. `shuffle=true` uses
+    * `repartition` — pays a full shuffle of every byte but keeps the
+    * rewrite parallel, the right mode when compacting terabytes. Output
+    * file count = ceil(inputBytes / targetFileBytes), computed from the
+    * actual listing, never a guess. */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+                   targetFileBytes: Long, shuffle: Boolean = false): (Int, Int, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val sized = if (shuffle) df.repartition(n) else df.coalesce(n)
+    sized.write.mode("overwrite").parquet(outPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    (dataFiles.length, after, bytes)
+  }
 }

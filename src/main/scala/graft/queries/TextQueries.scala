@@ -292,20 +292,62 @@ object TextQueries {
     * column by column — text via md5, so the artifact stays small while
     * any mangled byte still flips the hash. The corrupt-capture path is
     * CorpusIOSpec's job (this fixture is clean by construction). */
-  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  private def docSchema = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
+  }
+
+  /** Fixture-keyed tmp dump path shared by the format-roundtrip gates:
+    * keyed by (mtime, length) like the ANN index roots, so a regenerated
+    * fixture invalidates the dump; `_SUCCESS` is a valid completion gate
+    * here because each dump is a single write job. */
+  private def dumpPath(dir: String, kind: String): String = {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
     val src = new java.io.File(s"$dir/documents.parquet")
-    val path = s"$tmp/graft_jsonl/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
+    s"$tmp/graft_$kind/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}" +
       s"_${src.lastModified}_${src.length}"
+  }
+
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = dumpPath(dir, "jsonl")
     if (!new java.io.File(s"$path/_SUCCESS").exists())
       graft.core.CorpusIO.writeJsonl(Tables.documents(spark, dir), path)
     graft.core.CorpusIO.valid(
-        graft.core.CorpusIO.readJsonl(spark, path, schema))
+        graft.core.CorpusIO.readJsonl(spark, path, docSchema))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** CSV roundtrip gate for [[graft.core.CorpusIO.readCsv]]: same shape
+    * as [[jsonlRoundtrip]] but through the RFC-4180 writer/reader pair
+    * (header + quote-doubling escape). The fixture text is single-line,
+    * so the splittable `multiLine=false` default applies — the quoting /
+    * corrupt-capture edges are CorpusIOSpec's job. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = dumpPath(dir, "csv")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      graft.core.CorpusIO.writeCsv(Tables.documents(spark, dir), path)
+    graft.core.CorpusIO.valid(
+        graft.core.CorpusIO.readCsv(spark, path, docSchema))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** ORC roundtrip gate: the second columnar format Spark ships natively.
+    * ORC needs no quarantine contract (self-describing schema, like
+    * parquet) — the gate proves the writer/reader pair preserves every
+    * value, so a corpus already in ORC can feed the engine without a
+    * recode pass. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = dumpPath(dir, "orc")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Tables.documents(spark, dir).write.mode("overwrite").orc(path)
+    spark.read.orc(path)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(col("text")).as("text_md5"))
       .orderBy("doc_id")
@@ -316,6 +358,14 @@ object TextQueries {
     // oracle reads the parquet table directly, so every value (text
     // md5-pinned) survives the write→parse roundtrip bit-for-bit
     GQuery("corpus_jsonl_roundtrip", jsonlRoundtrip, Some("""
+      SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id""")),
+    // same oracle, different reader under test: the CSV and ORC gates
+    // each pin their format's write→parse path against the parquet truth
+    GQuery("corpus_csv_roundtrip", csvRoundtrip, Some("""
+      SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id""")),
+    GQuery("corpus_orc_roundtrip", orcRoundtrip, Some("""
       SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       FROM documents ORDER BY doc_id""")),
     GQuery("text_redact", redactQ, Some(s"""

@@ -50,6 +50,36 @@ class CorpusIOSpec extends SparkSpec {
       Set((10L, "hello\nworld"), (11L, "unicode: é≠🙂"), (12L, ""))
   }
 
+  test("readCsv: bad arity and type-mismatch rows are quarantined, none dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_spec")
+    java.nio.file.Files.write(dir.resolve("part-0.csv"), Seq(
+      "doc_id,text",
+      "1,alpha",
+      "not_a_number,beta", // doc_id fails the Long cast
+      "3,gamma,extra,cols" // wrong arity
+    ).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val df = CorpusIO.readCsv(spark, dir.toString, schema).persist()
+    df.count() shouldBe 3
+    CorpusIO.valid(df).as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "alpha"))
+    val bad = CorpusIO.quarantine(df).as[String].collect()
+    bad should have size 2
+    bad.exists(_.contains("not_a_number")) shouldBe true
+    bad.exists(_.contains("extra")) shouldBe true
+  }
+
+  test("writeCsv → readCsv roundtrip preserves quotes, commas, and newlines") {
+    // embedded newline forces multiLine=true on the read — the
+    // splittability tradeoff the Scaladoc documents
+    val src = Seq((10L, """says "hi", twice"""), (11L, "line1\nline2"), (12L, "plain"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    CorpusIO.writeCsv(src, dir)
+    val back = CorpusIO.valid(CorpusIO.readCsv(spark, dir, schema, multiLine = true))
+    back.as[(Long, String)].collect().toSet shouldBe
+      Set((10L, """says "hi", twice"""), (11L, "line1\nline2"), (12L, "plain"))
+  }
+
   test("toParquet: one-pass recode splits valid data from quarantine with counts") {
     val path = writeLines(Seq(
       """{"doc_id": 1, "text": "keep"}""",

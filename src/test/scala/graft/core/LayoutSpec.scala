@@ -43,4 +43,40 @@ class LayoutSpec extends SparkSpec {
     plan should include("PartitionFilters: [isnotnull(event_type")
     read.count() shouldBe 100L
   }
+
+  test("range-sorted layout gives every file a disjoint key range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    // write shuffled so disjointness can only come from the range shuffle
+    val df = scala.util.Random.shuffle((1 to 10000).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+    Layout.writeRangeSorted(df, dir, "k", numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    files.length shouldBe 4
+    // per-FILE min/max: this is exactly the stats a reader prunes on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("k")), max(col("k"))).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.map(r => r._2 - r._1 + 1).sum shouldBe 10000L // covers all, no overlap
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      hi should be < lo // strictly disjoint, in key order
+    }
+  }
+
+  test("compactFiles collapses a small-files directory without changing content") {
+    val in = java.nio.file.Files.createTempDirectory("graft-compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+    df.repartition(32).write.mode("overwrite").parquet(in)
+    val (before, after, bytes) =
+      Layout.compactFiles(spark, in, out, targetFileBytes = 64L * 1024 * 1024)
+    before shouldBe 32
+    after shouldBe 1 // 32 tiny files fit one 64 MB target
+    bytes should be > 0L
+    val back = spark.read.parquet(out)
+    back.count() shouldBe 5000L
+    back.agg(sum(col("id"))).head.getLong(0) shouldBe 5000L * 5001 / 2
+  }
 }
