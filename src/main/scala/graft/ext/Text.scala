@@ -119,6 +119,21 @@ object Text {
         urlPattern, "<URL>"),
       phonePattern, "<PHONE>")
 
+  /** Byte class of the control characters [[scrub]] removes — explicit
+    * code points (not `\p{Cntrl}`) so the Java-regex engine here and the
+    * RE2 engine in the DuckDB oracle agree character-for-character. */
+  val controlClass: String = "[\\x00-\\x1f\\x7f]"
+
+  /** TEXT SCRUB: the normalization pass raw corpora get before any
+    * hashing/dedup — control characters to spaces, whitespace runs
+    * collapsed, ends trimmed. Doing this FIRST matters: two crawls of
+    * the same page differing only in \r\n vs \n or stray control bytes
+    * must fingerprint identically or every downstream dedup treats them
+    * as distinct documents. Pure codegen'd regexp_replace chain —
+    * linear scan, no shuffle, same cost shape as [[redact]]. */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, controlClass, " "), "\\s+", " "))
+
   /** SEQUENCE PACKING: assign each document to a training bin so that
     * consecutive docs fill a token budget — the batch-construction step
     * between curation and tokenization in an LLM data pipeline.

@@ -348,7 +348,43 @@ object DedupQueries {
       .select("test_id").orderBy("test_id")
   }
 
+  /** CDC-STYLE LATEST-PER-KEY COMPACTION: keep only the newest record
+    * per key — the dedup that turns an append-only event/change log into
+    * a current-state snapshot (the other dedup axis from content
+    * near-dup: recency, not similarity). Spelled as `max(struct(ts,
+    * event_id, ...))`, NOT `row_number() = 1`: the struct-max is
+    * partial-aggregable, so each map task pre-collapses its rows and
+    * only one candidate per (task, key) crosses the shuffle — at 100 TB
+    * that is the difference between shuffling every log record into a
+    * per-key sort and shuffling ~one row per key per task. `event_id`
+    * inside the ordering struct breaks ts ties deterministically; the
+    * oracle spells the same semantics with the window form, so the
+    * driver hash gate proves the two formulations coincide. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        unix_micros(col("last.ts")).as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("dedup_latest", latestPerKey, Some("""
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id,
+             epoch_us(ts::TIMESTAMP) AS last_ts_us,
+             event_id AS last_event_id,
+             event_type AS last_type,
+             value AS last_value
+      FROM r WHERE rn = 1 ORDER BY user_id""")),
     GQuery("sample_hash", sampleHash, Some("""
       WITH h AS (
         SELECT source, doc_id,

@@ -119,6 +119,27 @@ object Parity {
       .select(col("event_type"), col("n_distinct_user_id").cast("long").as("n_users"))
       .orderBy("event_type")
 
+  /** SKEW ADVISOR — the measurement half of the salting story
+    * ([[graft.core.Skew]] is the mitigation half): per-key frequency
+    * histogram over the grouping key, reporting the top heavy hitters,
+    * each key's share of the table, and the salt factor that would level
+    * it (`salt_parts` = partitions needed so the key's rows fit one
+    * partition's fair 1/32 share — ceil via integer arithmetic, no fp).
+    * At 100 TB you run THIS first, then configure
+    * `saltedDistinctCount`/AQE skew thresholds from its output instead
+    * of guessing. One partial-aggregated count shuffle (keys, not rows,
+    * cross the wire) + a TakeOrdered top-10 — nothing collects. */
+  def skewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val total = ev.count() // parquet-metadata count, one cheap job
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("cnt"),
+        (col("cnt").cast("double") / lit(total.toDouble)).as("share"),
+        expr(s"CAST((cnt * 32 + $total - 1) DIV $total AS BIGINT)").as("salt_parts"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(10)
+  }
+
   /** A7 scale variant: HyperLogLog++ distinct users per type. One regular
     * hash-agg shuffle of fixed-size sketches instead of [[distinctUsers]]'s
     * (type, user_id) expand-shuffle — the plan that survives 100 TB. No
@@ -403,6 +424,14 @@ object Parity {
     GQuery("distinct_users_salted", distinctUsersSalted, Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY 1 ORDER BY 1""")),
+    GQuery("skew_advisor", skewAdvisor, Some("""
+      WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY user_id),
+           t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+      SELECT user_id, cnt,
+             CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+             CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_parts
+      FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""")),
     GQuery("approx_distinct_users", approxDistinctUsers, None),
     // exact top-k oracle on purpose: the sketch runs in its exact regime
     // (capacity 1000 >> 5 distinct types), so estimate = truth, hashable

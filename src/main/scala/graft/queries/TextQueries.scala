@@ -292,6 +292,56 @@ object TextQueries {
     * column by column — text via md5, so the artifact stays small while
     * any mangled byte still flips the hash. The corrupt-capture path is
     * CorpusIOSpec's job (this fixture is clean by construction). */
+  /** DOCUMENT CHUNKING: split each document into overlapping
+    * fixed-token-count chunks — the step between curation and embedding
+    * or context-window packing in an LLM pipeline (chunk size 64, stride
+    * 48 → 16-token overlap so no boundary-spanning phrase is lost).
+    *
+    * Shape: one `posexplode` over `sequence(0, n-1, stride)` gives
+    * (chunk_idx, start) pairs, then `slice` cuts each chunk. The token
+    * array is materialized behind an explicit `repartition` barrier
+    * BEFORE the explode — CollapseProject would otherwise inline the
+    * tokenizer regexp into the generator and re-run it per CHUNK (the
+    * `Dedup.bandTable` lesson; 8× at sf0.1). Embarrassingly parallel,
+    * no shuffle after the barrier; output is ~n/stride rows per doc,
+    * each pinned by md5 so the oracle checks every chunk boundary. */
+  def chunksQ(spark: SparkSession, dir: String): DataFrame = {
+    val (chunk, stride) = (64, 48)
+    docs(spark, dir)
+      .select(col("doc_id"), col("toks"))
+      .where(size(col("toks")) > 0)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("col") + 1, lit(chunk)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("ctoks")).as("n_tokens"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Scrub gate over deterministically dirtied text (same construction
+    * idiom as [[redactQ]]: the fixture corpus is clean, so the query
+    * plants the dirt it must clean — tabs, CR/LF, NUL-adjacent control
+    * bytes, runs of spaces — all derived from doc_id). */
+  def scrubQ(spark: SparkSession, dir: String): DataFrame = {
+    // "  <TAB>" ++ text ++ "<CR><LF><BEL> run<5 spaces>tail " — leading
+    // junk, a CRLF line ending, a stray control byte, a space run, and a
+    // trailing space, all of which scrub must normalize away
+    val dirty = concat(
+      lit("  \t"), col("text"),
+      lit("\r\n\u0007 run     tail "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("t"))
+      .select(col("doc_id"),
+        length(col("t")).as("len_dirty"),
+        length(Text.scrub(col("t"))).as("len_clean"),
+        md5(Text.scrub(col("t"))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   private def docSchema = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     StructType(Seq(
@@ -362,6 +412,36 @@ object TextQueries {
       FROM documents ORDER BY doc_id""")),
     // same oracle, different reader under test: the CSV and ORC gates
     // each pin their format's write→parse path against the parquet truth
+    // chunk=64 / stride=48, kept in lockstep with chunksQ's constants;
+    // DuckDB range(0,n,s) ≡ Spark sequence(0,n-1,s) and the 1-based
+    // inclusive list slice toks[a:b] ≡ slice(toks, a, 64), both clamped
+    GQuery("text_chunks", chunksQ, Some(s"""
+      WITH t AS (
+        SELECT doc_id, $duckToks AS toks FROM documents
+        WHERE len($duckToks) > 0),
+      u AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
+      SELECT doc_id,
+             CAST(start // 48 AS INT) AS chunk_idx,
+             CAST(least(64, len(toks) - start) AS INT) AS n_tokens,
+             md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_md5
+      FROM u ORDER BY doc_id, chunk_idx""")),
+    GQuery("text_scrub", scrubQ, Some("""
+      WITH e AS (
+        SELECT doc_id,
+               '  ' || chr(9) || text || chr(13) || chr(10) || chr(7)
+                    || ' run     tail ' AS t
+        FROM documents),
+      s AS (
+        SELECT doc_id, t,
+               trim(regexp_replace(regexp_replace(t, '[\x00-\x1f\x7f]', ' ', 'g'),
+                                   '\s+', ' ', 'g')) AS clean
+        FROM e)
+      SELECT doc_id,
+             CAST(length(t) AS INT) AS len_dirty,
+             CAST(length(clean) AS INT) AS len_clean,
+             md5(clean) AS clean_md5
+      FROM s ORDER BY doc_id""")),
     GQuery("corpus_csv_roundtrip", csvRoundtrip, Some("""
       SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       FROM documents ORDER BY doc_id""")),
