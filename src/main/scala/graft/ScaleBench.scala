@@ -140,6 +140,23 @@ object ScaleBench {
             Text.maxRunCount(toks).as("top_tok"),
             Text.maxRunCount(Text.ngrams(toks)).as("top_bg"))
         }),
+        // overlapping chunking (64/48): tokenize → barrier → one
+        // generator row per chunk — must stay linear in docs (chunks
+        // per doc is corpus-shape-fixed) with the tokenizer cost paid
+        // once per doc, not once per chunk
+        "chunking" -> (() =>
+          docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+            .where(size(col("toks")) > 0)
+            .repartition(cpus.toInt, col("doc_id"))
+            .select(col("doc_id"), col("toks"),
+              posexplode(sequence(lit(0), size(col("toks")) - 1, lit(48))))
+            .select(col("doc_id"), col("pos"),
+              md5(concat_ws(" ", slice(col("toks"), col("col") + 1, lit(64))))
+                .as("chunk_md5"))),
+        // scrub: pure narrow regexp chain — the per-doc fold cost IS the
+        // whole op, so us/doc must be flat across scales
+        "scrub" -> (() =>
+          docs.select(col("doc_id"), md5(Text.scrub(col("text"))).as("m"))),
         // Lloyd k-means (2 rounds, k=8) over hashed pseudo-embeddings
         // derived from the text: per round the corpus sees one broadcast
         // assignment map + a k×dim-cell mean aggregate — must stay linear
@@ -174,6 +191,18 @@ object ScaleBench {
         val sec = timeOpFull(Dedup.connectedComponents(pairs), reps = 1)
         println(f"""{"metric":"scale","op":"cc_groups","scale":$k,"docs":$nd,"edges":$nEdges,"sec":$sec%.3f,"us_per_doc":${sec * 1e6 / nd}%.2f}""")
       }
+      // small-files compaction: 256 shards (the pathological many-tiny-
+      // files layout a per-task-per-batch writer produces) folded to
+      // 32 MB targets in shuffle mode — the parallel-rewrite path whose
+      // cost must scale with BYTES, not with the input file count
+      val shardPath = s"/tmp/graft-scale/shards$k"
+      docs.repartition(256).write.mode("overwrite").parquet(shardPath)
+      val outPath = s"/tmp/graft-scale/compact$k"
+      val t0 = System.nanoTime()
+      val (nIn, nOut, bytesIn) = graft.core.Layout.compactFiles(
+        spark, shardPath, outPath, targetFileBytes = 32L << 20, shuffle = true)
+      val cSec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"scale","op":"compact_files","scale":$k,"files_in":$nIn,"files_out":$nOut,"mb":${bytesIn / 1e6}%.1f,"sec":$cSec%.3f}""")
     }
 
     ivfLifecycle(spark, scales)

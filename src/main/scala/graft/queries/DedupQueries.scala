@@ -353,13 +353,15 @@ object DedupQueries {
     * a current-state snapshot (the other dedup axis from content
     * near-dup: recency, not similarity). Spelled as `max(struct(ts,
     * event_id, ...))`, NOT `row_number() = 1`: the struct-max is
-    * partial-aggregable, so each map task pre-collapses its rows and
-    * only one candidate per (task, key) crosses the shuffle — at 100 TB
-    * that is the difference between shuffling every log record into a
-    * per-key sort and shuffling ~one row per key per task. `event_id`
-    * inside the ordering struct breaks ts ties deterministically; the
-    * oracle spells the same semantics with the window form, so the
-    * driver hash gate proves the two formulations coincide. */
+    * partial-aggregable (planned as SortAggregate — struct buffers
+    * aren't hash-aggregable — but that sort is task-local), so each map
+    * task pre-collapses its rows and only one candidate per (task, key)
+    * crosses the shuffle — at 100 TB that is the difference between
+    * shuffling every log record into a post-exchange per-key window
+    * sort and shuffling ~one row per key per task. `event_id` inside
+    * the ordering struct breaks ts ties deterministically; the oracle
+    * spells the same semantics with the window form, so the driver hash
+    * gate proves the two formulations coincide. */
   def latestPerKey(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"))

@@ -255,4 +255,36 @@ class PlanSpec extends SparkSpec {
     val p = plan(Parity.flagship(spark, dir))
     p should include("ReadSchema: struct<ts:bigint,event_type:string>")
   }
+
+  test("text_chunks: tokenizer materializes behind the barrier, not inlined into the generator") {
+    val df = TextQueries.chunksQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the explicit repartition is the materialization barrier: the
+    // regexp tokenizer must run before the exchange, and the Generate
+    // above it must consume the shuffled attribute — if CollapseProject
+    // ever inlines regexp_extract_all into the generator side, the
+    // tokenizer re-runs once per CHUNK (the Dedup.bandTable lesson)
+    p should include("Exchange hashpartitioning(doc_id")
+    val generateSide = p.substring(0, p.indexOf("Exchange hashpartitioning"))
+    generateSide should not include "regexp_extract_all"
+    p should include("Generate posexplode")
+  }
+
+  test("dedup_latest: partial-aggregated struct-max, no Window, no per-key sort") {
+    val df = DedupQueries.latestPerKey(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the scale claim: map-side partial aggregation collapses each
+    // task's rows before the shuffle; a row_number() formulation would
+    // show Window + Sort here and shuffle every event row
+    // struct-typed buffers aren't hash-aggregable, so this plans as
+    // SortAggregate — the load-bearing property is the PARTIAL phase
+    // below the exchange (task-local sort, one candidate per (task,
+    // key) crosses the wire), vs a Window formulation that shuffles
+    // every event row and sorts per key after the exchange
+    p should include("partial_max(struct(ts")
+    p.indexOf("partial_max") should be > p.indexOf("Exchange hashpartitioning")
+    p should not include "Window"
+  }
 }
