@@ -256,6 +256,18 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<ts:bigint,event_type:string>")
   }
 
+  test("layout_range_scan: the range predicate reaches the parquet scan as a pushed filter") {
+    val df = LayoutQueries.rangeScan(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // row-group skipping on the range-sorted layout only happens if the
+    // ts bound is pushed INTO the scan — a Filter above an unpushed scan
+    // still decodes every row group
+    "PushedFilters: \\[IsNotNull\\(ts\\), LessThan\\(ts".r.findFirstIn(p) should not be None
+    // and the scan reads only the three referenced columns
+    p should include("ReadSchema: struct<ts:timestamp,event_type:string,value:double>")
+  }
+
   test("text_chunks: tokenizer materializes behind the barrier, not inlined into the generator") {
     val df = TextQueries.chunksQ(spark, dir)
     df.collect()
