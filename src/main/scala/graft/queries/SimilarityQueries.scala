@@ -260,6 +260,70 @@ object SimilarityQueries {
       .orderBy("label", "p")
   }
 
+  /** Cap on vectors the STREAMING maintenance replay feeds through its
+    * MemoryStream: the feed is a driver-side collect, so it must be
+    * constant-size at every sf — the same replay-twin contract as
+    * [[StreamReplayQueries]]' caps. The capped oracle below restricts
+    * the delta to the same window. */
+  private[queries] val StreamUpsertCap = 600
+
+  /** Own root: streaming generations must never interleave with the
+    * batch lifecycles' delta state. */
+  private def streamIndexPath(dir: String): String =
+    indexRoot("graft_ivf_stream", dir)
+
+  /** Test-only accessor so the spec can inspect the generation layout
+    * the replay leaves behind. */
+  private[queries] def streamIndexPathForTest(dir: String): String =
+    streamIndexPath(dir)
+
+  /** STREAMING index maintenance — the real-time half of the IVF
+    * lifecycle: arrivals [UpsertSplit, StreamUpsertCap) replay in two
+    * id-ordered micro-batches through a real Structured Streaming
+    * `foreachBatch` sink that calls [[Similarity.upsertIvfIndex]], so
+    * each micro-batch lands as its own delta generation exactly as a
+    * production ingest stream would land them; the registered result is
+    * the post-replay [[Similarity.knnIvfUpserted]] probe over base ∪
+    * both generations. Hash-gated end-to-end: a replay that dropped a
+    * micro-batch, collapsed the generations, or mis-assigned a vector
+    * serves a different neighbor set and mismatches the capped
+    * upsert-probe oracle. Reference behavior: arrivals continuously
+    * fold into served state (`spark_consumer.py:31-38`) — here the same
+    * arrival-to-serving loop maintains a vector index instead of a
+    * count table. The delta is reset at entry so every run exercises
+    * the same build → stream A → stream B lifecycle. */
+  def streamAnnUpsertReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = streamIndexPath(dir)
+    val e = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists())
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < UpsertSplit), path)
+    Similarity.dropIvfDelta(spark, path)
+    val arrivals = e
+      .filter(col("vec_id") >= UpsertSplit && col("vec_id") < StreamUpsertCap)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val chunks = Seq(
+      arrivals.filter(_._1 < MultiSplit).toSeq,
+      arrivals.filter(_._1 >= MultiSplit).toSeq)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = source.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.upsertIvfIndex(spark, path, batch)
+        ()
+      }
+      .start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    finish(Similarity.knnIvfUpserted(spark, path, probes(spark, dir), K,
+      nprobe = NProbeLists))
+  }
+
   private val KmK = 4
   private val KmIters = 2
 
@@ -594,6 +658,11 @@ object SimilarityQueries {
     // build → upsert ×2 → compact: the compacted index's centroid table
     // must equal the exact-decimal means of the merged corpus
     GQuery("ann_index_compact", annIndexCompact, Some(compactCentroidOracle)),
+    // the REAL-TIME maintenance loop: micro-batches land delta
+    // generations via a live foreachBatch sink, then the probe serves
+    // base ∪ both generations — hash-gated against the capped oracle
+    GQuery("stream_ann_upsert_replay", streamAnnUpsertReplay,
+      Some(streamProbeOracle)),
     GQuery("emb_near_dup", embNearDup, Some(s"""
       WITH $embPairCtes
       SELECT a_id, b_id, cos_sim FROM pairs
@@ -655,8 +724,10 @@ object SimilarityQueries {
     * centroids (exact-decimal means over vec_id < UpsertSplit) and the
     * argmax-cosine assignment of every newer vector against them. The
     * assignment is per-vector, so it is batch-split-invariant: the same
-    * CTEs oracle both the single-batch and the two-batch lifecycles. */
-  private lazy val upsertAssignCtes: String = s"""ex AS (
+    * CTEs oracle both the single-batch and the two-batch lifecycles.
+    * `newPred` optionally restricts the NEW-vector window (the streaming
+    * replay caps its feed at [[StreamUpsertCap]]). */
+  private def upsertAssignCtesOver(newPred: String): String = s"""ex AS (
         SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),
                  i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
@@ -673,8 +744,10 @@ object SimilarityQueries {
                    ORDER BY list_cosine_similarity(n.embedding::DOUBLE[], c.centroid) DESC,
                             c.label) AS rk
           FROM (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id >= $UpsertSplit) n, cent c)
+                WHERE vec_id >= $UpsertSplit$newPred) n, cent c)
         WHERE rk = 1)"""
+
+  private lazy val upsertAssignCtes: String = upsertAssignCtesOver("")
 
   /** The upserted index's SERVED corpus: old split under its labels ∪
     * new vectors under their assigned lists. */
@@ -699,10 +772,12 @@ object SimilarityQueries {
       FROM b LEFT JOIN a USING (label)
       ORDER BY label"""
 
-  /** Upserted-probe oracle (`knn_ivf_upserted` / `_multi`): old-split
-    * centroids route the probes over the served corpus. */
-  private lazy val upsertProbeOracle: String = s"""
-      WITH $upsertAssignCtes,
+  /** Upserted-probe oracle (`knn_ivf_upserted` / `_multi` /
+    * `stream_ann_upsert_replay`): old-split centroids route the probes
+    * over the served corpus. The streaming variant passes the capped
+    * assignment CTEs; everything downstream is identical. */
+  private def upsertProbeOracleOver(assignCtes: String): String = s"""
+      WITH $assignCtes,
       $upsertCorpCte,
       sel AS (
         SELECT probe_id, pv, label FROM (
@@ -721,6 +796,13 @@ object SimilarityQueries {
         FROM sel s JOIN corp e ON e.lst = s.label AND e.vec_id <> s.probe_id)
       WHERE rk <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  private lazy val upsertProbeOracle: String =
+    upsertProbeOracleOver(upsertAssignCtes)
+
+  /** The streaming replay serves base ∪ only the CAPPED arrival window. */
+  private lazy val streamProbeOracle: String =
+    upsertProbeOracleOver(upsertAssignCtesOver(s" AND vec_id < $StreamUpsertCap"))
 
   /** Compacted-centroid oracle (`ann_index_compact`): exact-decimal
     * per-list means over the MERGED corpus — what

@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Gates for `stream_ann_upsert_replay` — the streaming half of the IVF
+  * maintenance lifecycle. The DuckDB oracle pins the served CONTENT; what
+  * it cannot see is the execution shape these tests pin: that the replay
+  * really ran TWO micro-batches through the live `foreachBatch` sink and
+  * left two delta generations behind, and that streaming arrival is
+  * answer-equivalent to the batch two-upsert lifecycle on the same
+  * split (at this fixture the 600-vector stream cap covers the whole
+  * 500-vector corpus, so the served sets coincide by construction).
+  */
+class StreamAnnSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming replay lands two delta generations and serves both") {
+    val probe = rowsOf(SimilarityQueries.streamAnnUpsertReplay(spark, dir))
+    probe should not be empty
+
+    val root = SimilarityQueries.streamIndexPathForTest(dir)
+    val gens = new java.io.File(s"$root/lists_delta")
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .filter(f => new java.io.File(f, "_GRAFT_DELTA_COMPLETE").exists())
+      .map(_.getName)
+      .sorted
+    gens.toSeq shouldBe Seq("gen=1", "gen=2")
+  }
+
+  test("streaming arrival ≡ batch two-upsert lifecycle on the same split") {
+    val streamed = rowsOf(SimilarityQueries.streamAnnUpsertReplay(spark, dir))
+    val batch = rowsOf(SimilarityQueries.knnIvfUpsertedMultiQ(spark, dir))
+    streamed shouldBe batch
+  }
+}
