@@ -102,6 +102,13 @@ object Bench {
     // NOT sorted — so the detail file shows what happened when.
     val times = Array.fill(nq, reps)(0.0)
     val loads = Array.fill(nq, reps)(0.0)
+    // r8 advisor fix: a query that throws must NOT be silently priced at
+    // its time-to-exception (the r8 artifact recorded 33 events queries
+    // at 0.06-0.09s AnalysisException stubs with no failure marker).
+    // Failures are still caught (one broken query must not kill the whole
+    // bench) but are flagged per-query and surfaced as n_failed/failed in
+    // every output line, so a JSON-only consumer can discard them.
+    val failed = Array.fill(nq)(false)
     val passOrder: IndexedSeq[Seq[Int]] = (0 until reps).map { r =>
       new scala.util.Random(0xC0FFEE + r).shuffle((0 until nq).toList)
     }
@@ -109,12 +116,21 @@ object Bench {
       val (_, fn) = queries(i)
       loads(i)(r) = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case e: Throwable =>
+        failed(i) = true
+        System.err.println(s"[bench] ${queries(i)._1} rep $r FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       times(i)(r) = (System.nanoTime() - t0) / 1e9
     }
 
     def median(ts: Array[Double]): Double = ts.sorted.apply(ts.length / 2)
-    val results = queries.zipWithIndex.map { case ((name, _), i) => (name, times(i), loads(i)) }
+    val failedNames = queries.zipWithIndex.collect { case ((n, _), i) if failed(i) => n }
+    val failedJson = failedNames.map(n => s"\"$n\"").mkString("[", ",", "]")
+    // failed queries are excluded from ALL totals (their recorded times
+    // are time-to-exception, not work) and listed in `failed` instead
+    val results = queries.zipWithIndex
+      .filterNot { case (_, i) => failed(i) }
+      .map { case ((name, _), i) => (name, times(i), loads(i)) }
     val engineResults = results.filterNot(r => EvidenceQueries.contains(r._1))
     val engineTotal = engineResults.map(r => median(r._2)).sum
     // the least-contended engine floor (round-7 verdict #3): the sum of
@@ -144,7 +160,7 @@ object Bench {
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
@@ -153,7 +169,7 @@ object Bench {
     // full per-query compact medians (2 dp), second-to-last
     val qs2 = results.map { case (k, t, _) => s"\"$k\":${fmt2(median(t))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"queries":$qs2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_failed":${failedNames.size},"queries":$qs2,"sf":"$sfDir"}""")
     // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
     // target — engine total + evidence total + per-family median sums +
     // loadavg [min,med,max] + the detail pointer. The per-query line
@@ -170,7 +186,7 @@ object Bench {
     // n_queries counts ENGINE queries only, matching what `value` sums
     // (round-7 advisor: value/n_queries must reconcile); the pins are
     // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

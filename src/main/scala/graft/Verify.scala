@@ -25,7 +25,15 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // r8 verdict #3: a stderr-only failure made 33 broken queries
+        // VANISH from the driver's correctness report instead of showing
+        // as errors. Leave an error artifact in the query's slot so the
+        // compare records a failed row rather than omitting it.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_ERROR.txt"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -26,16 +26,34 @@ object Tables {
     */
   val nanosAsLongConf: (String, String) = "spark.sql.legacy.parquet.nanosAsLong" -> "true"
 
-  /** Read `events.ts` as raw nanos (legacy long) and truncate to the
-    * engine's microsecond TimestampType with integer division (a double
-    * division would lose precision above 2^53 ns). DuckDB's TIMESTAMP_NS →
-    * µs truncation matches exactly.
+  /** Normalize `events.ts` to the engine's microsecond TimestampType,
+    * dispatching on the dtype the parquet scan actually produced — the
+    * driver has shipped two fixture generations (r8 verdict: the
+    * regenerated testdata switched `ts` from TIMESTAMP(NANOS) to
+    * TIMESTAMP(MICROS)/NTZ, and the unconditional nanos decode broke all
+    * 33 events queries):
+    *  - LongType (nanos read as legacy long): truncate with integer
+    *    division (double division would lose precision above 2^53 ns);
+    *    matches DuckDB's TIMESTAMP_NS → µs truncation exactly.
+    *  - TimestampNTZType (µs, no zone): reinterpret the wall-clock value
+    *    in the session zone (our entry points pin it to UTC), which is
+    *    exactly how DuckDB reads the same column.
+    *  - TimestampType (µs, zoned): already the engine type.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.getOption(nanosAsLongConf._1).forall(_ != "true"))
       spark.conf.set(nanosAsLongConf._1, nanosAsLongConf._2)
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet dtype $other; expected nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

@@ -253,7 +253,11 @@ class PlanSpec extends SparkSpec {
 
   test("flagship scan prunes to (ts, event_type)") {
     val p = plan(Parity.flagship(spark, dir))
-    p should include("ReadSchema: struct<ts:bigint,event_type:string>")
+    // the physical ts dtype depends on the fixture generation (nanos-as-
+    // long vs TIMESTAMP_NTZ — see Tables.events); pruning to exactly the
+    // two referenced columns is the invariant
+    "ReadSchema: struct<ts:(bigint|timestamp_ntz|timestamp),event_type:string>".r
+      .findFirstIn(p) should not be None
   }
 
   test("layout_range_scan: the range predicate reaches the parquet scan as a pushed filter") {
