@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout for scale (the brief's "repartition/bucketing for
   * co-located joins" and partition pruning):
@@ -85,5 +86,54 @@ object Layout {
     val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
       .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     (dataFiles.length, after, bytes)
+  }
+
+  /** Morton (Z-order) interleave of two non-negative dimension values,
+    * each already scaled into `[0, 2^bits)`: bit i of `a` lands at
+    * position 2i+1, bit i of `b` at 2i. Pure codegen'd bitwise Column
+    * arithmetic — `bits` OR-terms of shift/AND/OR, no UDF. */
+  def mortonKey(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"mortonKey: bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ORDERED on two integer dimensions: each value is scaled
+    * into 16-bit rank space against its global [min,max] (one tiny 4-cell
+    * aggregate, a bounded driver read), the two are Morton-interleaved,
+    * and the frame is range-shuffled + sorted on the interleaved key.
+    *
+    * Why this beats [[writeRangeSorted]] when queries filter on EITHER or
+    * BOTH dimensions: a single-column sort gives tight per-file stats on
+    * that column only — every file still spans the full range of the
+    * second column, so a predicate on it prunes nothing. The Z-curve
+    * assigns each file a bounded RECTANGLE in (a,b) space, so per-file
+    * min/max stats stay tight on both columns at once and a two-sided box
+    * predicate skips most files (LayoutSpec proves this on the actual
+    * written footer stats). At 100 TB this is the standard multi-dim
+    * clustering layout (Delta/Iceberg OPTIMIZE ZORDER shape): one range
+    * shuffle paid at write time, every later two-dimensional probe scans
+    * a near-minimal file subset. Returns the (minA, maxA, minB, maxB)
+    * used for scaling so readers can recompute the curve if needed. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): (Long, Long, Long, Long) = {
+    val r = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head
+    val (loA, hiA, loB, hiB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val maxRank = (1L << bits) - 1
+    def scaled(c: String, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L)
+      else (col(c).cast("long") - lit(lo)) * lit(maxRank) / lit(hi - lo)
+    val keyed = df.withColumn("__z",
+      mortonKey(scaled(colA, loA, hiA), scaled(colB, loB, hiB), bits))
+    keyed.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    (loA, hiA, loB, hiB)
   }
 }

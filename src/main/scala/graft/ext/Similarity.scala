@@ -579,4 +579,48 @@ object Similarity {
           6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDedup-shaped semantic dedup (the cluster-then-dedup pipeline of
+    * Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the corpus
+    * ([[kmeans]] — deterministic init, fixed rounds), then resolve
+    * near-duplicates WITHIN each cluster only. The clustering is the
+    * blocking structure: pair work is bounded by the largest cluster,
+    * never the corpus — at 100 TB, k scales with n so per-cluster
+    * all-pairs stays a constant-sized local problem, and the pair join
+    * shuffles on the cluster key alone (the embedding-space analogue of
+    * LSH banding, trading the SRP buckets of [[embNearDupPairs]] for
+    * data-adaptive cells).
+    *
+    * Keeper rule: a vector is dropped when ANY smaller-id cluster-mate
+    * sits within `threshold` cosine (min-id canonical, matching the
+    * exact-dedup family; the paper's keep-closest-to-centroid variant
+    * differs only in the rank key). The threshold compares the 6-dp
+    * ROUNDED cosine, same determinism rationale as [[embNearDupPairs]].
+    *
+    * Returns one row per vector: (id, cluster, dropped, n_close,
+    * max_sim) — the per-vector dedup decision plus its evidence. */
+  def semDedup(corpus: DataFrame, k: Int, iters: Int = 2,
+               threshold: Double = 0.95,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeans(corpus, k, iters, idCol, vecCol)
+    val v = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+      .join(assigned, idCol)
+    val denom = col("x.__n") * col("y.__n")
+    val close = v.as("x").join(v.as("y"),
+        col("x.cluster") === col("y.cluster") && col(s"x.$idCol") > col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as(idCol),
+        round(
+          when(denom === 0.0, lit(0.0))
+            .otherwise(dot(col(s"x.$vecCol"), col(s"y.$vecCol")) / denom),
+          6).as("__cs"))
+      .filter(col("__cs") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close"), max(col("__cs")).as("max_sim"))
+    v.select(col(idCol), col("cluster"))
+      .join(close, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        when(col("n_close").isNull, 0).otherwise(1).as("dropped"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+  }
 }

@@ -175,6 +175,31 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  private val ShuffleShards = 8
+
+  /** Deterministic global shuffle for training order, computed WITHOUT a
+    * global sort: every doc hashes to one of N shards (seeded portable
+    * md5), position-in-shard is a per-shard rank on the hash — exactly
+    * the (shard file, in-shard order) layout a training data loader
+    * consumes. Distributed shape: one hash shuffle on the shard key and
+    * per-shard window sorts that parallelize across shards; at 100 TB,
+    * N scales with the corpus so no shard outgrows an executor, and no
+    * stage ever sees a global ordering. Reseeding the hash string is a
+    * full reshuffle (epoch re-randomization) with the same plan. */
+  def shuffleShardsQ(spark: SparkSession, dir: String): DataFrame = {
+    val hh = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":graft42"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("__h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hh.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(ShuffleShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   private val TrimBudget = 10000L
 
   /** Per-source token-BUDGET trim: in deterministic doc_id order, each
@@ -322,6 +347,16 @@ object CurationQueries {
       SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum,
              CAST(CASE WHEN cum <= $TrimBudget THEN 1 ELSE 0 END AS INT) AS kept
       FROM c ORDER BY doc_id""")),
+    GQuery("corpus_shuffle_shards", shuffleShardsQ, Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':graft42'), 1, 15))::BIGINT AS hh
+        FROM documents)
+      SELECT doc_id,
+             CAST(hh % $ShuffleShards AS INT) AS shard,
+             CAST(row_number() OVER (PARTITION BY hh % $ShuffleShards
+               ORDER BY hh, doc_id) AS BIGINT) AS pos
+      FROM h ORDER BY doc_id""")),
     GQuery("sample_stratified", sampleStratifiedQ, Some(s"""
       WITH h AS (
         SELECT source, doc_id,

@@ -54,6 +54,44 @@ object LayoutQueries {
       .orderBy("event_type")
   }
 
+  /** Z-ordered lineitem layout, built once per fixture: 8 files, each
+    * owning a bounded RECTANGLE in (l_orderkey, l_partkey) space via the
+    * Morton curve — the layout for workloads that filter on either or
+    * both keys, where a single-column range sort leaves the second
+    * column unprunable. */
+  private def zorderedLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val path = layoutPath(dir, "lineitem", "zorder")
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Layout.writeZOrdered(Tables.lineitem(spark, dir), path,
+        "l_orderkey", "l_partkey", numFiles = 8)
+    spark.read.parquet(path)
+  }
+
+  /** Two-dimensional box probe over the Z-ordered layout: the lowest
+    * eighth of the orderkey range × lowest quarter of the partkey range,
+    * aggregated per returnflag. On this layout both predicates prune —
+    * per-file stats are tight rectangles, so the box touches ~a couple of
+    * files' row groups; on a single-column sort the partkey bound prunes
+    * nothing. Bounds are derived from the data (one 4-cell aggregate —
+    * bounded driver read, same class as [[rangeScan]]'s min-ts probe) so
+    * the query is deterministic across fixtures, and the content is
+    * hash-pinned against the ORIGINAL lineitem table — the curve must
+    * not change a single aggregate. */
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val li = zorderedLineitem(spark, dir)
+    val r = li.agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head
+    val boundA = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8
+    val boundB = r.getLong(2) + (r.getLong(3) - r.getLong(2)) / 4
+    li.filter(col("l_orderkey") <= boundA && col("l_partkey") <= boundB)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Over-sharded documents dump (64 shards of a table that needs ~1):
     * the small-files input [[Layout.compactFiles]] exists to fix. */
   private def shardedDocs(spark: SparkSession, dir: String): String = {
@@ -97,6 +135,16 @@ object LayoutQueries {
       FROM events
       WHERE ts < (SELECT min(ts) + INTERVAL 10 MINUTE FROM events)
       GROUP BY event_type ORDER BY event_type""")),
+    GQuery("layout_zorder_scan", zorderScan, Some("""
+      WITH b AS (SELECT min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 8 AS ba,
+                        min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 4 AS bb
+                 FROM lineitem)
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem, b
+      WHERE l_orderkey <= b.ba AND l_partkey <= b.bb
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
     GQuery("corpus_compact_files", compactRoundtrip, Some("""
       SELECT source,
              CAST(count(*) AS BIGINT) AS cnt,

@@ -335,6 +335,59 @@ object SimilarityQueries {
     Similarity.kmeans(Tables.embeddings(spark, dir), KmK, KmIters)
       .orderBy("vec_id")
 
+  private val SemDedupTau = 0.35
+
+  /** SemDedup over the embedding corpus ([[Similarity.semDedup]]): the
+    * same deterministic k-means trajectory as `emb_kmeans`, then the
+    * per-vector within-cluster drop decision at the corpus-calibrated
+    * threshold (the synthetic corpus has no true duplicates — max
+    * pairwise cosine ≈ 0.51 — so the demo threshold is 0.35, same
+    * calibration note as `emb_near_dup`; the operator default is 0.95).
+    * Fully hash-checked: the oracle replays the identical Lloyd rounds
+    * and pair decisions. */
+  def semDedupQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir), KmK, KmIters,
+        threshold = SemDedupTau)
+      .orderBy("vec_id")
+
+  /** The deterministic-Lloyd oracle CTEs (k smallest ids seed → assign →
+    * exact-decimal centroid means → assign), ending in `a2` = every
+    * vector's final cluster. Shared by `emb_kmeans` and `emb_semdedup`. */
+  private lazy val kmeansCtes: String = s"""init AS (
+        -- seed = the k SMALLEST vec_ids (not vec_id < k): tracks the
+        -- library's sorted-limit init, which stays exact for sparse or
+        -- offset id spaces where the filter form under-seeds
+        SELECT vec_id::BIGINT AS cid,
+               list_transform(embedding, x -> x::DOUBLE) AS centroid
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY vec_id LIMIT $KmK)),
+      a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                            c.cid) AS rk
+          FROM embeddings e, init c)
+        WHERE rk = 1),
+      kex AS (
+        SELECT a1.cluster AS cid,
+               unnest(list_transform(range(1, len(e.embedding) + 1),
+                 i -> struct_pack(p := i, v := e.embedding[i]::DOUBLE))) AS pv
+        FROM embeddings e JOIN a1 USING (vec_id)),
+      kcentd AS (
+        SELECT cid, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM kex GROUP BY 1, 2),
+      kcent AS (SELECT cid, list(c ORDER BY p) AS centroid FROM kcentd GROUP BY 1),
+      a2 AS (
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                            c.cid) AS rk
+          FROM embeddings e, kcent c)
+        WHERE rk = 1)"""
+
   /** SRP bucket occupancy — the partition-pruning histogram an operator
     * would use to pick nPlanes at scale. Rows-only. */
   def bucketStats(spark: SparkSession, dir: String): DataFrame = {
@@ -520,41 +573,27 @@ object SimilarityQueries {
 
   val queries: Seq[GQuery] = Seq(
     GQuery("emb_kmeans", kmeansQ, Some(s"""
-      WITH init AS (
-        -- seed = the k SMALLEST vec_ids (not vec_id < k): tracks the
-        -- library's sorted-limit init, which stays exact for sparse or
-        -- offset id spaces where the filter form under-seeds
-        SELECT vec_id::BIGINT AS cid,
-               list_transform(embedding, x -> x::DOUBLE) AS centroid
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY vec_id LIMIT $KmK)),
-      a1 AS (
-        SELECT vec_id, cid AS cluster FROM (
-          SELECT e.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
-                            c.cid) AS rk
-          FROM embeddings e, init c)
-        WHERE rk = 1),
-      ex AS (
-        SELECT a1.cluster AS cid,
-               unnest(list_transform(range(1, len(e.embedding) + 1),
-                 i -> struct_pack(p := i, v := e.embedding[i]::DOUBLE))) AS pv
-        FROM embeddings e JOIN a1 USING (vec_id)),
-      centd AS (
-        SELECT cid, pv.p AS p,
-               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
-        FROM ex GROUP BY 1, 2),
-      cent AS (SELECT cid, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
-      a2 AS (
-        SELECT vec_id, cid AS cluster FROM (
-          SELECT e.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
-                            c.cid) AS rk
-          FROM embeddings e, cent c)
-        WHERE rk = 1)
+      WITH $kmeansCtes
       SELECT vec_id, cluster FROM a2 ORDER BY vec_id""")),
+    GQuery("emb_semdedup", semDedupQ, Some(s"""
+      WITH $kmeansCtes,
+      jv AS (SELECT a2.vec_id, a2.cluster, e.embedding
+             FROM a2 JOIN embeddings e USING (vec_id)),
+      close AS (
+        SELECT x.vec_id,
+               CAST(count(*) AS BIGINT) AS n_close,
+               max(ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                                y.embedding::DOUBLE[]), 6)) AS max_sim
+        FROM jv x JOIN jv y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+        WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
+                                           y.embedding::DOUBLE[]), 6) >= $SemDedupTau
+        GROUP BY 1)
+      SELECT jv.vec_id, jv.cluster,
+             CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS dropped,
+             CAST(coalesce(c.n_close, 0) AS BIGINT) AS n_close,
+             coalesce(c.max_sim, 0.0) AS max_sim
+      FROM jv LEFT JOIN close c ON jv.vec_id = c.vec_id
+      ORDER BY jv.vec_id""")),
     GQuery("knn_exact", knnExact, Some(knnOracle)),
     GQuery("knn_topk_agg", knnTopK, Some(knnOracle)),
     GQuery("knn_lsh", knnLsh, Some {

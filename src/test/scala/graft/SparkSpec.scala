@@ -17,6 +17,12 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.core.Tables.nanosAsLongConf._1, graft.core.Tables.nanosAsLongConf._2)
       .config("spark.sql.warehouse.dir", "target/test-warehouse")
+      // explain strings truncate scan metadata (PushedFilters/DataFilters
+      // lists) at 100 chars by default — long enough filter lists then
+      // pass or fail PlanSpec's substring asserts depending on the
+      // run-to-run width of expression IDs. Plan-shape tests need the
+      // full lists.
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

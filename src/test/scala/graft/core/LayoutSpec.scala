@@ -79,4 +79,39 @@ class LayoutSpec extends SparkSpec {
     back.count() shouldBe 5000L
     back.agg(sum(col("id"))).head.getLong(0) shouldBe 5000L * 5001 / 2
   }
+
+  test("z-ordered layout keeps per-file stats tight on BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // full 64×64 grid, written shuffled (seeded — the range partitioner
+    // samples its split points, so a deterministic input keeps the file
+    // boxes reproducible): any per-file locality can only come from the
+    // Morton curve, not input order
+    val df = new scala.util.Random(42).shuffle(
+        (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong)).toList)
+      .toDF("a", "b")
+    Layout.writeZOrdered(df, dir, "a", "b", numFiles = 4, bits = 6)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    files.length shouldBe 4
+    // per-file (min,max) box on both dims — exactly the footer stats a
+    // reader prunes on. A file whose Morton interval straddles a
+    // quadrant boundary can cover up to two quadrants' bounding box, so
+    // the per-file bound is 3/4 of the domain, not one quadrant — still
+    // far from the full-span second dimension a single-column sort gives
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    boxes.foreach { case (loA, hiA, loB, hiB) =>
+      (hiA - loA + 1) * (hiB - loB + 1) should be <= 3L * 64 * 64 / 4
+    }
+    // the discriminating claims: EACH dimension alone prunes at least
+    // one file on stats (a range sort on `a` leaves every file spanning
+    // the full b range — its b-probe prunes nothing), and a two-sided
+    // corner probe prunes at least half the files
+    boxes.count { case (loA, _, _, _) => loA < 16 } should be <= 3
+    boxes.count { case (_, _, loB, _) => loB < 16 } should be <= 3
+    boxes.count { case (loA, _, loB, _) => loA < 16 && loB < 16 } should be <= 2
+  }
 }

@@ -427,4 +427,29 @@ class SimilaritySpec extends SparkSpec {
     pairs should contain((1L, 2L))
     pairs.size shouldBe 1
   }
+
+  test("semDedup: within-cluster duplicate dropped (min-id kept), cross-cluster untouched") {
+    // two planted clusters along the axes; 3 ≈ dup of 0, 4 = dup of 1.
+    // kmeans seed = the two smallest ids (0 → [1,0], 1 → [0,1]), so the
+    // final cells split the corpus by axis and each dup lands with its
+    // original; 2 sits in cluster 1 but below the threshold
+    val corpus = vecDf(Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(0.6f, 0.8f)),
+      (3L, Seq(1f, 0.001f)), (4L, Seq(0f, 1f))))
+    val out = Similarity.semDedup(corpus, k = 2, iters = 2, threshold = 0.99)
+      .select("vec_id", "cluster", "dropped", "n_close", "max_sim")
+      .as[(Long, Long, Int, Long, Double)].collect().sortBy(_._1)
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    out.map(r => r._1 -> r._3).toMap shouldBe
+      Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1)
+    // dups report exactly one close smaller-id mate at cosine ≈ 1
+    out.filter(_._3 == 1).foreach { r =>
+      r._4 shouldBe 1L
+      r._5 shouldBe 1.0 +- 1e-6
+    }
+    // the two cells are the seed ids, and dups share their original's cell
+    out.find(_._1 == 3L).get._2 shouldBe out.find(_._1 == 0L).get._2
+    out.find(_._1 == 4L).get._2 shouldBe out.find(_._1 == 1L).get._2
+    out.find(_._1 == 2L).get._2 shouldBe out.find(_._1 == 1L).get._2
+  }
 }

@@ -272,6 +272,46 @@ class PlanSpec extends SparkSpec {
     p should include("ReadSchema: struct<ts:timestamp,event_type:string,value:double>")
   }
 
+  test("layout_zorder_scan: BOTH box predicates reach the parquet scan as pushed filters") {
+    val df = LayoutQueries.zorderScan(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // multi-dim stats pruning on the Z-ordered layout requires both
+    // bounds INSIDE the scan — an unpushed second predicate decodes
+    // every row group the first one admits
+    "PushedFilters: \\[IsNotNull\\(l_orderkey\\), IsNotNull\\(l_partkey\\), LessThanOrEqual\\(l_orderkey".r
+      .findFirstIn(p) should not be None
+    p should include("LessThanOrEqual(l_partkey")
+    // and the scan reads only the four referenced columns
+    p should include(
+      "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_quantity:double,l_returnflag:string>")
+  }
+
+  test("emb_semdedup: within-cluster pairs come from a cluster-key equi-join, never all-pairs") {
+    val df = SimilarityQueries.semDedupQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the k-means cells ARE the blocking structure: the pair join must
+    // key on the cluster column (hash or sort-merge equi-join), never a
+    // corpus×corpus cartesian. The BroadcastNestedLoopJoins elsewhere in
+    // the plan are the k-row centroid broadcasts of the Lloyd assignment
+    // — bounded by k, same class as the knn probe gates.
+    p should not include "CartesianProduct"
+    "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster#\\d+L?\\]".r
+      .findFirstIn(p) should not be None
+  }
+
+  test("corpus_shuffle_shards: per-shard ranks, no single-partition global sort stage") {
+    val df = CurationQueries.shuffleShardsQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the whole point of shard-then-rank is that no stage ever sees a
+    // global ordering: the rank window partitions by shard (parallel),
+    // and only range-partitioned exchanges (output sort) may appear
+    p should not include "Exchange SinglePartition"
+    p should include("Window")
+  }
+
   test("text_chunks: tokenizer materializes behind the barrier, not inlined into the generator") {
     val df = TextQueries.chunksQ(spark, dir)
     df.collect()
