@@ -206,7 +206,63 @@ object ScaleBench {
     }
 
     ivfLifecycle(spark, scales)
+    layoutPruning(spark)
     spark.stop()
+  }
+
+  /** Layout-pruning A/B/C (round 9): the SAME two-sided box probe
+    * (lowest eighth of l_orderkey × lowest quarter of l_partkey) against
+    * sf0.1 lineitem written three ways — unsorted 16 files, range-sorted
+    * on l_orderkey alone, Z-ordered on (l_orderkey, l_partkey). Reported
+    * per layout: how many of the 16 files the probe's predicates admit
+    * ON FOOTER STATS ALONE (per-file min/max boxes — exactly what a
+    * reader prunes row groups with) and the measured probe median.
+    * Expectation encoded in PERF_NOTES: unsorted admits ~all files on
+    * both bounds, range-sort prunes to ~2/16 on the orderkey bound but
+    * its partkey bound admits every file it kept, Z-order prunes on BOTH
+    * bounds — at 100 TB the file count stands in for row groups and the
+    * admitted fraction IS the scan fraction. */
+  private def layoutPruning(spark: SparkSession): Unit = {
+    import graft.core.Layout
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val r = li.agg(
+      min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head
+    val boundA = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 8
+    val boundB = r.getLong(2) + (r.getLong(3) - r.getLong(2)) / 4
+    val layouts: Seq[(String, String => Unit)] = Seq(
+      "unsorted" -> (p => li.repartition(16).write.mode("overwrite").parquet(p)),
+      "range_orderkey" -> (p => Layout.writeRangeSorted(li, p, "l_orderkey", 16)),
+      "zorder" -> (p => { Layout.writeZOrdered(li, p, "l_orderkey", "l_partkey", 16); () }))
+    for ((name, write) <- layouts) {
+      val path = s"/tmp/graft-scale/layout-$name"
+      write(path)
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val mins = files.map { f =>
+        val s = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("l_orderkey")), min(col("l_partkey"))).head
+        (s.getLong(0), s.getLong(1))
+      }
+      // two probes: the two-sided box, and the partkey bound ALONE —
+      // the second is the one a single-column orderkey sort cannot
+      // prune at all (every file's partkey min is ~global min), while
+      // the Z-curve's rectangles still skip the high-partkey files
+      val admittedBox = mins.count { case (a, b) => a <= boundA && b <= boundB }
+      val admittedB = mins.count { case (_, b) => b <= boundB }
+      val secBox = timeOp(
+        spark.read.parquet(path)
+          .filter(col("l_orderkey") <= boundA && col("l_partkey") <= boundB)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty")))
+      val secB = timeOp(
+        spark.read.parquet(path)
+          .filter(col("l_partkey") <= boundB)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty")))
+      println(f"""{"metric":"scale","op":"layout_box_probe","layout":"$name","files_admitted":$admittedBox,"files":${files.length},"sec":$secBox%.3f}""")
+      println(f"""{"metric":"scale","op":"layout_partkey_probe","layout":"$name","files_admitted":$admittedB,"files":${files.length},"sec":$secB%.3f}""")
+    }
   }
 
   /** IVF maintenance lifecycle at scale (round-7 verdict #4): build a

@@ -175,6 +175,37 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  private val MixTempScale = 1e6
+
+  /** Temperature-based mixing weights (the multilingual/multi-source
+    * sampling-rate primitive: p_s ∝ n_s^(1/T), here T=2 i.e. α=0.5):
+    * per-source token counts → raw share, temperature share, and the
+    * boost factor low-resource sources gain. α is FIXED at 0.5 because
+    * sqrt is IEEE-correctly-rounded in every engine while pow(x, 0.7)
+    * may differ in the last ulp — and the scaled-integer quantization
+    * (floor(sqrt·1e6), exact BIGINT sums) makes the cross-source
+    * normalizer bit-deterministic regardless of aggregation order, the
+    * same integer-ranking trick as `text_tfidf`. Distributed shape: one
+    * per-source aggregate, then a 1-row broadcast for the normalizers —
+    * no collect, no second wide shuffle; at 100 TB the per-source frame
+    * is |sources| rows, constant. */
+  def mixTemperatureQ(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(col("toks")).cast("long")).as("n_tokens"))
+      .withColumn("__st",
+        floor(sqrt(col("n_tokens").cast("double")) * MixTempScale).cast("long"))
+    val totals = counts.agg(
+      sum(col("n_tokens")).as("__tot"), sum(col("__st")).as("__stot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("share_raw"),
+        round(col("__st") / col("__stot"), 6).as("share_temp"),
+        round((col("__st") / col("__stot")) / (col("n_tokens") / col("__tot")), 6)
+          .as("boost"))
+      .orderBy("source")
+  }
+
   private val ShuffleShards = 8
 
   /** Deterministic global shuffle for training order, computed WITHOUT a
@@ -347,6 +378,20 @@ object CurationQueries {
       SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum,
              CAST(CASE WHEN cum <= $TrimBudget THEN 1 ELSE 0 END AS INT) AS kept
       FROM c ORDER BY doc_id""")),
+    GQuery("corpus_mix_temperature", mixTemperatureQ, Some(s"""
+      WITH t AS (SELECT source, CAST(len($duckToks) AS BIGINT) AS n FROM documents),
+      c AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+      s AS (SELECT source, n_tokens,
+                   CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS st
+            FROM c),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+                     CAST(sum(st) AS BIGINT) AS stot FROM s)
+      SELECT source, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / tot, 6) AS share_raw,
+             round(CAST(st AS DOUBLE) / stot, 6) AS share_temp,
+             round((CAST(st AS DOUBLE) / stot) / (CAST(n_tokens AS DOUBLE) / tot), 6)
+               AS boost
+      FROM s, tot ORDER BY source""")),
     GQuery("corpus_shuffle_shards", shuffleShardsQ, Some(s"""
       WITH h AS (
         SELECT doc_id,

@@ -80,6 +80,19 @@ class LayoutSpec extends SparkSpec {
     back.agg(sum(col("id"))).head.getLong(0) shouldBe 5000L * 5001 / 2
   }
 
+  test("mortonKey is a bijection on the full 2-D grid") {
+    // 2^6 × 2^6 grid → 4096 DISTINCT interleaved keys covering exactly
+    // [0, 4096): a dropped or misplaced bit would collide somewhere
+    val df = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+      .select(Layout.mortonKey(col("a"), col("b"), bits = 6).as("z"))
+    val r = df.agg(
+      countDistinct(col("z")), min(col("z")), max(col("z"))).head
+    r.getLong(0) shouldBe 4096L
+    r.getLong(1) shouldBe 0L
+    r.getLong(2) shouldBe 4095L
+  }
+
   test("z-ordered layout keeps per-file stats tight on BOTH dimensions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     // full 64×64 grid, written shuffled (seeded — the range partitioner
