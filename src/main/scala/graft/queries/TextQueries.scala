@@ -71,6 +71,36 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
 
+  /** Per-LANGUAGE quality-percentile cut (the CCNet/Gopher-style
+    * distribution-relative filter): each doc's stopword-ratio score is
+    * compared against its own language's p25, dropping the bottom
+    * quartile PER LANGUAGE instead of one global threshold that would
+    * gut low-stopword languages. The cut uses the exact interpolated
+    * percentile (`percentile` ≡ DuckDB `quantile_cont`, the
+    * `value_quantiles` idiom) so the whole decision is oracle-checkable;
+    * at 100 TB the exact per-group multiset buffer is the scale
+    * bottleneck and `approx_percentile` is the drop-in (the
+    * `approx_value_quantiles` twin pattern). Both score and cut are
+    * 6-dp-rounded before the boundary compare, the same determinism
+    * rationale as the near-dup thresholds. The |langs|-row cut table
+    * broadcasts — no second wide shuffle. */
+  def qualityFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        Text.stopwordCount(col("toks")).cast("long").as("n_stop"))
+      .withColumn("score",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop") / col("n_tokens")))
+    val cuts = scored.groupBy("lang")
+      .agg(round(expr("percentile(score, 0.25)"), 6).as("cut"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"),
+        round(col("score"), 6).as("score"), col("cut"),
+        (round(col("score"), 6) >= col("cut")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID heuristic (stopword-profile argmax; ties → first profile
     * in order, zero hits → "und"). The corpus labels are synthetic so
     * accuracy is judged by the unit test on real per-language sentences —
@@ -504,6 +534,21 @@ object TextQueries {
     GQuery("text_fingerprint", fingerprintQ, Some(s"""
       SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
       FROM documents ORDER BY doc_id""")),
+    GQuery("text_quality_filter", qualityFilterQ, Some(s"""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len($duckToks) AS BIGINT) AS n_tokens,
+                        CAST(len(list_filter($duckToks,
+                               t -> list_contains($stopList, t))) AS BIGINT) AS n_stop
+                 FROM documents),
+      s AS (SELECT doc_id, lang,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS score
+            FROM t),
+      c AS (SELECT lang, ROUND(quantile_cont(score, 0.25), 6) AS cut
+            FROM s GROUP BY 1)
+      SELECT s.doc_id, s.lang, ROUND(s.score, 6) AS score, c.cut,
+             CAST(CASE WHEN ROUND(s.score, 6) >= c.cut THEN 1 ELSE 0 END AS INT) AS kept
+      FROM s JOIN c USING (lang) ORDER BY s.doc_id""")),
     GQuery("text_lang_id", langIdQ, Some {
       val (cols, caseExpr) = duckLangId
       s"""
