@@ -244,6 +244,33 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  private val SplitBuckets = 10
+
+  /** Leakage-free train/val/test split: documents are assigned to
+    * splits by the seeded hash of their near-dup GROUP canonical — not
+    * their own id — so every near-duplicate family lands in exactly one
+    * split and train can never leak a test document's twin (the failure
+    * mode of naive per-doc hash splits that dedup exists to prevent).
+    * Composition of [[nearGroupsPortable]]'s verified pipeline
+    * (candidates → Jaccard ≥ 0.7 → connected components) with the
+    * portable md5 bucket hash: 8/1/1 train/val/test. Fully
+    * hash-checked — the oracle recomputes the whole chain including the
+    * recursive closure. At 100 TB the canonical map is the dedup
+    * pipeline's existing output; the split itself is a narrow map over
+    * it (no extra shuffle beyond the group resolution already paid). */
+  def splitLeakfreeQ(spark: SparkSession, dir: String): DataFrame = {
+    val b = pmod(
+      conv(substring(
+        md5(concat(col("canonical_id").cast("string"), lit(":split42"))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(SplitBuckets))
+    nearGroupsPortable(spark, dir)
+      .select(col("doc_id"), col("canonical_id"),
+        b.cast("int").as("bucket"),
+        when(b <= 7, "train").when(b === 8, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific
     * xxhash token hashes); the bit-vote logic is hash-proved by
     * [[simhashPortableQ]], and table≡fold equivalence by DedupSpec.
@@ -485,7 +512,26 @@ object DedupQueries {
     // the full near-dup pipeline (candidates → Jaccard verify → CC)
     // hash-proved with engine-neutral hashing — see nearGroupsPortable
     GQuery("dedup_near_groups_portable", nearGroupsPortable, Some(s"""
-      WITH RECURSIVE $portableCtes,
+      WITH RECURSIVE $portableGroupsCtes
+      SELECT doc_id, canonical_id FROM canon ORDER BY doc_id""")),
+    GQuery("corpus_split_leakfree", splitLeakfreeQ, Some(s"""
+      WITH RECURSIVE $portableGroupsCtes
+      SELECT doc_id, canonical_id,
+             CAST(('0x' || substr(md5(canonical_id::VARCHAR || ':split42'), 1, 15))::BIGINT
+                  % $SplitBuckets AS INT) AS bucket,
+             CASE WHEN ('0x' || substr(md5(canonical_id::VARCHAR || ':split42'), 1, 15))::BIGINT
+                       % $SplitBuckets <= 7 THEN 'train'
+                  WHEN ('0x' || substr(md5(canonical_id::VARCHAR || ':split42'), 1, 15))::BIGINT
+                       % $SplitBuckets = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM canon ORDER BY doc_id"""))
+  )
+
+  /** The verified-pairs → recursive-closure → canonical-map CTE chain of
+    * the portable near-dup pipeline, ending in `canon(doc_id,
+    * canonical_id)`. Shared by `dedup_near_groups_portable` and
+    * `corpus_split_leakfree`. */
+  private lazy val portableGroupsCtes: String = s"""$portableCtes,
       vp AS MATERIALIZED (
         SELECT p.a_id, p.b_id
         FROM pairs p
@@ -504,11 +550,11 @@ object DedupQueries {
         SELECT src, src FROM e2
         UNION
         SELECT e.dst, cc2.label FROM cc2 JOIN e2 e ON e.src = cc2.id),
-      comp2 AS (SELECT id, min(label) AS c FROM cc2 GROUP BY 1)
-      SELECT d.doc_id, CAST(coalesce(comp2.c, d.doc_id) AS BIGINT) AS canonical_id
-      FROM documents d LEFT JOIN comp2 ON comp2.id = d.doc_id
-      WHERE d.doc_id < $PortableCap ORDER BY d.doc_id"""))
-  )
+      comp2 AS (SELECT id, min(label) AS c FROM cc2 GROUP BY 1),
+      canon AS (
+        SELECT d.doc_id, CAST(coalesce(comp2.c, d.doc_id) AS BIGINT) AS canonical_id
+        FROM documents d LEFT JOIN comp2 ON comp2.id = d.doc_id
+        WHERE d.doc_id < $PortableCap)"""
 
   /** The recursive-CTE components oracle shared by `dedup_groups`
     * (large-star/small-star) and `dedup_groups_minlabel` (batched
