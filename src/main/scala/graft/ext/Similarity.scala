@@ -151,6 +151,67 @@ object Similarity {
       .select(col(listCol), transform(col("__pc"), x => x.getField("__c")).as("__centroid"))
   }
 
+  /** IVF × int8 COMPOSITION — the two pruning axes of the ANN family in
+    * one search, the shape the COVERAGE claim "at 100 TB the two
+    * compose (IVF selects lists, int8 scans them)" promises: the
+    * centroid route first prunes the corpus to |corpus|·nprobe/nlists
+    * (partitioning axis), the int8 integer dot then scans only the
+    * survivors at 4× less memory traffic (precision axis), and the
+    * exact double cosine re-ranks just k·candMult candidates per probe.
+    * Both rank stages run on the [[BoundedTopK]] heap (≤ k·candMult
+    * rows per probe cross any shuffle) with ties resolved toward
+    * smaller ids in every stage, so the whole two-axis pipeline stays
+    * deterministic and oracle-checkable (integer coarse scores are
+    * exact in any engine). At scale the quantized corpus tier is
+    * persisted once beside the index; here it is derived in-query
+    * behind the same rebalance barriers as the standalone quantized
+    * scan. */
+  def knnIvfQuantized(corpus: DataFrame, probes: DataFrame, k: Int,
+                      nprobe: Int = 2, candMult: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      listCol: String = "label"): DataFrame = {
+    val cent = coarseCentroids(corpus, listCol, vecCol)
+    val pv = probes.select(col(idCol).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__pv"))
+    val probed = pv
+      .crossJoin(broadcast(cent))
+      .groupBy("probe_id")
+      .agg(first(col("__pv")).as("__pv"),
+        BoundedTopK.topk(
+          cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
+      .select(col("probe_id"), col("__pv"), explode(col("__top")).as("__t"))
+      .select(col("probe_id"),
+        int8Quantize(col("__pv"), int8Scale(col("__pv"))).as("__pq"),
+        col("__t.id").as(listCol))
+    val base = corpus.select(col(idCol), col(listCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val withScale = Dedup.rebalance(base, idCol)
+      .select(col(idCol), col(listCol), col("__v"), int8Scale(col("__v")).as("__sc"))
+    val qt = Dedup.rebalance(withScale, idCol)
+      .select(col(idCol), col(listCol), col("__v"),
+        int8Quantize(col("__v"), col("__sc")).as("__qv"))
+    val coarse = qt.join(probed, listCol)
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol).as("neighbor_id"),
+        aggregate(zip_with(col("__qv"), col("__pq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("__cs"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(
+        col("__cs").cast("double"), col("neighbor_id"), k * candMult).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__n"))
+      .select(col("probe_id"), col("__n.id").as("neighbor_id"))
+    coarse
+      .join(qt.select(col(idCol).as("neighbor_id"), col("__v")), "neighbor_id")
+      .join(pv, "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("__v"), col("__pv")).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), k).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__n"))
+      .select(col("probe_id"), col("__n.id").as("neighbor_id"),
+        col("__n.score").as("cos_sim"))
+  }
+
   /** Top-level completion marker, written strictly AFTER both index
     * artifacts: readiness checks must gate on this (not on
     * `centroids/_SUCCESS`, which exists as soon as the FIRST write lands

@@ -57,6 +57,16 @@ object SimilarityQueries {
 
   private val NProbeLists = 2
 
+  /** IVF × int8 composed search ([[Similarity.knnIvfQuantized]]): list
+    * pruning then integer-dot coarse scan then exact re-rank — the two
+    * pruning axes the standalone `knn_ivf` / `knn_quantized` queries
+    * exercise separately, in one pipeline. */
+  def knnIvfQuantizedQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnIvfQuantized(e, probes(spark, dir), K,
+      nprobe = NProbeLists, candMult = CandMult))
+  }
+
   /** Root for persisted index artifacts: ABSOLUTE, anchored to the
     * system temp root (round-6 verdict #5) — a cwd-relative `target/...`
     * path meant any cwd change silently rebuilt a duplicate index — and
@@ -674,6 +684,48 @@ object SimilarityQueries {
                            AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
       FROM embeddings GROUP BY 1 ORDER BY 1""")),
     GQuery("knn_ivf", knnIvf, Some(ivfOracle)),
+    // the two ANN pruning axes COMPOSED: centroid routing prunes lists,
+    // int8 integer dot scans the survivors, exact re-rank pays only
+    // k·candMult per probe — hash-checked end to end (integer coarse
+    // scores are exact in both engines)
+    GQuery("knn_ivf_quantized", knnIvfQuantizedQ, Some(s"""
+      WITH $ivfCentroidCtes,
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      sv AS (SELECT vec_id, label, e,
+               CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+                    THEN 127.0 / list_max(list_transform(e, x -> abs(x))) END AS sc
+             FROM v),
+      q AS (SELECT vec_id, label, e,
+              list_transform(e, x -> CAST(round(x * sc) AS INT)) AS qv
+            FROM sv),
+      sel AS (
+        SELECT probe_id, pe, pq, label FROM (
+          SELECT p.vec_id AS probe_id, p.e AS pe, p.qv AS pq, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.e, c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT * FROM q WHERE vec_id < $NProbes) p, cent c)
+        WHERE crk <= $NProbeLists),
+      coarse AS (
+        SELECT s.probe_id, q.vec_id AS neighbor_id, q.e, s.pe,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                 i -> CAST(q.qv[i] AS BIGINT) * s.pq[i])) AS cs
+        FROM sel s JOIN q ON q.label = s.label AND q.vec_id <> s.probe_id),
+      cand AS (
+        SELECT probe_id, neighbor_id, e, pe FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY cs DESC, neighbor_id) AS rk
+          FROM coarse)
+        WHERE rk <= ${K * CandMult})
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT probe_id, neighbor_id,
+               list_cosine_similarity(e, pe) AS cos_sim,
+               row_number() OVER (PARTITION BY probe_id
+                 ORDER BY list_cosine_similarity(e, pe) DESC, neighbor_id) AS rk2
+        FROM cand)
+      WHERE rk2 <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
     GQuery("ann_index_build", annIndexBuild, Some(s"""
       WITH $ivfCentroidCtes
       SELECT label, CAST(p AS INT) AS p, ROUND(c, 6) AS c

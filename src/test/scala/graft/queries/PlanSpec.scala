@@ -29,6 +29,17 @@ class PlanSpec extends SparkSpec {
     p should not include "Window"
   }
 
+  test("knn_ivf_quantized: all three rank stages on the bounded heap; list join is an equi-join") {
+    val p = plan(SimilarityQueries.knnIvfQuantizedQ(spark, dir))
+    // routing (nprobe), coarse (k·candMult), re-rank (k) — every stage a
+    // heap aggregate; the corpus×probe pairing keys on the list column,
+    // never a cartesian over the corpus
+    "bounded_top_k".r.findAllIn(p).size should be >= 3
+    p should include("ObjectHashAggregate")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+  }
+
   test("knn_ivf_indexed: probe plan prunes list partitions dynamically, no centroid build, no scan-side exchange") {
     val df = SimilarityQueries.knnIvfIndexedQ(spark, dir)
     df.collect() // drive AQE to the final plan on this same handle
