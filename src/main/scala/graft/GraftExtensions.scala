@@ -87,7 +87,8 @@ object GraftExtensions {
     scalar2("graft_jaccard", Dedup.jaccard),
     scalar2("graft_cosine", Similarity.cosine),
     scalar2("graft_hamming64", Dedup.hamming64),
-    scalar1("graft_max_run", Text.maxRunCount))
+    scalar1("graft_max_run", Text.maxRunCount),
+    scalar1("graft_nfc", graft.functions.NormalizeNFC.nfc))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

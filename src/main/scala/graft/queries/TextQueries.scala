@@ -71,6 +71,31 @@ object TextQueries {
       .select(col("doc_id"), Text.fingerprint(col("toks")).as("fp"))
       .orderBy("doc_id")
 
+  /** Unicode NFC normalization ([[graft.functions.NormalizeNFC]] — the
+    * codegen'd JDK-Normalizer expression): the canonical-composition
+    * pass that must precede fingerprinting so the same page crawled
+    * with precomposed é and with e + combining U+0301 dedups together.
+    * The ASCII corpus is deterministically dirtied from doc_id with
+    * decomposed sequences (combining acute / diaeresis); NFC has exactly
+    * one correct output per the Unicode spec, so DuckDB's
+    * `nfc_normalize` reproduces every byte and the md5 fingerprints
+    * hash-match. Pure narrow map — no shuffle before the output sort. */
+  def normalizeUnicodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit("Cafe\u0301 "), col("text")))
+      .when(pmod(col("doc_id"), lit(3)) === 2,
+        concat(lit("Zu\u0308rich "), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("__t"))
+      .select(col("doc_id"), col("__t"),
+        graft.functions.NormalizeNFC.nfc(col("__t")).as("__n"))
+      .select(col("doc_id"),
+        (col("__n") =!= col("__t")).cast("int").as("changed"),
+        md5(col("__n").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Per-LANGUAGE quality-percentile cut (the CCNet/Gopher-style
     * distribution-relative filter): each doc's stopword-ratio score is
     * compared against its own language's p25, dropping the bottom
@@ -534,6 +559,17 @@ object TextQueries {
     GQuery("text_fingerprint", fingerprintQ, Some(s"""
       SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
       FROM documents ORDER BY doc_id""")),
+    GQuery("text_normalize_unicode", normalizeUnicodeQ, Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 1 THEN 'Cafe' || chr(769) || ' ' || text
+                    WHEN doc_id % 3 = 2 THEN 'Zu' || chr(776) || 'rich ' || text
+                    ELSE text END AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END AS INT) AS changed,
+             md5(nfc_normalize(t)) AS fp
+      FROM p ORDER BY doc_id""")),
     GQuery("text_quality_filter", qualityFilterQ, Some(s"""
       WITH t AS (SELECT doc_id, lang,
                         CAST(len($duckToks) AS BIGINT) AS n_tokens,

@@ -78,6 +78,28 @@ class GraftExtensionsSpec extends SparkSpec {
     sqlSim shouldBe tableSim
   }
 
+  test("graft_nfc: composes decomposed sequences, identity on normalized input, null-safe") {
+    GraftExtensions.register(spark)
+    // combining marks embedded via Scala escapes \u2014 Spark SQL's chr() is
+    // ASCII-mod-256 (chr(769) = \x01), unlike DuckDB's codepoint chr()
+    val row = spark.sql(s"""
+      SELECT graft_nfc('Cafe\u0301') AS composed,
+             graft_nfc('already ascii') AS same,
+             graft_nfc(CAST(NULL AS STRING)) AS n,
+             length(graft_nfc('Cafe\u0301')) AS len_after,
+             length('Cafe\u0301') AS len_before
+    """).collect()(0)
+    row.getString(0) shouldBe "Caf\u00e9" // precomposed e-acute
+    row.getString(1) shouldBe "already ascii"
+    row.isNullAt(2) shouldBe true
+    row.getInt(3) shouldBe 4 // 5 codepoints composed to 4
+    row.getInt(4) shouldBe 5
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    spark.sql(s"SELECT graft_nfc(graft_nfc('Zu\u0308rich')) AS a, " +
+        s"graft_nfc('Zu\u0308rich') AS b")
+      .collect()(0) match { case r => r.getString(0) shouldBe r.getString(1) }
+  }
+
   test("bounded_top_k rejects a non-literal k") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
