@@ -200,7 +200,62 @@ object StreamReplayQueries {
       .orderBy("window_start", "emoji_type")
   }
 
+  private val LatestCap = 3000L // events through the CDC-latest replay
+
+  /** CDC latest-per-key replayed through the REAL streaming aggregate
+    * ([[Pipeline.latestPerKeyStream]]): a fixed [[LatestCap]] event-id
+    * prefix fed in event-id (arrival) order over three micro-batches
+    * into a complete-mode memory sink. Cross-batch state is
+    * load-bearing — a key whose newest record arrived in batch 1 must
+    * keep it through batches 2-3, and a key updated in every batch must
+    * surface only the last — and complete mode makes the final table
+    * equal the batch struct-max over the same prefix, so the driver's
+    * hash gate covers the streaming CDC state, not just a spec. */
+  def latestReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sample = Tables.events(spark, dir)
+      .filter(col("event_id") < LatestCap)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts"))
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+      .collect()
+      .sortBy(_._2)
+    val per = math.max(1, sample.length / 3 + 1)
+    val chunks = sample.grouped(per).toSeq
+
+    val source = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val out = Pipeline.latestPerKeyStream(
+      source.toDF().toDF("user_id", "event_id", "event_type", "value", "ts"))
+    val table = s"replay_latest_${runId.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("complete")
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(table).orderBy("user_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("stream_dedup_latest_replay", latestReplay, Some(s"""
+      WITH r AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id < $LatestCap)
+      SELECT user_id,
+             epoch_us(ts::TIMESTAMP) AS last_ts_us,
+             event_id AS last_event_id,
+             event_type AS last_type,
+             value AS last_value
+      FROM r WHERE rn = 1 ORDER BY user_id""")),
     // rows-only: SimHash banding uses Spark's xxhash64 (no DuckDB twin);
     // the planted twins guarantee ≥ TwinCap·4 deterministic flag rows.
     // The md5-keyed portable twin below hash-proves the stateful logic.

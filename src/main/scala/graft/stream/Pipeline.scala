@@ -61,6 +61,26 @@ object Pipeline {
         WindowAgg.scaledCount(col("count")).as("scaled_count"),
         col("window"))
 
+  /** CDC latest-per-key compaction as a STREAMING aggregate — the
+    * streaming twin of the batch `dedup_latest` operator, same
+    * partial-aggregable `max(struct(ts, id, ...))` so per-key state is
+    * ONE candidate row (the running winner), never a log of updates.
+    * Complete output mode: the served table is the full compacted view
+    * after every micro-batch — the CDC read-model shape. Unbounded
+    * keyspace caveat as with any complete-mode agg: state is O(keys);
+    * at 100 TB the per-key row is constant-size and the keyspace bound
+    * is the same one the batch compaction carries. */
+  def latestPerKeyStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        unix_micros(col("last.ts")).as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+
   /** A3 streaming twin: per-window global totals. */
   def minuteTotals(events: DataFrame, cfg: StreamConfig = StreamConfig()): DataFrame =
     events
