@@ -323,6 +323,27 @@ class PlanSpec extends SparkSpec {
     p should include("Window")
   }
 
+  test("text_normalize_unicode: narrow map — no hash shuffle, scan pruned to (doc_id, text)") {
+    val df = TextQueries.normalizeUnicodeQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "Exchange hashpartitioning"
+    p should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("corpus_split_leakfree: every near-dup family lands in exactly one split") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max}
+    val df = DedupQueries.splitLeakfreeQ(spark, dir)
+    // the operator's defining invariant, asserted directly on top of the
+    // oracle hash: no canonical group may straddle splits
+    val maxSplitsPerGroup = df.groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    maxSplitsPerGroup shouldBe 1L
+    // and all three splits are populated at this corpus size
+    df.select("split").distinct().count() shouldBe 3L
+  }
+
   test("text_chunks: tokenizer materializes behind the barrier, not inlined into the generator") {
     val df = TextQueries.chunksQ(spark, dir)
     df.collect()
