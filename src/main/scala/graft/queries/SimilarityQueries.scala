@@ -398,6 +398,18 @@ object SimilarityQueries {
           FROM embeddings e, kcent c)
         WHERE rk = 1)"""
 
+  /** K-means cell occupancy — the histogram that answers "is k right"
+    * for [[Similarity.semDedup]] and the IVF coarse quantizer: an
+    * oversized cell is quadratic pair work (SemDedup) or an unprunable
+    * hot list (IVF), an empty cell is wasted routing. Same deterministic
+    * trajectory as `emb_kmeans`, so fully hash-checked; the aggregate is
+    * k rows regardless of corpus size. */
+  def kmeansCellStats(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(Tables.embeddings(spark, dir), KmK, KmIters)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("cluster")
+
   /** SRP bucket occupancy — the partition-pruning histogram an operator
     * would use to pick nPlanes at scale. Rows-only. */
   def bucketStats(spark: SparkSession, dir: String): DataFrame = {
@@ -585,6 +597,10 @@ object SimilarityQueries {
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes
       SELECT vec_id, cluster FROM a2 ORDER BY vec_id""")),
+    GQuery("emb_cluster_stats", kmeansCellStats, Some(s"""
+      WITH $kmeansCtes
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM a2 GROUP BY cluster ORDER BY cluster""")),
     GQuery("emb_semdedup", semDedupQ, Some(s"""
       WITH $kmeansCtes,
       jv AS (SELECT a2.vec_id, a2.cluster, e.embedding
