@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -99,7 +99,7 @@ object Parity {
 
   /** A7 at user grain: exact distinct users per type. Standard two-phase
     * expand-shuffle plan; correct, but the heaviest shuffle in this set at
-    * scale — [[approxDistinctUsers]] is the 100 TB variant. */
+    * scale — [[approxDistinctEstimate]] is the 100 TB variant. */
   def distinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
@@ -142,13 +142,37 @@ object Parity {
 
   /** A7 scale variant: HyperLogLog++ distinct users per type. One regular
     * hash-agg shuffle of fixed-size sketches instead of [[distinctUsers]]'s
-    * (type, user_id) expand-shuffle — the plan that survives 100 TB. No
-    * DuckDB oracle (different HLL implementations disagree on estimates) →
-    * rows-only check. */
-  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    * (type, user_id) expand-shuffle — the plan that survives 100 TB. This
+    * is the PRODUCTION operator (estimate only); the registry entry is
+    * [[approxDistinctUsersChecked]], which verifies the estimate against
+    * the exact count so the driver's DuckDB gate goes fully hash-green. */
+  def approxDistinctEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** The driver-checkable harness around [[approxDistinctEstimate]]
+    * (round-9 verdict #1: no more `no_oracle` rows). Different HLL
+    * implementations disagree on raw estimates, so the estimate itself can
+    * never hash-match DuckDB — instead the query computes BOTH the HLL
+    * estimate and the exact distinct count in one aggregate and emits the
+    * exact count plus `approx_ok` = |estimate − exact| ≤ 3·rsd·exact. The
+    * oracle recomputes the exact count independently and asserts TRUE, so
+    * a hash match proves (a) the exact count against DuckDB and (b) the
+    * sketch's error bound against that independently-verified truth —
+    * strictly stronger than the old rows-only check. The estimate is
+    * deterministic for fixed data, so the 3σ bound (observed relative
+    * error on the fixture: ≤0.4%) is stable run to run. */
+  def approxDistinctUsersChecked(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+      .select(col("event_type"), col("n_users"),
+        (abs(col("__approx") - col("n_users")) <=
+          col("n_users").cast("double") * lit(0.06)).as("approx_ok"))
       .orderBy("event_type")
 
   /** P2 as a DYNAMIC schema: props parsed to `map<string,string>`
@@ -280,12 +304,9 @@ object Parity {
   /** [[valueQuantiles]]'s 100 TB variant: `approx_percentile` carries a
     * fixed-size sketch per group through the shuffle instead of buffering
     * each group's full value multiset (the exact interpolated percentile
-    * cannot avoid that). Rows-only check — sketch-based quantile
-    * implementations legitimately differ across engines, same pattern as
-    * [[approxDistinctUsers]]. Output is three scalar columns (mirroring
-    * the exact twin [[valueQuantiles]]) — an array column would be
-    * unhashable for the row comparator downstream. */
-  def approxValueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    * cannot avoid that). This is the PRODUCTION operator (estimates
+    * only); the registry entry is [[approxValueQuantilesChecked]]. */
+  def approxQuantileEstimate(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
@@ -293,6 +314,37 @@ object Parity {
         expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
         expr("approx_percentile(value, 0.9, 1000)").as("p90_approx"))
       .orderBy("event_type")
+
+  /** Driver-checkable harness around [[approxQuantileEstimate]] (round-9
+    * verdict #1): sketch-based quantile implementations legitimately
+    * differ across engines, so instead of emitting raw estimates the
+    * query checks each estimate against the exact quantiles at q ± 0.005
+    * — five times the sketch's guaranteed rank error (accuracy 1000 ⇒
+    * rank error ≤ 0.001) — and emits per-quantile booleans plus the group
+    * count. The oracle recomputes the count and asserts TRUE, so a hash
+    * match proves every sketch estimate sits inside an exact-rank window
+    * that DuckDB's own `count(*)` row pins to the same group population.
+    * Both `approx_percentile` and `percentile` aggregate in one pass, so
+    * the benched plan still carries the sketch through the shuffle
+    * alongside the exact buffer the twin [[valueQuantiles]] already pays. */
+  def approxValueQuantilesChecked(spark: SparkSession, dir: String): DataFrame = {
+    def within(ap: Column, lo: Column, hi: Column): Column = ap >= lo && ap <= hi
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(value, array(0.25, 0.5, 0.9), 1000)").as("__ap"),
+        expr("percentile(value, array(0.245, 0.255, 0.495, 0.505, 0.895, 0.905))")
+          .as("__ex"))
+      .select(col("event_type"), col("n"),
+        within(element_at(col("__ap"), 1),
+          element_at(col("__ex"), 1), element_at(col("__ex"), 2)).as("p25_ok"),
+        within(element_at(col("__ap"), 2),
+          element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p50_ok"),
+        within(element_at(col("__ap"), 3),
+          element_at(col("__ex"), 5), element_at(col("__ex"), 6)).as("p90_ok"))
+      .orderBy("event_type")
+  }
 
   /** W2 extension: sliding 5-minute window with 1-minute slide — each
     * event lands in 5 overlapping windows. (The reference uses only
@@ -432,7 +484,13 @@ object Parity {
              CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
              CAST((cnt * 32 + total - 1) // total AS BIGINT) AS salt_parts
       FROM c, t ORDER BY cnt DESC, user_id LIMIT 10""")),
-    GQuery("approx_distinct_users", approxDistinctUsers, None),
+    // exact count verified by DuckDB + in-engine 3σ bound on the HLL
+    // estimate against that count — see approxDistinctUsersChecked
+    GQuery("approx_distinct_users", approxDistinctUsersChecked, Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             TRUE AS approx_ok
+      FROM events GROUP BY 1 ORDER BY 1""")),
     // exact top-k oracle on purpose: the sketch runs in its exact regime
     // (capacity 1000 >> 5 distinct types), so estimate = truth, hashable
     GQuery("approx_top_types", approxTopTypes, Some("""
@@ -525,6 +583,11 @@ object Parity {
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1, 2)
       ORDER BY window_start, event_type""")),
-    GQuery("approx_value_quantiles", approxValueQuantiles, None)
+    // group population verified by DuckDB + in-engine exact-rank-window
+    // bound on each sketch estimate — see approxValueQuantilesChecked
+    GQuery("approx_value_quantiles", approxValueQuantilesChecked, Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
+      FROM events GROUP BY 1 ORDER BY 1"""))
   )
 }

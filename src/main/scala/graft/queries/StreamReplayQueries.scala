@@ -41,6 +41,29 @@ object StreamReplayQueries {
     runNearDupReplay(spark, dir, maxHamming = 3, maxPerBucket = 64,
       hashFn = graft.ext.Dedup.tokenHashes)
 
+  /** The engine-independent INVARIANT of [[nearDupReplay]], and the form
+    * the registry checks (round-9 verdict #1): every planted twin is
+    * flagged in exactly 4 bands. Why this holds under ANY token-hash
+    * family: a twin shares its original's exact text, hence its exact
+    * fingerprint and all 4 (band, bucket) keys. In each band, its
+    * original i either (a) entered that bucket's state, or (b) was
+    * itself flagged there against a state entry s with hamming(s, i) ≤
+    * maxHamming — and state entries are never removed (NoTimeout; the
+    * maxPerBucket=64 eviction cannot fire because distinct-fingerprint
+    * docs collide in a 16-bit band bucket with prob ~2^-16). Either way
+    * the twin's `find` sees a qualifying entry (hamming(s, twin) =
+    * hamming(s, i)), so it emits one flag row per band — 4 rows, arrival
+    * two micro-batches after the original, which is precisely the
+    * cross-batch-state guarantee this entry gates. The hash-dependent
+    * dup_of/hamming VALUES stay covered by the portable twin and
+    * DedupSpec's planted near-miss cases. */
+  def nearDupReplayTwinFlags(spark: SparkSession, dir: String): DataFrame =
+    nearDupReplay(spark, dir)
+      .filter(col("doc_id") >= 1000000L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_id")
+
   /** The PORTABLE hash-gated twin of [[nearDupReplay]] (round-6 verdict
     * #4): same planted-twin replay through the same REAL
     * `flatMapGroupsWithState` pipeline, with two parameter changes that
@@ -256,10 +279,17 @@ object StreamReplayQueries {
              event_type AS last_type,
              value AS last_value
       FROM r WHERE rn = 1 ORDER BY user_id""")),
-    // rows-only: SimHash banding uses Spark's xxhash64 (no DuckDB twin);
-    // the planted twins guarantee ≥ TwinCap·4 deterministic flag rows.
-    // The md5-keyed portable twin below hash-proves the stateful logic.
-    GQuery("stream_near_dup_replay", nearDupReplay, None),
+    // hash-checked on the GUARANTEED invariant (round-9 verdict #1):
+    // SimHash banding uses Spark's xxhash64, so the raw hamming>0 flag
+    // rows can never match an engine-neutral oracle — but each planted
+    // twin MUST be flagged in all 4 bands under ANY hash family (see
+    // nearDupReplayTwinFlags), and that projection is what the entry
+    // emits. The md5-keyed portable twin below hash-proves the full
+    // per-row stateful logic.
+    GQuery("stream_near_dup_replay", nearDupReplayTwinFlags, Some(s"""
+      SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id,
+             CAST(4 AS BIGINT) AS n_bands
+      FROM documents WHERE doc_id < $TwinCap ORDER BY 1""")),
     // hash-checked: md5 fingerprints + maxHamming=0 give the stateful
     // first-arrival-wins process a closed form (min id per fingerprint,
     // 4 band rows per flagged doc) — see nearDupReplayPortable Scaladoc
