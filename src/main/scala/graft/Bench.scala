@@ -106,9 +106,12 @@ object Bench {
     // its time-to-exception (the r8 artifact recorded 33 events queries
     // at 0.06-0.09s AnalysisException stubs with no failure marker).
     // Failures are still caught (one broken query must not kill the whole
-    // bench) but are flagged per-query and surfaced as n_failed/failed in
-    // every output line, so a JSON-only consumer can discard them.
-    val failed = Array.fill(nq)(false)
+    // bench), and — round-9 advice — recorded PER REP: a transient
+    // single-rep failure (a flaky FS hiccup on rep 3 of 3) no longer
+    // discards the query's healthy reps; only the failed rep leaves the
+    // median/best, the rep-level marker goes to failed_reps in the detail
+    // artifact, and `failed` lists only queries with ZERO good reps.
+    val failedRep = Array.fill(nq, reps)(false)
     val passOrder: IndexedSeq[Seq[Int]] = (0 until reps).map { r =>
       new scala.util.Random(0xC0FFEE + r).shuffle((0 until nq).toList)
     }
@@ -117,20 +120,25 @@ object Bench {
       loads(i)(r) = osBean.getSystemLoadAverage
       val t0 = System.nanoTime()
       try exec(fn(spark, sfDir)) catch { case e: Throwable =>
-        failed(i) = true
+        failedRep(i)(r) = true
         System.err.println(s"[bench] ${queries(i)._1} rep $r FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       times(i)(r) = (System.nanoTime() - t0) / 1e9
     }
 
-    def median(ts: Array[Double]): Double = ts.sorted.apply(ts.length / 2)
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
+    val failed = (0 until nq).map(i => failedRep(i).forall(identity))
     val failedNames = queries.zipWithIndex.collect { case ((n, _), i) if failed(i) => n }
     val failedJson = failedNames.map(n => s"\"$n\"").mkString("[", ",", "]")
-    // failed queries are excluded from ALL totals (their recorded times
-    // are time-to-exception, not work) and listed in `failed` instead
+    // fully-failed queries are excluded from ALL totals (their recorded
+    // times are time-to-exception, not work) and listed in `failed`;
+    // per-query stats below use only the SUCCESSFUL reps' times
     val results = queries.zipWithIndex
       .filterNot { case (_, i) => failed(i) }
-      .map { case ((name, _), i) => (name, times(i), loads(i)) }
+      .map { case ((name, _), i) =>
+        val okTimes = (0 until reps).collect { case r if !failedRep(i)(r) => times(i)(r) }
+        (name, okTimes, loads(i).toSeq, i)
+      }
     val engineResults = results.filterNot(r => EvidenceQueries.contains(r._1))
     val engineTotal = engineResults.map(r => median(r._2)).sum
     // the least-contended engine floor (round-7 verdict #3): the sum of
@@ -144,30 +152,53 @@ object Bench {
     val loadRange =
       if (allLoads.isEmpty) "[-1,-1,-1]"
       else s"[${fmt2(allLoads.head)},${fmt2(allLoads(allLoads.length / 2))},${fmt2(allLoads.last)}]"
+    // Contention advisory (round-9 verdict #7): a rep whose pre-exec
+    // 1-min loadavg exceeds max(2× ambient, 4.0) is flagged as
+    // contended, so a JSON-only consumer can discount contaminated
+    // medians without reading verdict prose. ADVISORY, not exclusion:
+    // in-run loadavg partly carries the bench's own preceding 32-thread
+    // query (hence the 4.0 floor — self-load alone sits a few units
+    // above an idle box), so the flag over-fires on heavy passes; the
+    // honest gate remains load_ambient plus the per-rep load series.
+    val loadGate = math.max(2.0 * math.max(ambientLoad, 0.0), 4.0)
+    val contended = results
+      .map { case (k, _, l, _) =>
+        k -> (0 until reps).filter(r => l(r) > loadGate)
+      }.filter(_._2.nonEmpty)
+    val nContendedReps = contended.map(_._2.size).sum
 
     val detail = {
-      val qs = results.map { case (k, t, _) => s"\"$k\":${fmt(median(t))}" }
+      val qs = results.map { case (k, t, _, _) => s"\"$k\":${fmt(median(t))}" }
         .mkString("{", ",", "}")
       val spread = results
-        .map { case (k, t, _) => s"\"$k\":[${fmt(t.min)},${fmt(t.max)}]" }
+        .map { case (k, t, _, _) => s"\"$k\":[${fmt(t.min)},${fmt(t.max)}]" }
         .mkString("{", ",", "}")
+      // per-rep times: ALL reps in pass order, failed reps included
+      // (marked in failed_reps) so the artifact shows what happened when
       val perRep = results
-        .map { case (k, t, _) => s"\"$k\":[${t.map(fmt).mkString(",")}]" }
+        .map { case (k, _, _, i) => s"\"$k\":[${times(i).map(fmt).mkString(",")}]" }
         .mkString("{", ",", "}")
       val perLoad = results
-        .map { case (k, _, l) => s"\"$k\":[${l.map(fmt2).mkString(",")}]" }
+        .map { case (k, _, l, _) => s"\"$k\":[${l.map(fmt2).mkString(",")}]" }
+        .mkString("{", ",", "}")
+      val repFails = queries.zipWithIndex
+        .collect { case ((k, _), i) if failedRep(i).exists(identity) =>
+          s"\"$k\":[${(0 until reps).filter(failedRep(i)).mkString(",")}]"
+        }.mkString("{", ",", "}")
+      val contendedJson = contended
+        .map { case (k, rs) => s"\"$k\":[${rs.mkString(",")}]" }
         .mkString("{", ",", "}")
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"bench detail (medians 3dp + spreads + per-rep times/loads + pass order): $detailPath")
     // full per-query compact medians (2 dp), second-to-last
-    val qs2 = results.map { case (k, t, _) => s"\"$k\":${fmt2(median(t))}" }
+    val qs2 = results.map { case (k, t, _, _) => s"\"$k\":${fmt2(median(t))}" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_failed":${failedNames.size},"queries":$qs2,"sf":"$sfDir"}""")
     // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
@@ -177,7 +208,7 @@ object Bench {
     // tail as the registry grows; this one cannot (family count is
     // bounded by name prefixes, not registry size).
     val fams = results
-      .groupBy { case (k, _, _) =>
+      .groupBy { case (k, _, _, _) =>
         if (EvidenceQueries.contains(k)) "evidence" else k.takeWhile(_ != '_')
       }
       .toSeq.sortBy(_._1)
@@ -186,7 +217,7 @@ object Bench {
     // n_queries counts ENGINE queries only, matching what `value` sums
     // (round-7 advisor: value/n_queries must reconcile); the pins are
     // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"load_gate":${fmt2(loadGate)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

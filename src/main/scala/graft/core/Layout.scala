@@ -125,9 +125,18 @@ object Layout {
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head
     val (loA, hiA, loB, hiB) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val maxRank = (1L << bits) - 1
+    // rank in DOUBLE space (round-9 advice): the integer form
+    // (col - lo) * maxRank overflows for key ranges wider than
+    // Long.MaxValue/65535 (~1.4e14, e.g. epoch-micros-derived ids),
+    // silently garbling the Morton keys — rows survive but the
+    // clustering (and its pruning guarantee) is lost. A double ratio
+    // loses only sub-rank precision (rank space is 16 bits, doubles
+    // carry 53), and the clamp pins fp edge rounding inside [0, maxRank].
     def scaled(c: String, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L)
-      else (col(c).cast("long") - lit(lo)) * lit(maxRank) / lit(hi - lo)
+      else least(lit(maxRank), greatest(lit(0L),
+        ((col(c).cast("double") - lit(lo.toDouble))
+          / (hi.toDouble - lo.toDouble) * lit(maxRank.toDouble)).cast("long")))
     val keyed = df.withColumn("__z",
       mortonKey(scaled(colA, loA, hiA), scaled(colB, loB, hiB), bits))
     keyed.repartitionByRange(numFiles, col("__z"))

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * folded into the generated code, and an `isNormalized` fast path that
   * skips allocation for the overwhelmingly-common already-NFC input.
   */
-case class NormalizeNFC(child: Expression) extends UnaryExpression {
+case class NormalizeNFC(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+
+  // Round-9 advice: declare the input contract so a non-string child is
+  // coerced (or rejected with an AnalysisException) at ANALYSIS time —
+  // without this, SQL users calling graft_nfc on e.g. a bigint column
+  // got a generated-code ClassCastException at runtime instead.
+  override def inputTypes: Seq[GraftColumnBridge.SqlAbstractDataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable

@@ -603,16 +603,27 @@ object SimilarityQueries {
       FROM a2 GROUP BY cluster ORDER BY cluster""")),
     GQuery("emb_semdedup", semDedupQ, Some(s"""
       WITH $kmeansCtes,
-      jv AS (SELECT a2.vec_id, a2.cluster, e.embedding
+      jv AS (SELECT a2.vec_id, a2.cluster, e.embedding,
+                    list_sum(list_transform(e.embedding,
+                      v -> (v::DOUBLE) * (v::DOUBLE))) AS nn
              FROM a2 JOIN embeddings e USING (vec_id)),
+      -- zero-norm guard mirrors Similarity.semDedup (round-9 advice):
+      -- DuckDB's list_cosine_similarity yields NaN for a zero vector and
+      -- NaN >= tau PASSES here (NaN compares greater), while the engine
+      -- guards the pair to 0.0 — a latent cross-engine mismatch if a
+      -- fixture generation ever ships an all-zero embedding
       close AS (
         SELECT x.vec_id,
                CAST(count(*) AS BIGINT) AS n_close,
-               max(ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
-                                                y.embedding::DOUBLE[]), 6)) AS max_sim
+               max(ROUND(CASE WHEN x.nn = 0 OR y.nn = 0 THEN 0.0
+                              ELSE list_cosine_similarity(x.embedding::DOUBLE[],
+                                                          y.embedding::DOUBLE[]) END,
+                         6)) AS max_sim
         FROM jv x JOIN jv y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
-        WHERE ROUND(list_cosine_similarity(x.embedding::DOUBLE[],
-                                           y.embedding::DOUBLE[]), 6) >= $SemDedupTau
+        WHERE ROUND(CASE WHEN x.nn = 0 OR y.nn = 0 THEN 0.0
+                         ELSE list_cosine_similarity(x.embedding::DOUBLE[],
+                                                     y.embedding::DOUBLE[]) END,
+                    6) >= $SemDedupTau
         GROUP BY 1)
       SELECT jv.vec_id, jv.cluster,
              CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS dropped,

@@ -100,6 +100,19 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0) match { case r => r.getString(0) shouldBe r.getString(1) }
   }
 
+  test("graft_nfc declares its input contract: atomics coerce, arrays fail analysis") {
+    GraftExtensions.register(spark)
+    // round-9 advice: ImplicitCastInputTypes(StringType) - an atomic
+    // non-string child is coerced at analysis time (pre-fix this was a
+    // generated-code ClassCastException at runtime)...
+    spark.sql("SELECT graft_nfc(42) AS s").collect()(0).getString(0) shouldBe "42"
+    // ...and a non-coercible child is an AnalysisException, not codegen death
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_nfc(array(1, 2))").collect()
+    }
+    e.getMessage.toLowerCase should include("graft_nfc")
+  }
+
   test("bounded_top_k rejects a non-literal k") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

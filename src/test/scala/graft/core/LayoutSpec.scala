@@ -127,4 +127,34 @@ class LayoutSpec extends SparkSpec {
     boxes.count { case (_, _, loB, _) => loB < 16 } should be <= 3
     boxes.count { case (loA, _, loB, _) => loA < 16 && loB < 16 } should be <= 2
   }
+
+  test("z-order rank scaling survives epoch-micros-wide key ranges (no i64 overflow)") {
+    // round-9 advice: the old integer form (col - lo) * 65535 overflowed
+    // for ranges wider than Long.MaxValue/65535 (~1.4e14), silently
+    // garbling the Morton clustering. Keys here span ~4.6e18 — any
+    // integer scaling would wrap; the double path must keep ranks
+    // monotone so the curve (and its pruning) survives.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zwide").toString
+    val step = Long.MaxValue / 1000 * 500 / 16 // ~2.9e17 per cell, range ~4.6e18
+    val df = new scala.util.Random(7).shuffle(
+        (for (a <- 0 until 16; b <- 0 until 16)
+          yield (a.toLong * step, b.toLong * step)).toList)
+      .toDF("a", "b")
+    Layout.writeZOrdered(df, dir, "a", "b", numFiles = 4, bits = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // same clustering contract as the narrow-range test, scaled: each
+    // file's box covers at most 3/4 of the 16×16 cell grid (an
+    // overflow-garbled curve degenerates to near-random file boxes that
+    // each span the whole domain)
+    val cell = step
+    boxes.foreach { case (loA, hiA, loB, hiB) =>
+      ((hiA - loA) / cell + 1) * ((hiB - loB) / cell + 1) should be <= 3L * 16 * 16 / 4
+    }
+  }
 }
