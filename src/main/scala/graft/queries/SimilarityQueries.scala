@@ -316,6 +316,15 @@ object SimilarityQueries {
       .as[(Long, Array[Float])]
       .collect()
       .sortBy(_._1)
+    // Replay-HARNESS size guard (round-9 verdict #4): this collect only
+    // feeds MemoryStream (the fixture slice standing in for a Kafka
+    // topic — the operator path under test never collects). The id
+    // window bounds it to StreamUpsertCap-UpsertSplit rows only while
+    // vec_id stays unique; the driver HAS regenerated fixtures twice, so
+    // fail loudly if a regeneration ever makes ids dense enough to turn
+    // the harness into a driver-memory hazard.
+    requireBoundedReplay(arrivals.length, 4 * (StreamUpsertCap - UpsertSplit),
+      "streamAnnUpsertReplay arrivals")
     val chunks = Seq(
       arrivals.filter(_._1 < MultiSplit).toSeq,
       arrivals.filter(_._1 >= MultiSplit).toSeq)
@@ -333,6 +342,16 @@ object SimilarityQueries {
     finish(Similarity.knnIvfUpserted(spark, path, probes(spark, dir), K,
       nprobe = NProbeLists))
   }
+
+  /** Guard for replay-harness collects: the collect is scaffolding (a
+    * fixture slice feeding MemoryStream), so its size must stay
+    * fixture-shape-independent. Throws with a re-derivation hint instead
+    * of letting a regenerated fixture grow a bounded harness collect
+    * into a driver-memory hazard. */
+  private[queries] def requireBoundedReplay(n: Int, cap: Int, what: String): Unit =
+    require(n <= cap,
+      s"$what harness collect grew to $n rows (cap $cap): the fixture's id " +
+        "space changed shape; re-derive the replay window before collecting")
 
   private val KmK = 4
   private val KmIters = 2

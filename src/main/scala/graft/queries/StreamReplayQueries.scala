@@ -103,6 +103,11 @@ object StreamReplayQueries {
       .as[(Long, String)]
       .collect()
       .sortBy(_._1)
+    // same replay-harness bound contract as streamAnnUpsertReplay
+    // (round-9 verdict #4): id-window caps hold only while ids are
+    // unique, and the driver regenerates fixtures
+    SimilarityQueries.requireBoundedReplay(sample.length,
+      4 * ReplayCap.toInt, "nearDupReplay sample")
     val twins = sample.filter(_._1 < TwinCap)
       .map { case (id, text) => (1000000L + id, text) }
     val chunks = Seq(
@@ -153,6 +158,8 @@ object StreamReplayQueries {
       .as[(Long, String)]
       .collect()
       .sortBy(_._1)
+    SimilarityQueries.requireBoundedReplay(sample.length,
+      4 * CurateCap.toInt, "curateReplay sample")
     val n = sample.length
     val chunks = Seq(
       sample.slice(0, n / 3).toSeq,
@@ -198,6 +205,8 @@ object StreamReplayQueries {
       .as[(String, String, java.sql.Timestamp)]
       .collect()
       .sortBy(_._3.getTime)
+    SimilarityQueries.requireBoundedReplay(sample.length,
+      4 * FlagshipCap.toInt, "flagshipReplay sample")
     val per = math.max(1, sample.length / 3 + 1)
     val chunks = sample.grouped(per).toSeq
 
@@ -245,6 +254,8 @@ object StreamReplayQueries {
       .as[(Long, Long, String, Double, java.sql.Timestamp)]
       .collect()
       .sortBy(_._2)
+    SimilarityQueries.requireBoundedReplay(sample.length,
+      4 * LatestCap.toInt, "latestPerKeyReplay sample")
     val per = math.max(1, sample.length / 3 + 1)
     val chunks = sample.grouped(per).toSeq
 
@@ -266,7 +277,70 @@ object StreamReplayQueries {
     spark.table(table).orderBy("user_id")
   }
 
+  private val TtlCap = 2000L     // events through the TTL-dedup replay
+  private val TtlDupCount = 100  // chunk-1 rows redelivered in chunk 3
+
+  /** TTL-bounded transport dedup replayed through the REAL
+    * [[Pipeline.dedupWithinWatermark]] operator (round-9 verdict #5 —
+    * the bounded-state companion of the CDC latest-per-key aggregate):
+    * a fixed [[TtlCap]] event-id prefix arrives in id order over three
+    * micro-batches, and chunk 3 additionally REDELIVERS the first
+    * [[TtlDupCount]] chunk-1 rows with a perturbed `value` — the
+    * at-least-once transport's duplicate, two micro-batches after the
+    * original. Within the horizon (the replay uses a delay far beyond
+    * the slice's event-time span, so no state evicts and nothing is
+    * late-dropped), every redelivery must be swallowed BY STATE and the
+    * first arrival's row kept: a failed dedup either emits 100 extra
+    * rows (row-count mismatch) or lets the perturbed value win (hash
+    * mismatch), so the driver gate pins both halves. The
+    * eviction-after-horizon behavior — which this in-horizon replay
+    * cannot see — is gated in StreamingSpec with crafted timestamps. */
+  def dedupTtlReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sample = Tables.events(spark, dir)
+      .filter(col("event_id") < TtlCap)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("ts"))
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+      .collect()
+      .sortBy(_._1)
+    SimilarityQueries.requireBoundedReplay(sample.length,
+      4 * TtlCap.toInt, "dedupTtlReplay sample")
+    val per = math.max(1, sample.length / 3 + 1)
+    val base = sample.grouped(per).map(_.toSeq).toSeq
+    val redelivered = sample.take(TtlDupCount).toSeq
+      .map { case (id, u, t, v, ts) => (id, u, t, v + 1000.0, ts) }
+    val chunks = base.dropRight(1) :+ (base.last ++ redelivered)
+
+    val source = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+    val out = Pipeline.dedupKeysWithinWatermark(
+      source.toDF().toDF("event_id", "user_id", "event_type", "value", "ts"),
+      keyCols = Seq("event_id"), tsCol = "ts", delay = "365 days")
+    val table = s"replay_dedup_ttl_${runId.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(table)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("stream_dedup_ttl_replay", dedupTtlReplay, Some(s"""
+      SELECT event_id, user_id, event_type, value,
+             epoch_us(ts::TIMESTAMP) AS ts_us
+      FROM events WHERE event_id < $TtlCap ORDER BY event_id""")),
     GQuery("stream_dedup_latest_replay", latestReplay, Some(s"""
       WITH r AS (
         SELECT user_id, ts, event_id, event_type, value,

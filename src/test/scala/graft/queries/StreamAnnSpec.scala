@@ -15,6 +15,17 @@ class StreamAnnSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("replay-harness collect guard trips on a fixture-shape blowup") {
+    // round-9 verdict #4: the MemoryStream-feeding collect is bounded by
+    // an id-window assumption the fixture could silently break; the
+    // guard must fail loudly, with the re-derivation hint, not OOM later
+    SimilarityQueries.requireBoundedReplay(800, 800, "ok") // at cap: fine
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.requireBoundedReplay(801, 800, "streamAnnUpsertReplay arrivals")
+    }
+    e.getMessage should include("re-derive the replay window")
+  }
+
   test("streaming replay lands two delta generations and serves both") {
     val probe = rowsOf(SimilarityQueries.streamAnnUpsertReplay(spark, dir))
     probe should not be empty
