@@ -452,4 +452,31 @@ class SimilaritySpec extends SparkSpec {
     out.find(_._1 == 4L).get._2 shouldBe out.find(_._1 == 1L).get._2
     out.find(_._1 == 2L).get._2 shouldBe out.find(_._1 == 1L).get._2
   }
+
+  test("ann_recall: per-(probe,method) rows; ivf n_hit equals the independently computed intersection") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.SimilarityQueries.annRecall(spark, dir)
+      .select("probe_id", "method", "n_hit", "recall_at_k")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    // one row per (probe, method), every probe covered even at zero hits
+    rows.map(r => (r._1, r._2)).distinct.size shouldBe rows.size
+    rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap shouldBe
+      Map("ivf" -> Seq(0L, 1L, 2L, 3L, 4L), "lsh" -> Seq(0L, 1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      r._3 should (be >= 0L and be <= 10L)
+      r._4 shouldBe r._3.toDouble / 10
+    }
+    // the ivf rows must equal the intersection computed straight from the
+    // two searches — gates the join/agg plumbing, not the searches
+    val e = graft.core.Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ids(Similarity.knnTopKAgg(e, probes, 10))
+    val ivf = ids(Similarity.knnIvf(e, probes, 10, nprobe = 2))
+    rows.filter(_._2 == "ivf").foreach { r =>
+      r._3 shouldBe (exact(r._1) & ivf.getOrElse(r._1, Set.empty)).size.toLong
+    }
+  }
 }
