@@ -112,6 +112,47 @@ object Similarity {
       .select(col("probe_id"), col("n.id").as("neighbor_id"), col("n.score").as("cos_sim"))
   }
 
+  /** MULTI-PROBE SRP-LSH (round 10): each probe also queries every
+    * bucket at Hamming distance 1 from its own — the standard
+    * recall/cost lever for sign-random-projection search (Lv et al.,
+    * VLDB'07 shape): a true neighbor lost to a near-miss on ONE
+    * hyperplane sign sits in exactly such an adjacent bucket, and
+    * probing it recovers that recall without maintaining extra hash
+    * tables or re-hashing the corpus.
+    *
+    * Scale shape: the CORPUS side is untouched (one bucket per row, the
+    * same single shuffle-free projection as [[knnLsh]]); only the
+    * broadcast probe side explodes, to probes × (nPlanes+1) rows, so
+    * the candidate set grows to ~(nPlanes+1)/2^nPlanes of the corpus
+    * per probe while the join stays a broadcast equi-join. A corpus row
+    * matches at most ONE of a probe's expanded buckets (they are
+    * distinct by construction), so no candidate dedup is needed and
+    * ≤ k rows per probe still cross the aggregation shuffle. */
+  def knnLshMultiProbe(corpus: DataFrame, probes: DataFrame, k: Int,
+      nPlanes: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = srpPlanes(nPlanes, dim, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val flips = lit(0) +: (0 until nPlanes).map(r => lit(1 << r))
+    val p = probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec"), srpBucket(col(vecCol), planes).as("b0"))
+      .select(col("probe_id"), col("probe_vec"), col("b0"),
+        explode(array(flips: _*)).as("flip"))
+      .select(col("probe_id"), col("probe_vec"),
+        col("b0").bitwiseXOR(col("flip")).as("bucket"))
+    c.join(broadcast(p), "bucket")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), k).as("nn"))
+      .select(col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("probe_id"), col("n.id").as("neighbor_id"),
+        col("n.score").as("cos_sim"))
+  }
+
   /** IVF-style ANN search: coarse-quantize the corpus into inverted
     * lists, probe only the `nprobe` nearest lists per query, exact-rank
     * within them.

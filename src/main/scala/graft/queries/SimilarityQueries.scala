@@ -46,6 +46,17 @@ object SimilarityQueries {
     finish(Similarity.knnLsh(e, probes(spark, dir), K))
   }
 
+  /** Multi-probe SRP-LSH: the same 4-plane bucketing as `knn_lsh`, but
+    * each probe also searches its Hamming-1 neighbor buckets
+    * ([[Similarity.knnLshMultiProbe]]) — `ann_recall` grades how much
+    * recall the extra probes buy over the single-bucket search. Fully
+    * oracle-checked (literal hyperplanes + integer XOR in both
+    * engines). */
+  def knnLshMp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnLshMultiProbe(e, probes(spark, dir), K))
+  }
+
   /** IVF-style ANN: deterministic coarse quantizer (per-label exact-mean
     * centroids) → nprobe=2 nearest lists per probe → exact cosine within
     * them. Fully oracle-checked, centroids included — see
@@ -104,6 +115,7 @@ object SimilarityQueries {
     }
     evalMethod(Similarity.knnIvf(e, p, K, nprobe = NProbeLists), "ivf")
       .unionByName(evalMethod(Similarity.knnLsh(e, p, K), "lsh"))
+      .unionByName(evalMethod(Similarity.knnLshMultiProbe(e, p, K), "lsh_mp"))
       .orderBy("probe_id", "method")
   }
 
@@ -711,6 +723,27 @@ object SimilarityQueries {
       WHERE rk <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
     }),
+    GQuery("knn_lsh_multiprobe", knnLshMp, Some {
+      val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+      s"""
+      WITH b AS (SELECT vec_id, embedding,
+                        ${duckBucket("embedding", planes)} AS bucket
+                 FROM embeddings),
+      pe AS (SELECT p.vec_id AS probe_id, p.embedding AS pv,
+                    xor(p.bucket, f.flip) AS bucket
+             FROM b p, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f
+             WHERE p.vec_id < $NProbes)
+      SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT pe.probe_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(b.embedding::DOUBLE[], pe.pv::DOUBLE[]) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY pe.probe_id
+                 ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], pe.pv::DOUBLE[]) DESC,
+                          b.vec_id) AS rk
+        FROM b JOIN pe ON b.bucket = pe.bucket AND b.vec_id <> pe.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+    }),
     GQuery("knn_filtered", knnFiltered, Some(knnOracleWhere(" AND e.label % 3 = 0"))),
     GQuery("knn_quantized", knnQuantized, Some(s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -855,9 +888,24 @@ object SimilarityQueries {
           FROM bkt b JOIN bkt p ON b.bucket = p.bucket AND b.vec_id <> p.vec_id
           WHERE p.vec_id < $NProbes)
         WHERE rk <= $K),
+      lshmp AS (
+        SELECT probe_id, neighbor_id FROM (
+          SELECT pe.probe_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY pe.probe_id
+                   ORDER BY list_cosine_similarity(b.embedding::DOUBLE[], pe.pv::DOUBLE[]) DESC,
+                            b.vec_id) AS rk
+          FROM bkt b JOIN (
+            SELECT p.vec_id AS probe_id, p.embedding AS pv,
+                   xor(p.bucket, f.flip) AS bucket
+            FROM bkt p, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f
+            WHERE p.vec_id < $NProbes) pe
+            ON b.bucket = pe.bucket AND b.vec_id <> pe.probe_id)
+        WHERE rk <= $K),
       m AS (SELECT probe_id, 'ivf' AS method, neighbor_id FROM ivf
             UNION ALL
-            SELECT probe_id, 'lsh' AS method, neighbor_id FROM lsh),
+            SELECT probe_id, 'lsh' AS method, neighbor_id FROM lsh
+            UNION ALL
+            SELECT probe_id, 'lsh_mp' AS method, neighbor_id FROM lshmp),
       h AS (SELECT x.probe_id, m.method, count(*) AS n_hit
             FROM exact x JOIN m
               ON m.probe_id = x.probe_id AND m.neighbor_id = x.neighbor_id
@@ -865,7 +913,8 @@ object SimilarityQueries {
       SELECT pr.probe_id, md.method,
              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
              CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k
-      FROM pr CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') md
+      FROM pr CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
+                          UNION ALL SELECT 'lsh_mp') md
       LEFT JOIN h ON h.probe_id = pr.probe_id AND h.method = md.method
       ORDER BY pr.probe_id, md.method"""
     }),

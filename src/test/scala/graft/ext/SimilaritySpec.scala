@@ -79,6 +79,50 @@ class SimilaritySpec extends SparkSpec {
     val hits = got.count { case (p, n) => n / 100L == p / 100L }
     val recall = hits.toDouble / (8 * 6)
     withClue(s"recall=$recall") { recall should be >= 0.6 }
+
+    // multi-probe: the Hamming-1 expansion is a candidate SUPERSET, so
+    // per-probe cluster recall can only improve (monotonicity is exact:
+    // any candidate displacing a true neighbor from the top-k must rank
+    // above it in the exact order too, hence be a true neighbor itself)
+    val mp = Similarity.knnLshMultiProbe(corpusDf, probesDf, k = 6,
+        nPlanes = 4, dim = dim)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    val mpByProbe = mp.groupBy(_._1).view
+      .mapValues(_.count { case (p, n) => n / 100L == p / 100L }).toMap
+    val byProbe = got.groupBy(_._1).view
+      .mapValues(_.count { case (p, n) => n / 100L == p / 100L }).toMap
+    probes.map(_._1).foreach { p =>
+      mpByProbe.getOrElse(p, 0) should be >= byProbe.getOrElse(p, 0)
+    }
+    val mpRecall = mp.count { case (p, n) => n / 100L == p / 100L }.toDouble / (8 * 6)
+    withClue(s"mpRecall=$mpRecall vs $recall") { mpRecall should be >= recall }
+  }
+
+  test("knnLshMultiProbe: candidates come only from Hamming<=1 buckets, each pair once") {
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    val corpus = vecDf((0L until 200L).map(i =>
+      i -> Seq.fill(dim)(rng.nextGaussian().toFloat)))
+    val probes = corpus.filter(col("vec_id") < 3)
+    val planes = Similarity.srpPlanes(nPlanes = 4, dim = dim)
+    val buckets = corpus
+      .select(col("vec_id"), Similarity.srpBucket(col("embedding"), planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val got = Similarity.knnLshMultiProbe(corpus, probes, k = 200,
+        nPlanes = 4, dim = dim)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    // no duplicate (probe, neighbor) pairs despite 5 expanded buckets
+    got.distinct.size shouldBe got.size
+    // every candidate within Hamming 1; every Hamming<=1 corpus row found
+    // (k = corpus size, so the heap never truncates)
+    // buckets.toSeq: mapping a Map-valued generator to (p, n) pairs
+    // would re-collect into a Map keyed by the constant p and keep one
+    // pair per probe
+    val expected = for {
+      p <- 0L until 3L; (n, bn) <- buckets.toSeq
+      if n != p && Integer.bitCount(buckets(p) ^ bn) <= 1
+    } yield (p, n)
+    got.toSet shouldBe expected.toSet
   }
 
   test("knnIvf: probing ALL lists equals brute force; nprobe=2 stays in-cluster") {
@@ -461,7 +505,15 @@ class SimilaritySpec extends SparkSpec {
     // one row per (probe, method), every probe covered even at zero hits
     rows.map(r => (r._1, r._2)).distinct.size shouldBe rows.size
     rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap shouldBe
-      Map("ivf" -> Seq(0L, 1L, 2L, 3L, 4L), "lsh" -> Seq(0L, 1L, 2L, 3L, 4L))
+      Map("ivf" -> Seq(0L, 1L, 2L, 3L, 4L), "lsh" -> Seq(0L, 1L, 2L, 3L, 4L),
+        "lsh_mp" -> Seq(0L, 1L, 2L, 3L, 4L))
+    // multi-probe searches a candidate superset of single-probe, so its
+    // per-probe hit count dominates (see the monotonicity argument in
+    // the planted-cluster test)
+    val byPm = rows.map(r => (r._1, r._2) -> r._3).toMap
+    (0L until 5L).foreach { p =>
+      byPm((p, "lsh_mp")) should be >= byPm((p, "lsh"))
+    }
     rows.foreach { r =>
       r._3 should (be >= 0L and be <= 10L)
       r._4 shouldBe r._3.toDouble / 10
