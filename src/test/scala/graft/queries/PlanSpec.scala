@@ -40,6 +40,20 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  test("knn_lsh_multiprobe: probe expansion broadcasts, bucket equi-join, no cartesian") {
+    val df = SimilarityQueries.knnLshMp(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the Hamming-1 expansion lives on the PROBE side only: a broadcast
+    // bucket equi-join, never a shuffled corpus or a cartesian scan
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // corpus side stays a single pruned scan: id + embedding only
+    "ReadSchema: struct<vec_id:bigint,embedding:array<float>>".r
+      .findFirstIn(p) should not be None
+  }
+
   test("knn_ivf_indexed: probe plan prunes list partitions dynamically, no centroid build, no scan-side exchange") {
     val df = SimilarityQueries.knnIvfIndexedQ(spark, dir)
     df.collect() // drive AQE to the final plan on this same handle
