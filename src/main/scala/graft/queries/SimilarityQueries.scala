@@ -119,6 +119,83 @@ object SimilarityQueries {
       .orderBy("probe_id", "method")
   }
 
+  /** The nprobe grid for [[annNprobeSweep]] (≤ nlists = 10 fixture
+    * labels; public so the spec drives the same points). */
+  val NprobeSweep = Seq(1, 2, 4, 8)
+
+  /** IVF TUNING CURVE (round 10): recall@K *and* scanned-corpus
+    * fraction at every nprobe in [[NprobeSweep]] — the two axes of the
+    * knob every IVF deployment turns (more lists probed = more recall
+    * for a linearly larger scan), measured in ONE pass instead of
+    * |sweep| separate searches: candidates are drawn once from the
+    * deepest sweep point's lists with each list's per-probe rank (crk)
+    * attached, and each sweep point's top-K re-ranks the SAME scan
+    * filtered to crk ≤ nprobe. The list ranking is a window over the
+    * broadcast-small probes × nlists frame; ≤ K·|sweep| rows per probe
+    * cross the aggregation shuffle; the scanned-fraction denominator
+    * travels as a 1-row broadcast aggregate, never a collect.
+    *
+    * Fully hash-checked like [[annRecall]]: deterministic exact-decimal
+    * centroids, id-tie-broken rank stages, integer hit counts, and
+    * divisions of identical integer inputs. */
+  def annNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val p = probes(spark, dir)
+    val maxNp = NprobeSweep.max
+    val npCol = explode(array(NprobeSweep.map(lit): _*)).as("nprobe")
+    val exact = Similarity.knnTopKAgg(e, p, K)
+      .select(col("probe_id"), col("neighbor_id"))
+    // per-probe list ranking: same order as knnIvf's BoundedTopK list
+    // selection (cosine desc, ties toward the smaller label)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__cs").desc, col("label"))
+    val ranked = p.select(col("vec_id").as("probe_id"),
+        col("embedding").as("__pv"))
+      .crossJoin(broadcast(Similarity.coarseCentroids(e)))
+      .select(col("probe_id"), col("__pv"), col("label"),
+        Similarity.cosine(col("__pv"), col("__centroid")).as("__cs"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= maxNp)
+      .select("probe_id", "__pv", "label", "crk")
+    // ONE candidate scan at the deepest sweep point; each sweep point
+    // re-ranks the same candidates filtered by list rank
+    val cand = e
+      .select(col("vec_id").as("neighbor_id"), col("label"), col("embedding"))
+      .join(broadcast(ranked), "label")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("crk"), col("neighbor_id"),
+        Similarity.cosine(col("embedding"), col("__pv")).as("__sim"))
+    val hits = cand.select(col("probe_id"), col("crk"), col("neighbor_id"),
+        col("__sim"), npCol)
+      .filter(col("crk") <= col("nprobe"))
+      .groupBy("nprobe", "probe_id")
+      .agg(graft.functions.BoundedTopK.topk(
+        col("__sim"), col("neighbor_id"), K).as("nn"))
+      .select(col("nprobe"), col("probe_id"), explode(col("nn")).as("n"))
+      .select(col("nprobe"), col("probe_id"), col("n.id").as("neighbor_id"))
+      .join(exact, Seq("probe_id", "neighbor_id"))
+      .groupBy("nprobe", "probe_id").agg(count(lit(1)).as("n_hit"))
+    // scanned rows per (nprobe, probe): sizes of the crk ≤ nprobe lists
+    // (the probe's own row included — it is read like any list member)
+    val scanned = ranked
+      .join(broadcast(e.groupBy("label").agg(count(lit(1)).as("__n"))), "label")
+      .select(col("probe_id"), col("crk"), col("__n"), npCol)
+      .filter(col("crk") <= col("nprobe"))
+      .groupBy("nprobe", "probe_id").agg(sum("__n").as("n_scanned"))
+    val grid = p.select(col("vec_id").as("probe_id"), npCol)
+    grid
+      .join(hits, Seq("nprobe", "probe_id"), "left")
+      .join(scanned, Seq("nprobe", "probe_id"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("__total"))))
+      .select(col("nprobe"), col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"),
+        col("n_scanned"),
+        (col("n_scanned").cast("double") / col("__total")).as("scan_frac"))
+      .orderBy("nprobe", "probe_id")
+  }
+
   /** Root for persisted index artifacts: ABSOLUTE, anchored to the
     * system temp root (round-6 verdict #5) — a cwd-relative `target/...`
     * path meant any cwd change silently rebuilt a duplicate index — and
@@ -918,6 +995,57 @@ object SimilarityQueries {
       LEFT JOIN h ON h.probe_id = pr.probe_id AND h.method = md.method
       ORDER BY pr.probe_id, md.method"""
     }),
+    GQuery("ann_nprobe_sweep", annNprobeSweep, Some(s"""
+      WITH $ivfCentroidCtes,
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      pr AS (SELECT vec_id AS probe_id, embedding AS pv
+             FROM embeddings WHERE vec_id < $NProbes),
+      exact AS (
+        SELECT probe_id, neighbor_id FROM (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pv::DOUBLE[]) DESC,
+                            e.vec_id) AS rk
+          FROM embeddings e, pr p WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= $K),
+      ranked AS (
+        SELECT probe_id, pv, label, crk FROM (
+          SELECT p.probe_id, p.pv, c.label,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_cosine_similarity(p.pv::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM pr p, cent c)
+        WHERE crk <= ${NprobeSweep.max}),
+      np AS (SELECT unnest(${NprobeSweep.mkString("[", ", ", "]")}) AS nprobe),
+      topk AS (
+        SELECT nprobe, probe_id, neighbor_id FROM (
+          SELECT n.nprobe, r.probe_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY n.nprobe, r.probe_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], r.pv::DOUBLE[]) DESC,
+                            e.vec_id) AS rk
+          FROM ranked r
+          JOIN embeddings e ON e.label = r.label AND e.vec_id <> r.probe_id
+          JOIN np n ON r.crk <= n.nprobe)
+        WHERE rk <= $K),
+      h AS (SELECT t.nprobe, t.probe_id, count(*) AS n_hit
+            FROM topk t JOIN exact x
+              ON x.probe_id = t.probe_id AND x.neighbor_id = t.neighbor_id
+            GROUP BY 1, 2),
+      sizes AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+      tot AS (SELECT count(*) AS total FROM embeddings),
+      sc AS (SELECT n.nprobe, r.probe_id, sum(s.n) AS n_scanned
+             FROM ranked r JOIN sizes s USING (label)
+             JOIN np n ON r.crk <= n.nprobe
+             GROUP BY 1, 2)
+      SELECT n.nprobe, pr.probe_id,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k,
+             CAST(sc.n_scanned AS BIGINT) AS n_scanned,
+             CAST(sc.n_scanned AS DOUBLE) / tot.total AS scan_frac
+      FROM pr CROSS JOIN np n CROSS JOIN tot
+      JOIN sc ON sc.nprobe = n.nprobe AND sc.probe_id = pr.probe_id
+      LEFT JOIN h ON h.nprobe = n.nprobe AND h.probe_id = pr.probe_id
+      ORDER BY n.nprobe, pr.probe_id""")),
     GQuery("ann_index_build", annIndexBuild, Some(s"""
       WITH $ivfCentroidCtes
       SELECT label, CAST(p AS INT) AS p, ROUND(c, 6) AS c

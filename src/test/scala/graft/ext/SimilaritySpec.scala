@@ -531,4 +531,36 @@ class SimilaritySpec extends SparkSpec {
       r._3 shouldBe (exact(r._1) & ivf.getOrElse(r._1, Set.empty)).size.toLong
     }
   }
+
+  test("ann_nprobe_sweep: recall and scan cost monotone in nprobe; nprobe=2 agrees with ann_recall's ivf") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.SimilarityQueries.annNprobeSweep(spark, dir)
+      .select("nprobe", "probe_id", "n_hit", "recall_at_k", "n_scanned", "scan_frac")
+      .as[(Int, Long, Long, Double, Long, Double)].collect().toSeq
+    val sweep = graft.queries.SimilarityQueries.NprobeSweep
+    rows.map(r => (r._1, r._2)).sorted shouldBe
+      (for (np <- sweep; p <- 0L until 5L) yield (np, p)).sorted
+    rows.foreach { r =>
+      r._4 shouldBe r._3.toDouble / 10
+      r._5 should be > 0L
+      r._6 should (be > 0.0 and be <= 1.0)
+    }
+    // deeper probing only adds candidate lists: per probe, both the hit
+    // count and the scanned row count are nondecreasing in nprobe
+    rows.groupBy(_._2).values.foreach { g =>
+      val byNp = g.sortBy(_._1)
+      byNp.sliding(2).foreach {
+        case Seq(a, b) =>
+          b._3 should be >= a._3
+          b._5 should be > a._5
+        case _ =>
+      }
+    }
+    // the sweep's nprobe=2 point must agree with ann_recall's ivf row —
+    // two independent implementations of the same search
+    val recallIvf = graft.queries.SimilarityQueries.annRecall(spark, dir)
+      .filter(col("method") === "ivf")
+      .select("probe_id", "n_hit").as[(Long, Long)].collect().toMap
+    rows.filter(_._1 == 2).foreach { r => r._3 shouldBe recallIvf(r._2) }
+  }
 }
