@@ -227,6 +227,11 @@ object SimilarityQueries {
   private def ivfIndexPath(dir: String): String =
     indexRoot("graft_ivf_index", dir)
 
+  /** Test-only accessor so StreamAnnSpec probes the exact index the
+    * serving replay answers from. */
+  private[queries] def ivfIndexPathForTest(dir: String): String =
+    ivfIndexPath(dir)
+
   /** Gate on [[Similarity.IndexCompleteMarker]], the marker written
     * AFTER both index artifacts (round-6 advisor): gating on
     * `centroids/_SUCCESS` — the FIRST artifact written — treated a build
@@ -470,6 +475,57 @@ object SimilarityQueries {
     finally q.stop()
     finish(Similarity.knnIvfUpserted(spark, path, probes(spark, dir), K,
       nprobe = NProbeLists))
+  }
+
+  /** Probe window for the streaming SERVING replay — wider than the
+    * batch queries' [[NProbes]] on purpose, so the replay answers
+    * probes the batch oracles never exercised. */
+  private[queries] val StreamQueryCap = 8
+
+  /** STREAMING ANN SERVING replay (round 10): probe vectors arrive as
+    * a stream and are answered per micro-batch against the PERSISTED
+    * IVF index — the QUERY-side twin of [[streamAnnUpsertReplay]]'s
+    * maintenance side, i.e. the vector-search-serving shape (a request
+    * topic in front of a static index). [[StreamQueryCap]] probes
+    * replay in two chunks through a real MemoryStream query; each
+    * micro-batch runs [[Similarity.knnIvfIndexed]] — list resolution by
+    * partition pruning, no query-time centroid aggregation — and
+    * appends its answers to a run-scoped parquet sink (per-batch
+    * answers are ≤ probes·K rows; nothing collects on the result path).
+    * The index is static, so the union of per-batch answers must equal
+    * the one-shot batch search over the same probe window — which is
+    * exactly what the DuckDB oracle pins, making micro-batch isolation
+    * itself the thing under test: an answer computed from a half-read
+    * index or a probe answered twice both hash-mismatch. */
+  def streamAnnQueryReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = ensureIvfIndex(spark, dir)
+    val probeRows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < StreamQueryCap)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    requireBoundedReplay(probeRows.length, 4 * StreamQueryCap,
+      "streamAnnQueryReplay probes")
+    val chunks = probeRows.grouped(math.max(1, (probeRows.length + 1) / 2))
+      .map(_.toSeq).toSeq
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_serve_").toString
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = source.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.knnIvfIndexed(spark, path, batch, K, nprobe = NProbeLists)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    finish(spark.read.parquet(outDir))
   }
 
   /** Guard for replay-harness collects: the collect is scaffolding (a
@@ -1072,6 +1128,8 @@ object SimilarityQueries {
     // the REAL-TIME maintenance loop: micro-batches land delta
     // generations via a live foreachBatch sink, then the probe serves
     // base ∪ both generations — hash-gated against the capped oracle
+    GQuery("stream_ann_query_replay", streamAnnQueryReplay,
+      Some(ivfOracleFor(StreamQueryCap))),
     GQuery("stream_ann_upsert_replay", streamAnnUpsertReplay,
       Some(streamProbeOracle)),
     GQuery("emb_near_dup", embNearDup, Some(s"""
@@ -1108,9 +1166,10 @@ object SimilarityQueries {
                CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
         FROM ex GROUP BY 1, 2)"""
 
-  /** The IVF search oracle (in-query build and persisted index give the
-    * same answer, so two registry queries share it). */
-  private lazy val ivfOracle: String = s"""
+  /** The IVF search oracle, parameterized by how many leading vec_ids
+    * serve as probes (the streaming serving replay answers a wider
+    * probe window than the batch queries' [[NProbes]]). */
+  private def ivfOracleFor(nProbes: Int): String = s"""
       WITH $ivfCentroidCtes,
       cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
       sel AS (
@@ -1119,7 +1178,7 @@ object SimilarityQueries {
                  row_number() OVER (PARTITION BY p.vec_id
                    ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
                             c.label) AS crk
-          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent c)
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nProbes) p, cent c)
         WHERE crk <= $NProbeLists)
       SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
         SELECT s.probe_id, e.vec_id AS neighbor_id,
@@ -1130,6 +1189,10 @@ object SimilarityQueries {
         FROM sel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id)
       WHERE rk <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  /** The batch IVF search oracle (in-query build and persisted index
+    * give the same answer, so two registry queries share it). */
+  private lazy val ivfOracle: String = ivfOracleFor(NProbes)
 
   /** Shared CTE chain for every upsert-family oracle: old-split
     * centroids (exact-decimal means over vec_id < UpsertSplit) and the

@@ -45,4 +45,26 @@ class StreamAnnSpec extends SparkSpec {
     val batch = rowsOf(SimilarityQueries.knnIvfUpsertedMultiQ(spark, dir))
     streamed shouldBe batch
   }
+
+  test("serving replay: micro-batched probes ≡ one-shot batch search over the same window") {
+    import org.apache.spark.sql.functions.col
+    val streamed = rowsOf(SimilarityQueries.streamAnnQueryReplay(spark, dir))
+    streamed should not be empty
+    // every probe in the window answered exactly once with k rows
+    streamed.map(_.getLong(0)).distinct.sorted shouldBe
+      (0L until SimilarityQueries.StreamQueryCap)
+    // the index is static, so chunked arrival must be invisible: the
+    // union of per-batch answers equals the one-shot indexed search
+    val path = {
+      val e = graft.core.Tables.embeddings(spark, dir)
+      val probes = e.filter(col("vec_id") < SimilarityQueries.StreamQueryCap)
+      val batch = graft.ext.Similarity.knnIvfIndexed(spark,
+        SimilarityQueries.ivfIndexPathForTest(dir), probes, 10, nprobe = 2)
+      rowsOf(batch
+        .select(col("probe_id"), col("neighbor_id"),
+          org.apache.spark.sql.functions.round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy(col("probe_id"), col("cos_sim").desc, col("neighbor_id")))
+    }
+    streamed shouldBe path
+  }
 }
