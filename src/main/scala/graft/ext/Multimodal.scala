@@ -123,6 +123,29 @@ object MultimodalSynth {
     bos.toByteArray
   }
 
+  /** [[pngPayload]] with pixel (0, 0) offset by `bump` (mod 256) — the
+    * near-duplicate twin generator for perceptual-hash tests: same
+    * pattern, one perturbed pixel, so the encoded bytes differ while
+    * the average-hash usually does not. */
+  def pngPayloadBumped(seed: Long, w: Int, h: Int, bump: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (seed * 31 + x * 7 + y * 13) % 256
+        val v = ((base + (if (x == 0 && y == 0) bump else 0)) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Mono 8-bit unsigned PCM WAV, sample(i) = (seed·7 + i·17) mod 256. */
   def wavPayload(seed: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
     val data = Array.tabulate[Byte](nFrames)(i => ((seed * 7 + i * 17) % 256).toByte)
@@ -167,6 +190,56 @@ object MultimodalStub {
         case _       => None // video: no JDK demuxer — byte-math stub below
       }).getOrElse(pseudoFeatures(m))
     }
+
+  /** Average-hash (aHash) of an image payload through the REAL codec:
+    * decode with ImageIO, average-pool the pixel grid (per-pixel band
+    * mean) into 8×8 cells on integer block boundaries, threshold every
+    * cell against the global cell mean, and emit the 64 bits row-major
+    * as a '0'/'1' string — portable across engines with no sign games
+    * on bit 63. For an 8×8 input the pooling is the identity and the
+    * global mean is sum/64 (a power-of-two division of an integer sum:
+    * EXACT in IEEE double, so the strict `>` threshold is
+    * engine-independent — the property the oracle leans on); images
+    * smaller than 8 on a side pool overlapping 1-pixel blocks, larger
+    * ones average true blocks. Returns None when the codec rejects the
+    * payload (callers quarantine, never crash — same contract as
+    * [[decodeBatch]]). */
+  def imageAHash(payload: Array[Byte]): Option[String] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      Option(img).map { i =>
+        val raster = i.getRaster
+        val (w, h, bands) = (i.getWidth, i.getHeight, raster.getNumBands)
+        val cells = new Array[Double](64)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+            val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+            var sum = 0.0
+            var n = 0
+            var y = y0
+            while (y < math.min(y1, h)) {
+              var x = x0
+              while (x < math.min(x1, w)) {
+                var b = 0
+                var px = 0.0
+                while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+                sum += px / bands; n += 1
+                x += 1
+              }
+              y += 1
+            }
+            cells(by * 8 + bx) = if (n == 0) 0.0 else sum / n
+            bx += 1
+          }
+          by += 1
+        }
+        val mean = cells.sum / 64
+        cells.map(v => if (v > mean) '1' else '0').mkString
+      }
+    } catch { case _: Exception => None }
 
   private def decodeImage(m: MediaRecord): Option[MediaFeatures] =
     try {

@@ -67,7 +67,71 @@ object MultimodalQueries {
 
   private val RealCap = 120
 
+  /** 96 planted images in 24 four-copy families: every copy shares its
+    * family's 8×8 pattern with pixel (0,0) bumped by the copy index, so
+    * payload BYTES differ per copy while the average-hash (usually)
+    * does not — the image-dedup shape where binary-identical dedup
+    * fails and perceptual dedup works. */
+  private val PhashCap = 96
+  private val PhashFamilies = 24
+
+  /** IMAGE PERCEPTUAL DEDUP (round 10): the multimodal member of the
+    * dedup family — byte-distinct near-copies of the same picture
+    * grouped by average-hash over the REAL decoded pixels
+    * ([[graft.ext.MultimodalStub.imageAHash]]: ImageIO decode → 8×8
+    * pool → threshold against the exact cell mean), then the standard
+    * min-id canonical per hash. The hash is 8 bytes per image, so the
+    * grouping shuffle carries fixed-width keys no matter the image
+    * sizes — exactly the exactGroups scale shape with the codec in
+    * front. Fully hash-checked: the planted pixel patterns are
+    * closed-form in doc_id, PNG is lossless, and the cell mean is a
+    * power-of-two division of an integer sum (bit-exact in both
+    * engines), so DuckDB recomputes every aHash bit and every group
+    * decision. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < PhashCap)
+      .select("doc_id").as[Long]
+      .map { d =>
+        val p = graft.ext.MultimodalSynth.pngPayloadBumped(
+          d % PhashFamilies, 8, 8, (d / PhashFamilies).toInt)
+        (d, graft.ext.MultimodalStub.imageAHash(p).get)
+      }
+      .toDF("media_id", "ahash")
+      .withColumn("canonical_id", min("media_id").over(w))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("media_id"), col("ahash"), col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).cast("int").as("is_dup"),
+        col("n_same"))
+      .orderBy("media_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("mm_phash_dedup", phashDedup, Some(s"""
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $PhashCap),
+      px AS (
+        SELECT doc_id,
+               flatten(list_transform(range(0, 8), y ->
+                 list_transform(range(0, 8), x ->
+                   CAST(((doc_id % $PhashFamilies) * 31 + x * 7 + y * 13
+                         + CASE WHEN x = 0 AND y = 0
+                                THEN doc_id // $PhashFamilies ELSE 0 END)
+                        % 256 AS DOUBLE)))) AS cells
+        FROM d),
+      hx AS (
+        SELECT doc_id AS media_id,
+               array_to_string(list_transform(cells,
+                 v -> CASE WHEN v > list_sum(cells) / 64 THEN '1' ELSE '0' END),
+                 '') AS ahash
+        FROM px)
+      SELECT media_id, ahash,
+             min(media_id) OVER (PARTITION BY ahash) AS canonical_id,
+             CAST(media_id <> min(media_id) OVER (PARTITION BY ahash)
+                  AS INT) AS is_dup,
+             count(*) OVER (PARTITION BY ahash) AS n_same
+      FROM hx ORDER BY media_id""")),
     GQuery("mm_meta_stats", metaStats, Some("""
       WITH m AS (SELECT doc_id,
                         ['image','audio','video'][(doc_id % 3) + 1] AS kind,

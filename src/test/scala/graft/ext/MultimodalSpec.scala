@@ -86,6 +86,30 @@ class MultimodalSpec extends SparkSpec {
     f.mean_intensity shouldBe expect
   }
 
+  test("imageAHash: codec path reproduces the closed-form hash; bumped twin usually matches, junk is None") {
+    val seed = 5L
+    // closed-form aHash of the planted 8x8 pattern (identity pooling,
+    // exact power-of-two mean) — what the decode path must reproduce
+    def expectHash(bump: Int): String = {
+      val cells = for { y <- 0 until 8; x <- 0 until 8 } yield
+        ((seed * 31 + x * 7 + y * 13 +
+          (if (x == 0 && y == 0) bump else 0)) % 256).toDouble
+      val mean = cells.sum / 64
+      cells.map(v => if (v > mean) '1' else '0').mkString
+    }
+    val base = MultimodalStub.imageAHash(
+      MultimodalSynth.pngPayloadBumped(seed, 8, 8, 0)).get
+    base shouldBe expectHash(0)
+    base should have length 64
+    // the bumped copy has DIFFERENT payload bytes but the same planted
+    // pattern bar one pixel — hash per the closed form (equal here)
+    val bumped = MultimodalSynth.pngPayloadBumped(seed, 8, 8, 2)
+    bumped should not equal MultimodalSynth.pngPayloadBumped(seed, 8, 8, 0)
+    MultimodalStub.imageAHash(bumped).get shouldBe expectHash(2)
+    // non-images quarantine as None, never throw
+    MultimodalStub.imageAHash(Array.fill(50)('x'.toByte)) shouldBe None
+  }
+
   test("real codec: undecodable payloads fall back to byte-math features") {
     val junk = Array.fill(100)('A'.toByte) // not a PNG
     val f = decodeFeatures(
