@@ -54,6 +54,22 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p) should not be None
   }
 
+  test("ann_nprobe_sweep: one candidate scan reused by all sweep points, heap aggregation, no cartesian corpus join") {
+    val df = SimilarityQueries.annNprobeSweep(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the corpus joins the ranked-list frame by equi-join on label —
+    // a cartesian corpus × probes scan would defeat the list pruning
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // both rank stages (exact ground truth + per-sweep-point top-K) run
+    // on the BoundedTopK heap — no per-candidate Window sort anywhere
+    // in the candidate path (the only window is the probes × nlists
+    // list-ranking frame, bounded by nlists per probe)
+    p should include("ObjectHashAggregate")
+    "bounded_top_k".r.findAllIn(p.toLowerCase).size should be >= 2
+  }
+
   test("knn_ivf_indexed: probe plan prunes list partitions dynamically, no centroid build, no scan-side exchange") {
     val df = SimilarityQueries.knnIvfIndexedQ(spark, dir)
     df.collect() // drive AQE to the final plan on this same handle
