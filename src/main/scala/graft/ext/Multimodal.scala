@@ -146,6 +146,24 @@ object MultimodalSynth {
     bos.toByteArray
   }
 
+  /** [[wavPayload]] with sample 0 offset by `bump` (mod 256) — the
+    * audio near-duplicate twin generator, mirroring
+    * [[pngPayloadBumped]]. */
+  def wavPayloadBumped(seed: Long, sampleRate: Int, nFrames: Int,
+                       bump: Int): Array[Byte] = {
+    val data = Array.tabulate[Byte](nFrames) { i =>
+      (((seed * 7 + i * 17) + (if (i == 0) bump else 0)) % 256).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Mono 8-bit unsigned PCM WAV, sample(i) = (seed·7 + i·17) mod 256. */
   def wavPayload(seed: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
     val data = Array.tabulate[Byte](nFrames)(i => ((seed * 7 + i * 17) % 256).toByte)
@@ -239,6 +257,40 @@ object MultimodalStub {
         val mean = cells.sum / 64
         cells.map(v => if (v > mean) '1' else '0').mkString
       }
+    } catch { case _: Exception => None }
+
+  /** Energy-profile fingerprint of a WAV payload through the REAL
+    * javax.sound decode path — the audio sibling of [[imageAHash]]:
+    * the unsigned PCM samples split into `nWindows` contiguous windows
+    * (integer block boundaries), each window's mean amplitude
+    * thresholded against the global mean, bits emitted in window order
+    * as a '0'/'1' string. When the frame count divides evenly into
+    * windows whose sizes are powers of two (the planted corpus: 64
+    * frames / 16 windows of 4), every mean is a power-of-two division
+    * of an integer sum — bit-exact in IEEE double in any engine, which
+    * is what the oracle leans on. None when the payload is not
+    * decodable audio. */
+  def audioEnergyFp(payload: Array[Byte], nWindows: Int = 16): Option[String] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val pcm = in.readAllBytes()
+        if (pcm.isEmpty) None
+        else {
+          val n = pcm.length
+          val wins = Array.tabulate(nWindows) { wi =>
+            val i0 = wi * n / nWindows
+            val i1 = math.max(i0 + 1, (wi + 1) * n / nWindows)
+            var sum = 0L
+            var i = i0
+            while (i < math.min(i1, n)) { sum += (pcm(i) & 0xff); i += 1 }
+            sum.toDouble / (math.min(i1, n) - i0)
+          }
+          val mean = wins.sum / nWindows
+          Some(wins.map(v => if (v > mean) '1' else '0').mkString)
+        }
+      } finally in.close()
     } catch { case _: Exception => None }
 
   private def decodeImage(m: MediaRecord): Option[MediaFeatures] =

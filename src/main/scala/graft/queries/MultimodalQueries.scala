@@ -108,7 +108,72 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** Audio twin of the perceptual-dedup planting: 96 WAVs in 24
+    * four-copy families, 64 frames each, sample 0 bumped per copy. 64
+    * frames / 16 windows of 4 keeps every window mean a power-of-two
+    * division — bit-exact cross-engine. */
+  private val AudioCap = 96
+  private val AudioFamilies = 24
+  private val AudioFrames = 64
+
+  /** AUDIO PERCEPTUAL DEDUP (round 10): byte-distinct near-copies of
+    * the same clip grouped by the energy-profile fingerprint computed
+    * through the REAL javax.sound decode path
+    * ([[graft.ext.MultimodalStub.audioEnergyFp]]) — with
+    * [[phashDedup]], this makes the dedup family genuinely
+    * multimodal (text, embeddings, images, audio), all sharing the
+    * fixed-width-key grouping shuffle shape. Fully hash-checked: the
+    * planted PCM patterns are closed-form in doc_id, 8-bit WAV is
+    * lossless, and every mean in the fingerprint is a power-of-two
+    * division of an integer sum. */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < AudioCap)
+      .select("doc_id").as[Long]
+      .map { d =>
+        val p = graft.ext.MultimodalSynth.wavPayloadBumped(
+          d % AudioFamilies, 8000, AudioFrames, (d / AudioFamilies).toInt)
+        (d, graft.ext.MultimodalStub.audioEnergyFp(p).get)
+      }
+      .toDF("media_id", "fp")
+      .withColumn("canonical_id", min("media_id").over(w))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .select(col("media_id"), col("fp"), col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).cast("int").as("is_dup"),
+        col("n_same"))
+      .orderBy("media_id")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("mm_audio_dedup", audioDedup, Some(s"""
+      WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $AudioCap),
+      sm AS (
+        SELECT doc_id,
+               list_transform(range(0, $AudioFrames), i ->
+                 CAST(((doc_id % $AudioFamilies) * 7 + i * 17
+                       + CASE WHEN i = 0
+                              THEN doc_id // $AudioFamilies ELSE 0 END)
+                      % 256 AS DOUBLE)) AS samples
+        FROM d),
+      wn AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), wi ->
+                 list_sum(samples[wi * 4 + 1 : wi * 4 + 4]) / 4) AS wins
+        FROM sm),
+      fx AS (
+        SELECT doc_id AS media_id,
+               array_to_string(list_transform(wins,
+                 v -> CASE WHEN v > list_sum(wins) / 16 THEN '1' ELSE '0' END),
+                 '') AS fp
+        FROM wn)
+      SELECT media_id, fp,
+             min(media_id) OVER (PARTITION BY fp) AS canonical_id,
+             CAST(media_id <> min(media_id) OVER (PARTITION BY fp)
+                  AS INT) AS is_dup,
+             count(*) OVER (PARTITION BY fp) AS n_same
+      FROM fx ORDER BY media_id""")),
     GQuery("mm_phash_dedup", phashDedup, Some(s"""
       WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $PhashCap),
       px AS (

@@ -110,6 +110,48 @@ class MultimodalSpec extends SparkSpec {
     MultimodalStub.imageAHash(Array.fill(50)('x'.toByte)) shouldBe None
   }
 
+  test("imageAHash: invariant under global brightness shift without wraparound") {
+    // the defining perceptual property: adding a constant to every
+    // pixel moves each cell and the mean together, so no threshold
+    // decision can flip (values capped so +40 never wraps mod 256)
+    val rng = new scala.util.Random(31)
+    (1 to 5).foreach { _ =>
+      val px = Array.fill(64)(rng.nextInt(200))
+      def payload(offset: Int): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val v = px(y * 8 + x) + offset
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      MultimodalStub.imageAHash(payload(40)).get shouldBe
+        MultimodalStub.imageAHash(payload(0)).get
+    }
+  }
+
+  test("audioEnergyFp: codec path reproduces the closed-form fingerprint; junk is None") {
+    val seed = 11L
+    def expectFp(bump: Int): String = {
+      val samples = Array.tabulate(64)(i =>
+        ((seed * 7 + i * 17 + (if (i == 0) bump else 0)) % 256).toDouble)
+      val wins = Array.tabulate(16)(wi => samples.slice(wi * 4, wi * 4 + 4).sum / 4)
+      val mean = wins.sum / 16
+      wins.map(v => if (v > mean) '1' else '0').mkString
+    }
+    val base = MultimodalStub.audioEnergyFp(
+      MultimodalSynth.wavPayloadBumped(seed, 8000, 64, 0)).get
+    base shouldBe expectFp(0)
+    base should have length 16
+    val bumped = MultimodalSynth.wavPayloadBumped(seed, 8000, 64, 3)
+    bumped should not equal MultimodalSynth.wavPayloadBumped(seed, 8000, 64, 0)
+    MultimodalStub.audioEnergyFp(bumped).get shouldBe expectFp(3)
+    MultimodalStub.audioEnergyFp(Array.fill(40)('z'.toByte)) shouldBe None
+  }
+
   test("real codec: undecodable payloads fall back to byte-math features") {
     val junk = Array.fill(100)('A'.toByte) // not a PNG
     val f = decodeFeatures(
