@@ -673,6 +673,49 @@ object SimilarityQueries {
 
   private val EmbDupThreshold = 0.35
 
+  /** Eval split for [[deconSemantic]]: leading ids, the rest is train. */
+  private val DeconEvalCap = 50
+
+  /** SEMANTIC DECONTAMINATION (round 10): the embedding-space member
+    * of the decon family — `dedup_decontaminate` catches verbatim
+    * leaks, `decon_ngram_overlap` near-verbatim ones, `decon_bloom`
+    * the same at sketch cost; this catches PARAPHRASED test-set
+    * leakage, the modern failure mode the exact methods miss. An eval
+    * item is contaminated when any train vector in its SRP bucket
+    * reaches cosine ≥ τ. Scale design mirrors
+    * [[Similarity.embNearDupPairs]]: candidates come only from the
+    * bucket intersection (never all-pairs), norms are precomputed once
+    * per vector, and the EVAL side — small by construction — is the
+    * broadcast side, so the train corpus never shuffles. Fully
+    * hash-checked via the same literal-hyperplane trick as
+    * `emb_near_dup`. */
+  def deconSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+    def withBucket(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"),
+        Similarity.srpBucket(col("embedding"), planes).as("bucket"),
+        Similarity.norm(col("embedding")).as("__n"))
+    val ev = withBucket(e.filter(col("vec_id") < DeconEvalCap))
+    val tr = withBucket(e.filter(col("vec_id") >= DeconEvalCap))
+    val denom = col("e.__n") * col("t.__n")
+    val hits = tr.as("t")
+      .join(broadcast(ev.as("e")), col("t.bucket") === col("e.bucket"))
+      .select(col("e.vec_id").as("vec_id"),
+        round(when(denom === 0.0, lit(0.0))
+          .otherwise(Similarity.dot(col("e.embedding"), col("t.embedding")) / denom),
+          6).as("cos_sim"))
+      .filter(col("cos_sim") >= EmbDupThreshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_train_hits"), max("cos_sim").as("max_sim"))
+    ev.select("vec_id").join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"),
+        col("n_train_hits").isNotNull.cast("int").as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Metadata-FILTERED kNN: the corpus is restricted by a label predicate
     * BEFORE any distance work, then ranked through the bounded-heap
     * aggregate (the scale path). The point under test is composition: a
@@ -1132,6 +1175,31 @@ object SimilarityQueries {
       Some(ivfOracleFor(StreamQueryCap))),
     GQuery("stream_ann_upsert_replay", streamAnnUpsertReplay,
       Some(streamProbeOracle)),
+    GQuery("decon_semantic", deconSemantic, Some {
+      val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+      s"""
+      WITH b AS (SELECT vec_id, embedding,
+                        ${duckBucket("embedding", planes)} AS bucket
+                 FROM embeddings),
+      ev AS (SELECT * FROM b WHERE vec_id < $DeconEvalCap),
+      tr AS (SELECT * FROM b WHERE vec_id >= $DeconEvalCap),
+      h AS (
+        SELECT e.vec_id,
+               count(*) AS n_train_hits,
+               max(ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                t.embedding::DOUBLE[]), 6)) AS max_sim
+        FROM ev e JOIN tr t ON e.bucket = t.bucket
+        WHERE ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                           t.embedding::DOUBLE[]), 6)
+              >= $EmbDupThreshold
+        GROUP BY 1)
+      SELECT e.vec_id,
+             CAST(coalesce(h.n_train_hits, 0) AS BIGINT) AS n_train_hits,
+             coalesce(h.max_sim, 0.0) AS max_sim,
+             CAST(h.vec_id IS NOT NULL AS INT) AS contaminated
+      FROM ev e LEFT JOIN h ON h.vec_id = e.vec_id
+      ORDER BY e.vec_id"""
+    }),
     GQuery("emb_near_dup", embNearDup, Some(s"""
       WITH $embPairCtes
       SELECT a_id, b_id, cos_sim FROM pairs

@@ -563,4 +563,25 @@ class SimilaritySpec extends SparkSpec {
       .select("probe_id", "n_hit").as[(Long, Long)].collect().toMap
     rows.filter(_._1 == 2).foreach { r => r._3 shouldBe recallIvf(r._2) }
   }
+
+  test("decon_semantic: agrees with the near-dup pair set restricted to eval×train") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries.deconSemantic(spark, dir)
+      .select("vec_id", "n_train_hits", "max_sim", "contaminated")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    out.length shouldBe 50
+    out.foreach { r =>
+      (r._2 > 0) shouldBe (r._4 == 1)
+      if (r._4 == 1) r._3 should be >= 0.35 else r._3 shouldBe 0.0
+    }
+    // the decon hits are exactly the symmetric near-dup pairs with one
+    // side in each split (same planes, threshold, and rounding; eval
+    // ids sort below train ids so a_id is always the eval side)
+    val pairs = Similarity.embNearDupPairs(
+        graft.core.Tables.embeddings(spark, dir), threshold = 0.35, nPlanes = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val expected = pairs.collect { case (a, b) if a < 50 && b >= 50 => a }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    out.foreach { r => r._2 shouldBe expected.getOrElse(r._1, 0).toLong }
+  }
 }
