@@ -30,6 +30,18 @@ class CoverageAuditSpec extends AnyFunSuite with Matchers {
       graft.SparkEntry.registry.count(_.oracle.isEmpty)
   }
 
+  test("every registry query name appears somewhere in COVERAGE.md") {
+    // round-10 extension of the self-audit: the totals line catches a
+    // drifting COUNT, this catches a query added to the registry but
+    // never written into the scoreboard (or renamed without the
+    // scoreboard following)
+    val missing = graft.SparkEntry.registry.map(_.name)
+      .filterNot(coverage.contains)
+    withClue(s"queries missing from COVERAGE.md: $missing: ") {
+      missing shouldBe empty
+    }
+  }
+
   test("registry names are unique and every entry carries an oracle") {
     val names = graft.SparkEntry.registry.map(_.name)
     names.distinct.size shouldBe names.size
