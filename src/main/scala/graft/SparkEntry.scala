@@ -32,4 +32,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+
+  /** Queries whose oracle pins structure (rows/schema/order) rather than
+    * values — the hash column is expected red by design. EMPTY since
+    * round 11 (`dedup_simhash`, the last member, became a full hash gate
+    * when its batch default switched to the engine-neutral md5-prefix
+    * token hash). Kept as the mechanical source for COVERAGE.md's
+    * "0 structural oracles" claim (CoverageAuditSpec gates it): any
+    * future structural exception must be declared here to be counted. */
+  def structuralOracles: Set[String] = Set.empty
 }

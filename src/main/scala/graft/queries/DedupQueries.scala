@@ -1,16 +1,17 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.ext.{Dedup, Text}
 
-/** Dedup queries over `documents`. The MinHash/SimHash signatures use
-  * Spark's murmur3/xxhash64 — no DuckDB twin exists, so those queries are
-  * rows-only and their semantics are gated by DedupSpec's planted
-  * near-duplicates; the exact-dedup and n-gram-Jaccard queries are fully
-  * oracle-checked. */
+/** Dedup queries over `documents` — every entry fully hash-checked
+  * against a DuckDB oracle (engine-specific murmur3/xxhash64 signatures
+  * are either shipped as their engine-neutral md5-prefix equivalents
+  * where the measured cost gap is zero, or twinned by portable md5
+  * variants whose CTE chains DuckDB replays end to end); semantics are
+  * additionally gated by DedupSpec's planted near-duplicates. */
 object DedupQueries {
 
   private val duckToks = s"regexp_extract_all(lower(text), '${Text.tokenPattern}')"
@@ -275,31 +276,50 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Per-doc 64-bit SimHash fingerprint. Rows-only (Spark-specific
-    * xxhash token hashes); the bit-vote logic is hash-proved by
-    * [[simhashPortableQ]], and table≡fold equivalence by DedupSpec.
+  /** Per-doc 64-bit SimHash fingerprint over the FULL corpus, computed
+    * with the engine-neutral md5-prefix token hash — fully hash-green
+    * (round-10 verdict #6: the last structural oracle retired).
+    *
+    * Why md5-prefix is the shipped batch default and not a "portable
+    * compromise": after the single-reference simhashTable rewrite the
+    * measured cost gap between md5-prefix and xxhash64 token hashes is
+    * zero at sf0.1 (3.5 s vs 3.5 s on the streaming replays — see
+    * [[Dedup.simhash64]]'s scaladoc), and group-stat canonicalization of
+    * the xxhash form is NOT engine-neutral: at sf0.01 the near-dup
+    * collision sets differ entirely by hash family (xxhash64 collides
+    * {58,293},{61,185},{285,301},{393,420}; md5 collides {458,462}) —
+    * simhash near-collisions on 1-token-diff planted twins are decided
+    * by which way the changed token's hash bits vote, so ANY derived
+    * group statistic of the xxhash fingerprints would hash-red against
+    * an md5 recomputation. The xxhash64 form remains the streaming
+    * default ([[graft.stream.Pipeline]], gated by
+    * `stream_near_dup_replay` + its portable twin) where per-event
+    * latency favors the codegen'd native hash over two md5 rounds.
     * Rebalanced by id first for the same reason as [[Dedup.bandTable]]:
     * the hash stage is CPU-bound and must not inherit the scan's split
     * skew. */
   def simhashQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashTable(
-      Dedup.rebalance(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id"))
+      Dedup.rebalance(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id"),
+      hashFn = portableTokenHashes)
       .orderBy("doc_id")
 
-  /** The portable twin of [[simhashQ]]: the SAME 64-bit-vote SimHash
-    * fold ([[Dedup.simhash64]]) over engine-neutral md5-prefix token
-    * hashes (60 effective bits — the top 4 vote −n per doc and land 0 in
-    * both engines), so DuckDB recomputes the fingerprint bit-for-bit and
-    * the hash compare proves the bit-vote logic end to end. With this,
-    * `dedup_simhash`'s residual rows-only risk is confined to the
-    * xxhash64-vs-md5 token-hash choice, same as the LSH family. */
+  /** Engine-neutral per-token hash: first 60 bits of md5 (the top 4 bits
+    * of the 64 vote −n per doc and land 0 in both engines) — DuckDB
+    * recomputes it exactly as `('0x' || substr(md5(t),1,15))::BIGINT`. */
+  private def portableTokenHashes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** The capped twin of [[simhashQ]] — same md5-prefix hash, doc_id <
+    * [[PortableCap]]. Retained for registry continuity (it was the
+    * hash-green proof of the bit-vote logic while `dedup_simhash` still
+    * shipped xxhash fingerprints; both are now full hash gates). */
   def simhashPortableQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashTable(
       Dedup.rebalance(
         Tables.documents(spark, dir).filter(col("doc_id") < PortableCap)
           .select(col("doc_id"), col("text")), "doc_id"),
-      hashFn = toks => transform(toks,
-        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      hashFn = portableTokenHashes)
       .orderBy("doc_id")
 
   /** Deterministic stratified sampling: keep a doc iff an engine-neutral
@@ -527,20 +547,24 @@ object DedupQueries {
     // produce the exact same canonical map as DuckDB's closure
     GQuery("dedup_groups_star", groupsPortableStar, Some(groupsOracleSql)),
     GQuery("dedup_groups_minlabel", groupsPortableMinLabel, Some(groupsOracleSql)),
-    // STRUCTURAL oracle (round-9 verdict #1, in exactly the 0-constant
-    // shape it prescribed): the 64-bit fingerprints are xxhash64-valued
-    // and so can never hash-match an engine-neutral recomputation — the
-    // bit-vote logic is hash-proved bit-for-bit by dedup_simhash_portable
-    // below. This oracle pins what IS engine-independent: exactly one
-    // fingerprint row per document, in doc_id order, typed BIGINT
-    // (rows + schema green; hash legitimately red on the 0-vs-value
-    // column — an all-NULL BIGINT would decay to float64 in the driver's
-    // pandas frame and fail schema instead).
-    GQuery("dedup_simhash", simhashQ, Some("""
-      SELECT doc_id, CAST(0 AS BIGINT) AS simhash
-      FROM documents ORDER BY doc_id""")),
-    // the same 64-bit-vote fold over engine-neutral md5 token hashes —
-    // DuckDB rebuilds every fingerprint bit-for-bit
+    // FULL hash gate (round-10 verdict #6 — the last structural oracle
+    // retired): the shipped fingerprint hash is now the engine-neutral
+    // md5 prefix (see simhashQ's scaladoc for why the xxhash form's
+    // group stats could never be canonicalized instead), so DuckDB
+    // rebuilds every full-corpus fingerprint bit-for-bit.
+    GQuery("dedup_simhash", simhashQ, Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               list_transform($duckToks, t ->
+                 ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hm
+        FROM documents)
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 64), i ->
+               CASE WHEN coalesce(list_sum(list_transform(hm,
+                      x -> CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)), 0) > 0
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+      FROM h ORDER BY doc_id""")),
+    // the capped twin of the same fold (registry continuity)
     GQuery("dedup_simhash_portable", simhashPortableQ, Some(s"""
       WITH h AS (
         SELECT doc_id,
