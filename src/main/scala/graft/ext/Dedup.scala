@@ -724,6 +724,109 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** EXACT SUBSTRING-SPAN DEDUP (the Lee et al. 2022 "Deduplicating
+    * Training Data" family member: variable-length duplicated *spans*,
+    * not whole-doc or fixed-segment dups). True suffix arrays are
+    * intractable distributed; the standard scalable re-expression is
+    * sorted k-gram runs — a duplicated span of S ≥ k tokens between two
+    * documents is exactly a maximal run of S−k+1 consecutive positions
+    * whose k-grams match on a common diagonal, so span detection becomes:
+    *
+    *  1. gram table (id, pos, md5-key) — the [[ngramContamination]]
+    *     discipline: rebalance before the CPU-bound shingle stage, raw
+    *     n-gram text reduced to a fixed-width key before any shuffle;
+    *  2. occurrence cap: grams appearing > `dfCap` times corpus-wide are
+    *     dropped by a window count over the key (ONE shuffle, no join) —
+    *     the boilerplate guard that bounds the self-join at ≤ dfCap²
+    *     pairs per key (the [[candidatePairs]] `maxBucketSize` rule;
+    *     runs through a dropped hyper-frequent gram split in two, the
+    *     documented trade-off);
+    *  3. pair join on the key (a_id < b_id — cross-document only;
+    *     within-doc repetition is [[Text]]'s `text_repetition` axis).
+    *     Both join inputs are the same capped-gram subtree partitioned
+    *     identically on the key, so the exchange is planned once and
+    *     reused;
+    *  4. gaps-and-islands per (a_id, b_id, diagonal = a_pos − b_pos):
+    *     island id = a_pos − row_number() — consecutive matched
+    *     positions share it; each island IS a maximal duplicated span
+    *     (extending either end by one token would extend the run).
+    *
+    * Shuffle ledger: key-hash exchange (window cap + reused by the
+    * join), then one exchange on (a_id, b_id, diag) for the island
+    * window — fixed-width keys throughout; document text never
+    * shuffles. Returns one row per maximal cross-doc duplicated span of
+    * ≥ `minSpan` tokens: (a_id, b_id, a_start, b_start, span_tokens),
+    * positions 0-based token offsets.
+    *
+    * `docs` must carry (`idCol`, `toksCol`: array<string>). */
+  def substringSpans(docs: DataFrame, idCol: String = "doc_id",
+                     toksCol: String = "toks", k: Int = 8,
+                     minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = rebalance(docs.select(col(idCol), col(toksCol)), idCol)
+      .select(col(idCol),
+        posexplode(Text.ngrams(col(toksCol), k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos").cast("long").as("__pos"),
+        md5(col("__g").cast("binary")).as("__key"))
+    val capped = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__key")))
+      .filter(col("__n") <= dfCap)
+    val a = capped.select(col("__key"), col(idCol).as("a_id"), col("__pos").as("a_pos"))
+    val b = capped.select(col("__key"), col(idCol).as("b_id"), col("__pos").as("b_pos"))
+    val pairs = a.join(b, "__key")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("__diag", col("a_pos") - col("b_pos"))
+    val w = Window.partitionBy("a_id", "b_id", "__diag").orderBy("a_pos")
+    pairs
+      .withColumn("__isl", col("a_pos") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("__diag"), col("__isl"))
+      .agg(
+        min(col("a_pos")).as("a_start"),
+        min(col("b_pos")).as("b_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"),
+        col("span_tokens"))
+  }
+
+  /** Per-document duplicated-token coverage from [[substringSpans]]'s
+    * output: the fraction of each doc's tokens lying inside at least one
+    * cross-doc duplicated span — the number a span-dedup pass actually
+    * removes (Lee et al. cut ~3% of C4 this way). Overlapping spans on a
+    * doc must not double-count, so the span intervals are merged
+    * per doc with a second gaps-and-islands pass (an interval starts a
+    * new island iff it begins past the running max end). Both window
+    * passes partition by doc id — one narrow exchange over interval
+    * triples, never text. Returns every doc: (idCol, n_tokens,
+    * dup_tokens, dup_ratio). */
+  def substringCoverage(docs: DataFrame, idCol: String = "doc_id",
+                        toksCol: String = "toks", k: Int = 8,
+                        minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringSpans(docs, idCol, toksCol, k, minSpan, dfCap)
+    val ivs = spans.select(col("a_id").as(idCol), col("a_start").as("__s"),
+        (col("a_start") + col("span_tokens")).as("__e")) // [s, e)
+      .unionAll(spans.select(col("b_id").as(idCol), col("b_start").as("__s"),
+        (col("b_start") + col("span_tokens")).as("__e")))
+    val w = Window.partitionBy(idCol).orderBy(col("__s"), col("__e"))
+    val merged = ivs
+      .withColumn("__maxe", max(col("__e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(
+        col("__maxe").isNull || col("__s") > col("__maxe"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("__e")) - min(col("__s"))).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cov")).as("dup_tokens"))
+    docs.select(col(idCol), size(col(toksCol)).cast("long").as("n_tokens"))
+      .join(merged, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens") / greatest(col("n_tokens"), lit(1L)), 6))
+  }
+
   /** SimHash LSH keys: 4 × 16-bit bands — two fingerprints within Hamming
     * distance 3 share at least one band (pigeonhole), so near-dup lookup
     * is again an equi-join on (band, key), never all-pairs. */

@@ -427,7 +427,83 @@ object DedupQueries {
         col("last.value").as("last_value"))
       .orderBy("user_id")
 
+  /** EXACT SUBSTRING-SPAN dedup over the full corpus
+    * ([[Dedup.substringSpans]]): every maximal cross-document duplicated
+    * span of ≥ [[SpanMin]] tokens, found as sorted k-gram runs — the
+    * Lee-et-al-2022 dedup axis (variable-length spans) that whole-doc /
+    * fixed-segment / n-gram-decon queries don't cover. Fully
+    * hash-checked: both engines run the identical md5-gram → df-cap →
+    * diagonal gaps-and-islands chain. At sf0.01 this finds the 24
+    * planted shared-prefix spans (23–93 tokens). */
+  def substringSpansQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+      k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
+      .orderBy("a_id", "b_id", "a_start", "b_start")
+
+  /** Per-doc duplicated-token coverage ([[Dedup.substringCoverage]]):
+    * the fraction of each document inside ≥ 1 cross-doc duplicated span
+    * (overlaps interval-merged, never double-counted) — the number a
+    * span-removal pass would actually cut. */
+  def substringCoverageQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringCoverage(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+      k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
+      .orderBy("doc_id")
+
+  private val SpanK = 8
+  private val SpanMin = 16
+  private val SpanDfCap = 16
+
+  /** Shared oracle CTE chain for the substring-span queries: the same
+    * gram → cap → diagonal-islands pipeline in DuckDB SQL. */
+  private def spanCtes: String = s"""
+      t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+      g0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    md5(array_to_string(list_slice(tk, i + 1, i + $SpanK), ' ')) AS key
+             FROM t, UNNEST(range(CAST(greatest(len(tk) - ${SpanK - 1}, 0) AS INT))) AS u(i)),
+      g AS (SELECT * FROM (SELECT g0.*, count(*) OVER (PARTITION BY key) AS n FROM g0)
+            WHERE n <= $SpanDfCap),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS a_pos, b.pos AS b_pos
+            FROM g a JOIN g b ON a.key = b.key AND a.doc_id < b.doc_id),
+      r AS (SELECT *, a_pos - b_pos AS diag,
+                   a_pos - row_number() OVER (PARTITION BY a_id, b_id, a_pos - b_pos
+                                              ORDER BY a_pos) AS isl
+            FROM p),
+      spans AS (SELECT a_id, b_id, CAST(min(a_pos) AS BIGINT) AS a_start,
+                       CAST(min(b_pos) AS BIGINT) AS b_start,
+                       CAST(count(*) + ${SpanK - 1} AS BIGINT) AS span_tokens
+                FROM r GROUP BY a_id, b_id, diag, isl
+                HAVING count(*) + ${SpanK - 1} >= $SpanMin)"""
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("dedup_substring_spans", substringSpansQ, Some(s"""
+      WITH $spanCtes
+      SELECT * FROM spans ORDER BY a_id, b_id, a_start, b_start""")),
+    GQuery("dedup_substring_coverage", substringCoverageQ, Some(s"""
+      WITH $spanCtes,
+      iv AS (SELECT a_id AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
+             UNION ALL
+             SELECT b_id, b_start, b_start + span_tokens FROM spans),
+      m AS (SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+            FROM iv),
+      isl AS (SELECT doc_id, s, e,
+                     sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM m),
+      cov AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM
+                (SELECT doc_id, g, max(e) - min(s) AS c FROM isl GROUP BY doc_id, g)
+              GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             coalesce(cov.dup_tokens, 0) AS dup_tokens,
+             round(coalesce(cov.dup_tokens, 0) / greatest(len(t.tk), 1), 6) AS dup_ratio
+      FROM t LEFT JOIN cov USING (doc_id)
+      ORDER BY t.doc_id""")),
     GQuery("dedup_latest", latestPerKey, Some("""
       WITH r AS (
         SELECT user_id, ts, event_id, event_type, value,

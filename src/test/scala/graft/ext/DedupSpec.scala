@@ -183,6 +183,70 @@ class DedupSpec extends SparkSpec {
     groups shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L)
   }
 
+  private def tokDf(rows: Seq[(Long, Seq[String])]) =
+    rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+
+  test("substringSpans: planted duplicated paragraph found exactly once, maximal, positions exact") {
+    val p = (1 to 20).map(i => s"shared$i")
+    val docs = tokDf(Seq(
+      1L -> ((1 to 10).map(i => s"apre$i") ++ p ++ (1 to 5).map(i => s"asuf$i")),
+      2L -> ((1 to 7).map(i => s"bpre$i") ++ p ++ (1 to 8).map(i => s"bsuf$i")),
+      3L -> (1 to 30).map(i => s"cuniq$i")))
+    val spans = Dedup.substringSpans(docs).collect()
+    spans should have length 1
+    val s = spans.head
+    s.getAs[Long]("a_id") shouldBe 1L
+    s.getAs[Long]("b_id") shouldBe 2L
+    // maximality: the run is exactly the paragraph — flanking tokens
+    // differ, so the span must be 20 tokens starting at each doc's
+    // paragraph offset, not one token more or less
+    s.getAs[Long]("a_start") shouldBe 10L
+    s.getAs[Long]("b_start") shouldBe 7L
+    s.getAs[Long]("span_tokens") shouldBe 20L
+  }
+
+  test("substringSpans: minSpan boundary — 16 shared tokens report, 15 do not") {
+    val p16 = (1 to 16).map(i => s"sh$i")
+    val docs16 = tokDf(Seq(
+      1L -> (Seq("ax1", "ax2") ++ p16 ++ Seq("ay1")),
+      2L -> (Seq("bx1") ++ p16 ++ Seq("by1", "by2"))))
+    val got = Dedup.substringSpans(docs16).collect()
+    got should have length 1
+    got.head.getAs[Long]("span_tokens") shouldBe 16L
+    val docs15 = tokDf(Seq(
+      1L -> (Seq("ax1", "ax2") ++ p16.take(15) ++ Seq("ay1")),
+      2L -> (Seq("bx1") ++ p16.take(15) ++ Seq("by1", "by2"))))
+    Dedup.substringSpans(docs15).count() shouldBe 0L
+  }
+
+  test("substringSpans: dfCap drops hyper-frequent grams (boilerplate guard)") {
+    // 20 identical docs: every gram occurs 20 × > dfCap 16 → no pairs
+    // survive; raising the cap to 20 admits all C(20,2) clone pairs
+    val clones = tokDf((1L to 20L).map(i => i -> (1 to 30).map(j => s"t$j")))
+    Dedup.substringSpans(clones).count() shouldBe 0L
+    Dedup.substringSpans(clones, dfCap = 20L).count() shouldBe 190L
+  }
+
+  test("substringCoverage: overlapping spans interval-merge, never double-count") {
+    // A = t1..t30; B shares A's [0,20), C shares A's [10,30) — A's
+    // covered union is the whole doc (30 tokens), NOT 40; B∩C is only
+    // 10 contiguous tokens (< minSpan) so no B-C span interferes
+    val at = (1 to 30).map(i => s"t$i")
+    val docs = tokDf(Seq(
+      1L -> at,
+      2L -> (at.take(20) ++ (1 to 6).map(i => s"btail$i")),
+      3L -> (at.drop(10) ++ (1 to 6).map(i => s"ctail$i"))))
+    val rows = Dedup.substringCoverage(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_ratio")))).toMap
+    rows(1L) shouldBe ((30L, 30L, 1.0))
+    rows(2L) shouldBe ((26L, 20L, 0.769231))
+    rows(3L) shouldBe ((26L, 20L, 0.769231))
+  }
+
   test("LSH bucket cap drops pathological buckets") {
     // 5 identical docs → every bucket has 5 members; cap 4 → no pairs survive
     val clones = (1L to 5L).map(i => (i, baseText)).toDF("doc_id", "text")

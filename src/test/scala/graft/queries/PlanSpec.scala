@@ -279,6 +279,26 @@ class PlanSpec extends SparkSpec {
     hashKeys shouldBe Set("fp")
   }
 
+  test("dedup_substring_spans: gram-key equi-join, no all-pairs, text never shuffles") {
+    val p = plan(DedupQueries.substringSpansQ(spark, dir))
+    // the pair stage must be an equi-join on the fixed-width md5 key —
+    // a cartesian/nested-loop over the gram table is the n² failure mode
+    // this operator is designed to avoid
+    p should not include "CartesianProduct"
+    p should not include "NestedLoopJoin"
+    // equi-join keyed on the md5 gram key (broadcast at fixture scale,
+    // sort-merge at corpus scale — both key on the fixed-width hash)
+    "(SortMergeJoin|BroadcastHashJoin) \\[__key".r.findFirstIn(p) should not be None
+    // every exchange keys on the gram key or the pair-window/group keys —
+    // raw n-gram strings and document text must never be partition keys
+    val keyCols = "Exchange (?:hash|range)partitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(" ")
+    keyCols should not include "__g"
+    keyCols should not include "text"
+    // the scan reads only (doc_id, text)
+    "ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p) should not be None
+  }
+
   test("documents scans prune to the referenced columns only") {
     val p = plan(DedupQueries.simhashQ(spark, dir))
     // the parquet scan must read (doc_id, text) and nothing else
