@@ -253,6 +253,170 @@ object Similarity {
         col("__n.score").as("cos_sim"))
   }
 
+  /** PRODUCT QUANTIZATION training (the codebook half of IVF-PQ —
+    * Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    * Search"): the vector is cut into `mSub` contiguous `subDim`-wide
+    * subvectors and each subspace learns its own `ks`-centroid codebook,
+    * so a D-dim float vector compresses to `mSub` small codes
+    * (mSub·log2 ks bits — at mSub=16/ks=256 that is 16 bytes per vector,
+    * the 24× memory cut that holds a 100 TB float corpus's index in
+    * cluster RAM where int8's fixed 4× cannot).
+    *
+    * Training is the [[kmeans]] machinery per subspace, kept bit-
+    * deterministic so the whole trajectory is oracle-checkable:
+    *  - seeds = subvectors of the `ks` smallest ids (sorted limit — the
+    *    same sparse-id-space-safe init as [[kmeans]]);
+    *  - assignment = argmin squared-L2, with every per-element term cast
+    *    to DECIMAL(28,12) before the fold — the sum is EXACT, so
+    *    aggregation order cannot perturb a bit in either engine — and
+    *    ranked on the decimal's double cast with ties toward the smaller
+    *    code (both engines compare identical doubles);
+    *  - update = exact-decimal per-dimension means (the
+    *    [[coarseCentroids]] rule);
+    *  - one Lloyd round (assign → update → assign), matching the
+    *    [[kmeans]] `iters = 2` trajectory shape.
+    *
+    * All stages run against the BROADCAST codebook (mSub·ks rows); the
+    * corpus-side subvector table is a narrow map of the scan — training
+    * shuffles only (m, code, dim, decimal) partial sums. Returns
+    * (codebooks (__m, __code, __cent), codes (idCol, __m, __code)). */
+  def pqTrain(corpus: DataFrame, mSub: Int = 4, subDim: Int = 16, ks: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val sub = pqSubvectors(
+      Dedup.rebalance(corpus.select(col(idCol), col(vecCol)), idCol),
+      mSub, subDim, idCol, vecCol)
+    val seeds = pqSubvectors(
+      corpus.orderBy(col(idCol)).limit(ks).select(col(idCol), col(vecCol)),
+      mSub, subDim, idCol, vecCol)
+    val init = seeds
+      .withColumn("__code",
+        (row_number().over(Window.partitionBy("__m").orderBy(idCol)) - 1)
+          .cast("long"))
+      .select(col("__m"), col("__code"), col("__s").as("__cent"))
+    val a1 = pqAssign(sub, init, idCol)
+    val cb = pqUpdate(sub, a1, idCol)
+    val codes = pqAssign(sub, cb, idCol)
+    (cb, codes)
+  }
+
+  /** (id, __m, __s): the `mSub` contiguous `subDim`-wide double
+    * subvectors of each vector — a narrow map, no shuffle. */
+  private def pqSubvectors(df: DataFrame, mSub: Int, subDim: Int,
+                           idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(0), lit(mSub - 1))).as("__m"),
+        col(vecCol))
+      .select(col(idCol), col("__m"),
+        transform(slice(col(vecCol), col("__m") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("__s"))
+
+  /** Exact-decimal squared-L2 between a subvector and a codebook
+    * centroid: each term is a deterministic IEEE double, cast to
+    * DECIMAL(28,12) before the fold so the SUM is order-independent
+    * and bit-identical across engines. */
+  private def pqDist2(s: Column, cent: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    aggregate(
+      zip_with(s, cent, (a, b) => ((a - b) * (a - b)).cast(DecimalType(28, 12))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+      (acc, x) => (acc + x).cast(DecimalType(38, 12)))
+  }
+
+  /** Nearest-code assignment per (vector, subspace): broadcast codebook,
+    * [[BoundedTopK]] argmin (score = −distance; ties → smaller code). */
+  private def pqAssign(sub: DataFrame, cb: DataFrame, idCol: String): DataFrame =
+    sub.join(broadcast(cb), "__m")
+      .groupBy(col(idCol), col("__m"))
+      .agg(BoundedTopK.topk(
+        -pqDist2(col("__s"), col("__cent")).cast("double"), col("__code"), 1)
+        .as("__t"))
+      .select(col(idCol), col("__m"),
+        col("__t").getItem(0).getField("id").as("__code"))
+
+  /** Codebook update: exact-decimal per-dimension mean per (subspace,
+    * code) — deterministic regardless of aggregation order. */
+  private def pqUpdate(sub: DataFrame, assigned: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    sub.join(assigned, Seq(idCol, "__m"))
+      .select(col("__m"), col("__code"), posexplode(col("__s")).as(Seq("__p", "__v")))
+      .groupBy(col("__m"), col("__code"), col("__p"))
+      .agg((sum(col("__v").cast(DecimalType(28, 9))).cast("double")
+        / count(lit(1))).as("__c"))
+      .groupBy(col("__m"), col("__code"))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__c")))).as("__pc"))
+      .select(col("__m"), col("__code"),
+        transform(col("__pc"), x => x.getField("__c")).as("__cent"))
+  }
+
+  /** IVF-PQ search — the third real-ANN-index axis after IVF list
+    * pruning (partitioning) and int8 (scalar quantization): coarse
+    * centroid routing prunes the corpus to the `nprobe` nearest inverted
+    * lists, then the surviving candidates are scored WITHOUT touching
+    * their vectors via Asymmetric Distance Computation: each probe
+    * precomputes a (mSub × ks) lookup table of subvector·codebook-
+    * centroid inner products, and a candidate's approximate score is the
+    * sum of the `mSub` LUT entries its codes select. At 100 TB the ADC
+    * scan reads mSub code bytes per vector instead of 4·D vector bytes
+    * (~64× less memory traffic at D=64/mSub=4), and the LUT join is a
+    * BROADCAST of |probes|·mSub·ks tiny rows. Exact double cosine then
+    * re-ranks only k·candMult candidates per probe.
+    *
+    * Every stage deterministic and hash-checkable: codebooks/codes from
+    * [[pqTrain]]'s exact-decimal trajectory, LUT entries exact decimal
+    * sums, ADC totals exact decimal sums ranked on their double casts
+    * with id tie-breaks, both rank stages on the [[BoundedTopK]] heap
+    * (≤ k·candMult rows per probe cross any shuffle). */
+  def knnIvfPq(corpus: DataFrame, probes: DataFrame, k: Int, nprobe: Int = 2,
+               mSub: Int = 4, subDim: Int = 16, ks: Int = 8, candMult: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               listCol: String = "label"): DataFrame = {
+    val cent = coarseCentroids(corpus, listCol, vecCol)
+    val pv = probes.select(col(idCol).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__pv"))
+    val probed = pv
+      .crossJoin(broadcast(cent))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(
+        cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__t"))
+      .select(col("probe_id"), col("__t.id").as(listCol))
+    val (cb, codes) = pqTrain(corpus, mSub, subDim, ks, idCol, vecCol)
+    val psub = pqSubvectors(
+      probes.select(col(idCol).as("probe_id"), col(vecCol)),
+      mSub, subDim, "probe_id", vecCol)
+    import org.apache.spark.sql.types.DecimalType
+    val lut = psub.join(broadcast(cb), "__m")
+      .select(col("probe_id"), col("__m"), col("__code"),
+        aggregate(
+          zip_with(col("__s"), col("__cent"),
+            (a, b) => (a * b).cast(DecimalType(28, 12))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+          (acc, x) => (acc + x).cast(DecimalType(38, 12))).as("__w"))
+    val cand = codes
+      .join(corpus.select(col(idCol), col(listCol)), idCol)
+      .join(probed, listCol)
+      .filter(col(idCol) =!= col("probe_id"))
+      .join(broadcast(lut), Seq("probe_id", "__m", "__code"))
+      .groupBy(col("probe_id"), col(idCol))
+      .agg(sum(col("__w")).as("__adc"))
+      .groupBy(col("probe_id"))
+      .agg(BoundedTopK.topk(
+        col("__adc").cast("double"), col(idCol), k * candMult).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__n"))
+      .select(col("probe_id"), col("__n.id").as("neighbor_id"))
+    val base = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    cand.join(base, "neighbor_id")
+      .join(pv, "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("__v"), col("__pv")).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), k).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__n"))
+      .select(col("probe_id"), col("__n.id").as("neighbor_id"),
+        col("__n.score").as("cos_sim"))
+  }
+
   /** Top-level completion marker, written strictly AFTER both index
     * artifacts: readiness checks must gate on this (not on
     * `centroids/_SUCCESS`, which exists as soon as the FIRST write lands

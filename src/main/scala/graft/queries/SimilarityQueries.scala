@@ -78,6 +78,25 @@ object SimilarityQueries {
       nprobe = NProbeLists, candMult = CandMult))
   }
 
+  /** IVF-PQ composed search ([[Similarity.knnIvfPq]], round 11): coarse
+    * list routing, then Asymmetric Distance Computation over the
+    * per-subspace PQ codes (vectors untouched until re-rank), then exact
+    * cosine re-rank — the third real-ANN-index axis alongside `knn_ivf`
+    * (partition pruning) and `knn_ivf_quantized` (scalar quantization).
+    * Fully hash-checked: the oracle replays the entire deterministic
+    * trajectory — per-subspace Lloyd codebooks (exact-decimal distance
+    * sums and means), code assignment, ADC LUT sums, both rank stages. */
+  def knnIvfPqQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.knnIvfPq(e, probes(spark, dir), K,
+      nprobe = NProbeLists, mSub = PqM, subDim = PqSubDim, ks = PqKs,
+      candMult = CandMult))
+  }
+
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqKs = 8
+
   /** ANN QUALITY EVALUATION (round 10): recall@K of the two approximate
     * searches — IVF list pruning and SRP-LSH bucket pruning — against
     * the exact top-K ground truth, per probe and method. This is the
@@ -114,6 +133,9 @@ object SimilarityQueries {
             .as("recall_at_k"))
     }
     evalMethod(Similarity.knnIvf(e, p, K, nprobe = NProbeLists), "ivf")
+      .unionByName(evalMethod(Similarity.knnIvfPq(e, p, K,
+        nprobe = NProbeLists, mSub = PqM, subDim = PqSubDim, ks = PqKs,
+        candMult = CandMult), "ivf_pq"))
       .unionByName(evalMethod(Similarity.knnLsh(e, p, K), "lsh"))
       .unionByName(evalMethod(Similarity.knnLshMultiProbe(e, p, K), "lsh_mp"))
       .orderBy("probe_id", "method")
@@ -1021,6 +1043,24 @@ object SimilarityQueries {
         FROM cand)
       WHERE rk2 <= $K
       ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
+    // IVF-PQ: the full deterministic trajectory replayed in SQL —
+    // subspace split, sorted-limit seeds, one exact-decimal Lloyd round,
+    // code assignment, ADC LUT, both rank stages (each ranked on the
+    // decimal's double cast with id tie-breaks, mirroring the engine)
+    GQuery("knn_ivf_pq", knnIvfPqQ, Some(s"""
+      WITH $ivfCentroidCtes,
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      $pqChainCtes
+      SELECT probe_id, neighbor_id, ROUND(cos_sim,6) AS cos_sim FROM (
+        SELECT c.probe_id, c.neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) AS cos_sim,
+               row_number() OVER (PARTITION BY c.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) DESC,
+                          c.neighbor_id) AS rk
+        FROM pqcand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+             JOIN embeddings pe ON pe.vec_id = c.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
     GQuery("ann_recall", annRecall, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""
@@ -1077,7 +1117,19 @@ object SimilarityQueries {
             WHERE p.vec_id < $NProbes) pe
             ON b.bucket = pe.bucket AND b.vec_id <> pe.probe_id)
         WHERE rk <= $K),
+      $pqChainCtes,
+      ivfpq AS (
+        SELECT probe_id, neighbor_id FROM (
+          SELECT c.probe_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY c.probe_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) DESC,
+                            c.neighbor_id) AS rk
+          FROM pqcand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+               JOIN embeddings pe ON pe.vec_id = c.probe_id)
+        WHERE rk <= $K),
       m AS (SELECT probe_id, 'ivf' AS method, neighbor_id FROM ivf
+            UNION ALL
+            SELECT probe_id, 'ivf_pq' AS method, neighbor_id FROM ivfpq
             UNION ALL
             SELECT probe_id, 'lsh' AS method, neighbor_id FROM lsh
             UNION ALL
@@ -1089,8 +1141,8 @@ object SimilarityQueries {
       SELECT pr.probe_id, md.method,
              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
              CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k
-      FROM pr CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
-                          UNION ALL SELECT 'lsh_mp') md
+      FROM pr CROSS JOIN (SELECT 'ivf' AS method UNION ALL SELECT 'ivf_pq'
+                          UNION ALL SELECT 'lsh' UNION ALL SELECT 'lsh_mp') md
       LEFT JOIN h ON h.probe_id = pr.probe_id AND h.method = md.method
       ORDER BY pr.probe_id, md.method"""
     }),
@@ -1222,6 +1274,61 @@ object SimilarityQueries {
 
   /** The exact-decimal per-list centroid CTEs, shared by the `knn_ivf`/
     * `knn_ivf_indexed` oracle and the `ann_index_build` content check. */
+  /** Shared IVF-PQ oracle chain (expects `cent` from [[ivfCentroidCtes]]
+    * in scope): per-subspace codebook training (sorted-limit seeds, one
+    * exact-decimal Lloyd round), code assignment, probe routing
+    * (`pqsel`), ADC scoring, and the k·candMult candidate cut
+    * (`pqcand`) — every compare on a decimal's double cast with id
+    * tie-breaks, mirroring [[Similarity.knnIvfPq]] stage for stage.
+    * Reused by the `knn_ivf_pq` oracle and `ann_recall`'s ivf_pq arm. */
+  private lazy val pqChainCtes: String = s"""pqsel AS (
+        SELECT probe_id, label FROM (
+          SELECT p.vec_id AS probe_id, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT * FROM embeddings WHERE vec_id < $NProbes) p, cent c)
+        WHERE crk <= $NProbeLists),
+      sx AS (SELECT vec_id, CAST(m AS INT) AS m,
+                    list_transform(list_slice(embedding, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim),
+                      x -> x::DOUBLE) AS s
+             FROM embeddings, UNNEST(range($PqM)) AS u(m)),
+      pinit AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS BIGINT) AS code,
+                       s AS cent
+                FROM sx WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs)),
+      d1 AS (SELECT sx.vec_id, sx.m, c.code,
+                    list_sum(list_transform(range(1, ${PqSubDim + 1}),
+                      i -> CAST((sx.s[i]-c.cent[i])*(sx.s[i]-c.cent[i]) AS DECIMAL(28,12)))) AS d2
+             FROM sx JOIN pinit c USING (m)),
+      a1 AS (SELECT vec_id, m, code FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY CAST(d2 AS DOUBLE), code) AS rk FROM d1) WHERE rk = 1),
+      upd AS (SELECT m, code, p, CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE)/count(*) AS c
+              FROM (SELECT a1.m, a1.code, u.p, sx.s[u.p] AS v
+                    FROM sx JOIN a1 USING (vec_id, m), UNNEST(range(1, ${PqSubDim + 1})) AS u(p))
+              GROUP BY 1,2,3),
+      cb AS (SELECT m, code, list(c ORDER BY p) AS cent FROM upd GROUP BY 1,2),
+      dd AS (SELECT sx.vec_id, sx.m, c.code,
+                    list_sum(list_transform(range(1, ${PqSubDim + 1}),
+                      i -> CAST((sx.s[i]-c.cent[i])*(sx.s[i]-c.cent[i]) AS DECIMAL(28,12)))) AS d2
+             FROM sx JOIN cb c USING (m)),
+      pqcodes AS (SELECT vec_id, m, code FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                           ORDER BY CAST(d2 AS DOUBLE), code) AS rk FROM dd) WHERE rk = 1),
+      lut AS (SELECT p.vec_id AS probe_id, p.m, c.code,
+                     list_sum(list_transform(range(1, ${PqSubDim + 1}),
+                       i -> CAST(p.s[i]*c.cent[i] AS DECIMAL(28,12)))) AS w
+              FROM (SELECT * FROM sx WHERE vec_id < $NProbes) p JOIN cb c USING (m)),
+      adc AS (SELECT s.probe_id, e.vec_id AS neighbor_id, sum(l.w) AS adc
+              FROM pqsel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id
+                   JOIN pqcodes k ON k.vec_id = e.vec_id
+                   JOIN lut l ON l.probe_id = s.probe_id AND l.m = k.m AND l.code = k.code
+              GROUP BY 1,2),
+      pqcand AS (SELECT probe_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY probe_id
+                          ORDER BY CAST(adc AS DOUBLE) DESC, neighbor_id) AS rk FROM adc)
+               WHERE rk <= ${K * CandMult})"""
+
   private lazy val ivfCentroidCtes: String = s"""ex AS (
         SELECT label,
                unnest(list_transform(range(1, len(embedding) + 1),

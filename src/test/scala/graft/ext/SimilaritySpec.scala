@@ -403,6 +403,56 @@ class SimilaritySpec extends SparkSpec {
     run() shouldBe got
   }
 
+  test("pqTrain: deterministic trajectory, codes in range, full codebook coverage") {
+    val rng = new scala.util.Random(31)
+    val df = vecDf((0L until 60L).map(i => i -> Seq.fill(32)(rng.nextFloat() - 0.5f)))
+    val run = () => {
+      val (cb, codes) = Similarity.pqTrain(df, mSub = 4, subDim = 8, ks = 4)
+      (cb.select("__m", "__code").as[(Int, Long)].collect().toSet,
+        codes.as[(Long, Int, Long)].collect().toSet)
+    }
+    val (cbKeys, codes) = run()
+    // every (subspace, code) slot trained; every vector coded in range
+    cbKeys shouldBe (for (m <- 0 until 4; c <- 0L until 4L) yield (m, c)).toSet
+    codes.map(_._1) shouldBe (0L until 60L).toSet
+    codes.foreach { case (_, m, c) =>
+      m should (be >= 0 and be < 4)
+      c should (be >= 0L and be < 4L)
+    }
+    codes.groupBy(t => (t._1, t._2)).values.foreach(_.size shouldBe 1)
+    run() shouldBe ((cbKeys, codes)) // bit-deterministic re-run
+  }
+
+  test("knnIvfPq: uncut ADC candidates re-rank to exact brute force; pruned probing stays in-cluster") {
+    val rng = new scala.util.Random(17)
+    val dim = 32
+    val bases = Seq.fill(5)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 8
+    } yield (ci * 100L + j, ci, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val corpusDf = corpus.toDF("vec_id", "label", "embedding")
+    val probesDf = corpus.filter(_._1 % 100 == 0)
+      .map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    // nprobe = nlists + candMult wide enough that the ADC cut keeps the
+    // whole corpus (k·candMult = 40 ≥ |corpus|): the PQ approximation
+    // must then be INVISIBLE — exact re-rank equals brute force
+    key(Similarity.knnIvfPq(corpusDf, probesDf, k = 5, nprobe = 5,
+      mSub = 4, subDim = 8, ks = 4, candMult = 8)) shouldBe
+      key(Similarity.knnExact(corpusDf, probesDf, k = 5))
+    // pruned lists + tight ADC cut: k rows per probe, ≥90% in-cluster —
+    // the PQ codes preserve enough geometry to rank within the lists
+    val pruned = Similarity.knnIvfPq(corpusDf, probesDf, k = 5, nprobe = 2,
+      mSub = 4, subDim = 8, ks = 4, candMult = 2)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    pruned.groupBy(_._1).view.mapValues(_.length).toMap.values.toSet shouldBe Set(5)
+    val inCluster = pruned.count { case (p, n) => n / 100L == p / 100L }
+    inCluster.toDouble / pruned.length should be >= 0.9
+  }
+
   test("int8 quantization: values bounded, reconstruction within 0.5/scale, zero vector null") {
     val rng = new scala.util.Random(21)
     val rows = (0L until 50L).map(i => i -> Seq.fill(64)((rng.nextGaussian() * (i + 1)).toFloat))
@@ -504,9 +554,9 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSeq
     // one row per (probe, method), every probe covered even at zero hits
     rows.map(r => (r._1, r._2)).distinct.size shouldBe rows.size
-    rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap shouldBe
-      Map("ivf" -> Seq(0L, 1L, 2L, 3L, 4L), "lsh" -> Seq(0L, 1L, 2L, 3L, 4L),
-        "lsh_mp" -> Seq(0L, 1L, 2L, 3L, 4L))
+    rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toList).toMap shouldBe
+      Map("ivf" -> List(0L, 1L, 2L, 3L, 4L), "ivf_pq" -> List(0L, 1L, 2L, 3L, 4L),
+        "lsh" -> List(0L, 1L, 2L, 3L, 4L), "lsh_mp" -> List(0L, 1L, 2L, 3L, 4L))
     // multi-probe searches a candidate superset of single-probe, so its
     // per-probe hit count dominates (see the monotonicity argument in
     // the planted-cluster test)
