@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` with explicit micro-batching (the JVM twin of
   * `mapInPandas` Arrow batches), and deterministic outputs. Image and WAV
   * decode are REAL (JDK ImageIO / javax.sound — see
-  * [[MultimodalStub.decodeBatch]]); video decode is the one remaining
-  * stub (the JDK ships no mp4 demuxer) and undecodable payloads fall
+  * [[MultimodalStub.decodeBatch]]); video CONTAINER metadata is REAL
+  * since round 11 ([[MultimodalStub.mp4Meta]] walks the ISO 14496-12
+  * box structure in pure byte math — only per-FRAME decode remains
+  * env-blocked, as the JDK ships no demuxer). Undecodable payloads fall
   * back to deterministic byte math, so a corrupt record never fails a
   * batch.
   *
@@ -164,6 +166,77 @@ object MultimodalSynth {
     bos.toByteArray
   }
 
+  /** Minimal valid MP4 container in pure byte math — `ftyp` +
+    * `moov(mvhd, trak(tkhd, mdia(minf(stbl(stsd)))))`, every box a
+    * big-endian [size:4][type:4][payload] frame per ISO 14496-12. No
+    * media samples (no `mdat`): this is the CONTAINER-metadata surface —
+    * duration/timescale (mvhd), track dims as 16.16 fixed point (tkhd),
+    * codec fourcc (stsd sample entry) — which is all that is parseable
+    * without a demuxer and exactly what [[MultimodalStub.mp4Meta]]
+    * extracts. Deterministic: the bytes are a closed-form function of
+    * the arguments, so an oracle recomputes every parsed field. */
+  def mp4Payload(timescale: Int, duration: Long, w: Int, h: Int,
+                 fourcc: String): Array[Byte] = {
+    require(fourcc.length == 4, s"fourcc must be 4 chars: $fourcc")
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(tpe.getBytes("US-ASCII"))
+      bb.put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // version-0 layout
+      bb.putInt(0)                    // version + flags
+      bb.putInt(0).putInt(0)          // creation, modification
+      bb.putInt(timescale)
+      bb.putInt(duration.toInt)
+      bb.putInt(0x00010000)           // rate 1.0
+      bb.putShort(0x0100.toShort)     // volume 1.0
+      bb.position(36)                 // reserved(10) skipped
+      // identity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.position(96)                 // pre_defined(24) skipped
+      bb.putInt(2)                    // next_track_ID
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84) // version-0 layout
+      bb.putInt(7)                    // version 0, flags: enabled|in-movie|in-preview
+      bb.putInt(0).putInt(0)          // creation, modification
+      bb.putInt(1)                    // track_ID
+      bb.putInt(0)                    // reserved
+      bb.putInt(duration.toInt)
+      bb.position(40)                 // reserved(8)+layer+alt+volume+reserved skipped
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+      bb.putInt(0).putInt(0x00010000).putInt(0)
+      bb.putInt(0).putInt(0).putInt(0x40000000)
+      bb.putInt(w << 16)              // width, 16.16 fixed
+      bb.putInt(h << 16)              // height, 16.16 fixed
+      box("tkhd", bb.array())
+    }
+    val stsd = {
+      val entry = java.nio.ByteBuffer.allocate(16)
+      entry.putInt(16)
+      entry.put(fourcc.getBytes("US-ASCII"))
+      entry.position(14)              // reserved(6) skipped
+      entry.putShort(1)               // data_reference_index
+      val bb = java.nio.ByteBuffer.allocate(8 + 16)
+      bb.putInt(0)                    // version + flags
+      bb.putInt(1)                    // entry_count
+      bb.put(entry.array())
+      box("stsd", bb.array())
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isommp41".getBytes("US-ASCII"))
+    val moov = box("moov", mvhd ++ box("trak",
+      tkhd ++ box("mdia", box("minf", box("stbl", stsd)))))
+    ftyp ++ moov
+  }
+
   /** Mono 8-bit unsigned PCM WAV, sample(i) = (seed·7 + i·17) mod 256. */
   def wavPayload(seed: Long, sampleRate: Int, nFrames: Int): Array[Byte] = {
     val data = Array.tabulate[Byte](nFrames)(i => ((seed * 7 + i * 17) % 256).toByte)
@@ -183,8 +256,10 @@ object MultimodalSynth {
   * payloads the codecs reject fall back to deterministic byte-math
   * pseudo-features so a mixed/corrupt corpus still yields a row per
   * record (production behaviour: quarantine-by-feature, never
-  * fail-the-batch). Video is the one remaining stub — the JDK ships no
-  * mp4/h264 demuxer, so video rows always take the byte-math path. */
+  * fail-the-batch). Video container METADATA is real too ([[mp4Meta]],
+  * round 11: pure byte math over the box structure); only per-frame
+  * decode needs a demuxer the JDK does not ship — swapping in an
+  * ffmpeg JNI call touches only this object. */
 object MultimodalStub {
   import Multimodal._
 
@@ -205,8 +280,23 @@ object MultimodalStub {
       (m.kind match {
         case "image" => decodeImage(m)
         case "audio" => decodeWav(m)
-        case _       => None // video: no JDK demuxer — byte-math stub below
+        case "video" => decodeVideoMeta(m) // container metadata (round 11)
+        case _       => None
       }).getOrElse(pseudoFeatures(m))
+    }
+
+  /** Video rows through the REAL mp4 container parse ([[mp4Meta]]):
+    * true track dims from tkhd, `n_frames` = mvhd duration in timescale
+    * ticks (the honest container-level time axis — per-frame counts
+    * need a demuxer the JDK does not ship), mean = payload byte mean.
+    * Non-mp4 payloads fall through to [[pseudoFeatures]] as before. */
+  private def decodeVideoMeta(m: MediaRecord): Option[MediaFeatures] =
+    mp4Meta(m.payload).map { v =>
+      val mean =
+        if (m.payload.isEmpty) 0.0
+        else m.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / m.payload.length
+      MediaFeatures(m.media_id, m.kind, m.n_bytes, v.width, v.height,
+        math.max(1, v.durationTicks.toInt), mean)
     }
 
   /** Average-hash (aHash) of an image payload through the REAL codec:
@@ -292,6 +382,75 @@ object MultimodalStub {
         }
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** Parsed MP4 container metadata (no demuxer required — pure byte
+    * math over the ISO 14496-12 box structure). */
+  final case class VideoMeta(
+      timescale: Int, durationTicks: Long, width: Int, height: Int,
+      codec: String)
+
+  /** MP4 box walk: top-level scan for `moov`, then `mvhd`
+    * (duration + timescale), `trak`→`tkhd` (16.16 fixed-point dims) and
+    * `trak`→`mdia`→`minf`→`stbl`→`stsd` (first sample entry's fourcc).
+    * Handles version-0 AND version-1 (64-bit time) mvhd/tkhd layouts,
+    * `size == 1` largesize boxes, and `size == 0` extend-to-end boxes;
+    * any structural violation (truncated box, missing moov/mvhd/tkhd/
+    * stsd, size under 8) returns None — callers quarantine, never
+    * crash, the same contract as [[decodeBatch]]. This closes the video
+    * third of the metadata family: the JDK ships no mp4 DEMUXER (frame
+    * decode stays env-blocked like the Kafka jar), but the container
+    * metadata is deterministic byte math, the same shape the PNG/WAV
+    * work proved through real codecs. */
+  def mp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
+    def u32(o: Int): Long =
+      if (o + 4 > payload.length) -1L
+      else ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def u64(o: Int): Long =
+      if (o + 8 > payload.length) -1L else (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      if (o + 4 > payload.length) ""
+      else new String(payload, o, 4, "US-ASCII")
+    // find the first child box of `tpe` in [from, until); returns
+    // (payloadStart, payloadEnd) of the box body
+    def find(tpe: String, from: Int, until: Int): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val size = u32(o)
+        val t = fourcc(o + 4)
+        val (bodyStart, boxEnd) =
+          if (size == 1L) (o + 16, o + u64(o + 8)) // largesize
+          else if (size == 0L) (o + 8, until.toLong) // to end of enclosing
+          else (o + 8, o + size)
+        if (size != 0L && (boxEnd < bodyStart || boxEnd > until)) return None
+        if (t == tpe) return Some((bodyStart, boxEnd.toInt))
+        if (boxEnd <= o) return None // non-advancing box: corrupt
+        o = boxEnd.toInt
+      }
+      None
+    }
+    try {
+      for {
+        (moovS, moovE) <- find("moov", 0, payload.length)
+        (mvhdS, _) <- find("mvhd", moovS, moovE)
+        (trakS, trakE) <- find("trak", moovS, moovE)
+        (tkhdS, _) <- find("tkhd", trakS, trakE)
+        (mdiaS, mdiaE) <- find("mdia", trakS, trakE)
+        (minfS, minfE) <- find("minf", mdiaS, mdiaE)
+        (stblS, stblE) <- find("stbl", minfS, minfE)
+        (stsdS, _) <- find("stsd", stblS, stblE)
+        mvhdV = payload(mvhdS) & 0xff
+        ts = if (mvhdV == 1) u32(mvhdS + 20) else u32(mvhdS + 12)
+        dur = if (mvhdV == 1) u64(mvhdS + 24) else u32(mvhdS + 16)
+        tkhdV = payload(tkhdS) & 0xff
+        dimOff = if (tkhdV == 1) tkhdS + 88 else tkhdS + 76
+        w = u32(dimOff) >> 16
+        h = u32(dimOff + 4) >> 16
+        cc = fourcc(stsdS + 12) // v+flags(4), entry_count(4), entry size(4)
+        if ts > 0 && dur >= 0 && w >= 0 && h >= 0 && cc.length == 4
+      } yield VideoMeta(ts.toInt, dur, w.toInt, h.toInt, cc)
+    } catch { case _: Exception => None }
+  }
 
   private def decodeImage(m: MediaRecord): Option[MediaFeatures] =
     try {

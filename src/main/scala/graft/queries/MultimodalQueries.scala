@@ -146,7 +146,65 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** VIDEO CONTAINER METADATA (round 11 — closes the video third of the
+    * multimodal metadata family): deterministic MP4 payloads are
+    * synthesized on the executors ([[graft.ext.MultimodalSynth
+    * .mp4Payload]] — real ISO 14496-12 box structure, closed-form in
+    * doc_id) and parsed back through the pure-byte-math box walk
+    * ([[graft.ext.MultimodalStub.mp4Meta]]): mvhd duration+timescale,
+    * tkhd 16.16 dims, stsd codec fourcc. Every 7th doc (d % 7 == 3)
+    * carries a junk payload that MUST quarantine (ok=false, zeroed
+    * fields) — the parse-or-quarantine contract of the ingest family.
+    * Fully hash-checked: the oracle recomputes each field from the
+    * closed form, proving the synth→parse round trip is exact. The
+    * per-row work is a narrow batched map — no shuffle; at 100 TB this
+    * runs beside the scan like every decode operator here. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < VideoCap)
+      .select("doc_id").as[Long]
+      .map { d =>
+        val p =
+          if (d % 7 == 3) s"junk payload $d not an iso container".getBytes("UTF-8")
+          else graft.ext.MultimodalSynth.mp4Payload(
+            600 + (d % 5).toInt * 100, 1200L + d * 30L,
+            320 + (d % 4).toInt * 160, 240 + (d % 4).toInt * 120,
+            VideoCodecs((d % 3).toInt))
+        graft.ext.MultimodalStub.mp4Meta(p) match {
+          case Some(v) => (d, true, v.timescale.toLong, v.durationTicks,
+            v.durationTicks * 1000L / v.timescale,
+            v.width.toLong, v.height.toLong, v.codec)
+          case None => (d, false, 0L, 0L, 0L, 0L, 0L, "")
+        }
+      }
+      .toDF("media_id", "ok", "timescale", "duration_ticks", "duration_ms",
+        "width", "height", "codec")
+      .orderBy("media_id")
+  }
+
+  private val VideoCap = 140
+  private val VideoCodecs = Seq("avc1", "hev1", "av01")
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("mm_video_meta", videoMeta, Some(s"""
+      SELECT doc_id AS media_id,
+             (doc_id % 7 <> 3) AS ok,
+             CAST(CASE WHEN doc_id % 7 <> 3
+                  THEN 600 + (doc_id % 5) * 100 ELSE 0 END AS BIGINT) AS timescale,
+             CAST(CASE WHEN doc_id % 7 <> 3
+                  THEN 1200 + doc_id * 30 ELSE 0 END AS BIGINT) AS duration_ticks,
+             CAST(CASE WHEN doc_id % 7 <> 3
+                  THEN ((1200 + doc_id * 30) * 1000) // (600 + (doc_id % 5) * 100)
+                  ELSE 0 END AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN doc_id % 7 <> 3
+                  THEN 320 + (doc_id % 4) * 160 ELSE 0 END AS BIGINT) AS width,
+             CAST(CASE WHEN doc_id % 7 <> 3
+                  THEN 240 + (doc_id % 4) * 120 ELSE 0 END AS BIGINT) AS height,
+             CASE WHEN doc_id % 7 <> 3
+                  THEN ['avc1','hev1','av01'][CAST(doc_id % 3 AS INT) + 1]
+                  ELSE '' END AS codec
+      FROM documents WHERE doc_id < $VideoCap ORDER BY doc_id""")),
     GQuery("mm_audio_dedup", audioDedup, Some(s"""
       WITH d AS (SELECT doc_id FROM documents WHERE doc_id < $AudioCap),
       sm AS (

@@ -162,6 +162,83 @@ class MultimodalSpec extends SparkSpec {
     f.mean_intensity shouldBe 65.0
   }
 
+  test("mp4Meta: synth round-trip exact; junk/truncated/empty quarantine to None") {
+    for ((ts, dur, w, h, cc) <- Seq(
+        (600, 1200L, 320, 240, "avc1"),
+        (1000, 90000L, 1920, 1080, "hev1"),
+        (700, 1230L, 480, 360, "av01"))) {
+      val p = MultimodalSynth.mp4Payload(ts, dur, w, h, cc)
+      MultimodalStub.mp4Meta(p) shouldBe
+        Some(MultimodalStub.VideoMeta(ts, dur, w, h, cc))
+    }
+    MultimodalStub.mp4Meta("definitely not an mp4".getBytes("UTF-8")) shouldBe None
+    MultimodalStub.mp4Meta(Array.emptyByteArray) shouldBe None
+    // truncation anywhere inside moov must quarantine, not mis-parse
+    val full = MultimodalSynth.mp4Payload(600, 1200L, 320, 240, "avc1")
+    MultimodalStub.mp4Meta(full.take(full.length / 2)) shouldBe None
+    // a box whose declared size overruns the buffer is structural junk
+    val overrun = full.clone()
+    overrun(full.length - 30) = 0x7f // corrupt an inner size byte
+    MultimodalStub.mp4Meta(overrun) shouldBe None
+  }
+
+  test("mp4Meta: version-1 (64-bit time) mvhd/tkhd layout parses") {
+    // hand-build a v1 variant: mvhd v1 carries 8-byte creation/
+    // modification/duration (timescale at offset 20, duration at 24);
+    // tkhd v1 shifts the 16.16 dims to offset 88
+    def box(t: String, p: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+      bb.putInt(8 + p.length); bb.put(t.getBytes("US-ASCII")); bb.put(p)
+      bb.array()
+    }
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000) // version 1
+      bb.putLong(0L).putLong(0L)
+      bb.putInt(90000)      // timescale @20
+      bb.putLong(5400000L)  // duration @24, 64-bit
+      bb.array()
+    }
+    val tkhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0x01000007)
+      bb.putLong(0L).putLong(0L)
+      bb.putInt(1).putInt(0)
+      bb.putLong(5400000L)
+      bb.position(88)
+      bb.putInt(1280 << 16).putInt(720 << 16)
+      bb.array()
+    }
+    val stsd = {
+      val e = java.nio.ByteBuffer.allocate(16)
+      e.putInt(16); e.put("vp09".getBytes("US-ASCII"))
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.putInt(0); bb.putInt(1); bb.put(e.array())
+      bb.array()
+    }
+    val p = box("ftyp", "isom   isom".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd1) ++ box("trak",
+        box("tkhd", tkhd1) ++ box("mdia", box("minf", box("stbl", box("stsd", stsd))))))
+    MultimodalStub.mp4Meta(p) shouldBe
+      Some(MultimodalStub.VideoMeta(90000, 5400000L, 1280, 720, "vp09"))
+  }
+
+  test("decodeBatch video: mp4 container metadata is real, non-mp4 falls back") {
+    val mp4 = MultimodalSynth.mp4Payload(600, 2400L, 640, 480, "avc1")
+    val real = decodeFeatures(Seq(
+      MediaRecord(1L, "video", "video/mp4", mp4.length.toLong, mp4)).toDS()
+    ).collect().head
+    real.width shouldBe 640
+    real.height shouldBe 480
+    real.n_frames shouldBe 2400 // mvhd duration ticks
+    val junk = Array.fill(144)('B'.toByte)
+    val fb = decodeFeatures(Seq(
+      MediaRecord(2L, "video", "video/mp4", 144L, junk)).toDS()
+    ).collect().head
+    fb.width shouldBe 12 // sqrt(144): the pseudo path, unchanged
+    fb.n_frames shouldBe math.max(1, 144 / 64)
+  }
+
   test("frameSample reduces only video frame counts by the stride") {
     val before = decodeFeatures(asMedia(docsDf).as[MediaRecord])
     val after = frameSample(before, stride = 4)
