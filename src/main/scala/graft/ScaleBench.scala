@@ -222,6 +222,34 @@ object ScaleBench {
         }, reps = 1)
         println(f"""{"metric":"scale","op":"split_leakfree","scale":$k,"docs":$nd,"pairs":$nPairs,"sec":$slSec%.3f,"us_per_doc":${slSec * 1e6 / nd}%.2f}""")
       }
+
+      // EXACT SUBSTRING-SPAN dedup (round 11), two regimes:
+      //  (a) the SHIPPED guard (dfCap=16): on this corpus every gram of
+      //      a k-copy family occurs exactly k times, so past 16 copies
+      //      the cap zeroes the pair volume BY DESIGN — the measurement
+      //      shows the gram+cap stages staying ~linear in docs while the
+      //      quadratic stage never fires (the guard IS the scale story:
+      //      unbounded duplication is exactly what it refuses to pay);
+      //  (b) the ADMITTED variant (dfCap=k): families pass the cap, so
+      //      pair volume grows C(k,2)·grams·families by construction and
+      //      the flat-cost claim is per PAIR ROW through the diagonal
+      //      islands window. Feasible through 10× (~10.6M pair rows);
+      //      at 30×/100× the admitted volume is 95M/1.1B rows — the
+      //      blowup dfCap exists to prevent — so it is SKIPPED loudly,
+      //      not silently capped.
+      val toksD = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      val gSec = timeOp(Dedup.substringSpans(toksD))
+      val gSpans = Dedup.substringSpans(toksD).count()
+      println(f"""{"metric":"scale","op":"substring_spans_guarded","scale":$k,"docs":$nd,"df_cap":16,"n_spans":$gSpans,"sec":$gSec%.3f,"us_per_doc":${gSec * 1e6 / nd}%.2f}""")
+      if (k > 1 && k <= 10) {
+        val cap = k.toLong
+        val pairRows = Dedup.substringGramPairs(toksD, dfCap = cap).count()
+        val aSec = timeOp(Dedup.substringSpans(toksD, dfCap = cap))
+        val aSpans = Dedup.substringSpans(toksD, dfCap = cap).count()
+        println(f"""{"metric":"scale","op":"substring_spans_admitted","scale":$k,"docs":$nd,"df_cap":$cap,"pair_rows":$pairRows,"n_spans":$aSpans,"sec":$aSec%.3f,"us_per_pair":${aSec * 1e6 / math.max(pairRows, 1)}%.2f}""")
+      } else if (k > 10) {
+        println(s"""{"metric":"scale","op":"substring_spans_admitted","scale":$k,"skipped":"admitted pair volume ~ C($k,2) x grams x families (~${k.toLong * (k - 1) / 2 * 47 * n / 1000000}M rows) - the quadratic blowup dfCap guards against; per-pair cost measured at <=10x"}""")
+      }
       // small-files compaction: 256 shards (the pathological many-tiny-
       // files layout a per-task-per-batch writer produces) folded to
       // 32 MB targets in shuffle mode — the parallel-rewrite path whose

@@ -7,22 +7,36 @@ import graft.stream.{Pipeline, Sources}
 
 /** Streaming throughput bench: rate source → full flagship pipeline
   * (JSON envelope encode → parse → watermark → 1-min window agg →
-  * scaled_count) → noop streaming sink. Prints one JSON line with the
-  * steady-state processed-rows/sec, comparable to the reference's design
-  * target of ~100k emojis/s aggregate ingest (BASELINE.md;
-  * `README.md:152-159`).
+  * scaled_count) → noop streaming sink, measured as a RATE LADDER
+  * (round-10 verdict #5): each offered rate runs its own streaming
+  * query and reports steady-state processed events/s plus trigger-
+  * latency p50/p95, so the artifact carries BOTH numbers a streaming
+  * deployment is judged on — "does it keep up at rate X" (sustained =
+  * processed ≥ 95% of offered AND p95 trigger latency within the 2 s
+  * trigger period + scheduling slack) and "where does it saturate"
+  * (the top ladder rung is offered far above saturation, so its
+  * processed rate is the pipeline-bound ceiling). Comparable to the
+  * reference's design target of ~100k emojis/s aggregate ingest
+  * (BASELINE.md; `README.md:152-159`).
   *
-  * Offered rate is set far above the target (default 2M rows/s) so the
-  * measurement is pipeline-bound, not source-bound; the first batches are
-  * excluded as warm-up.
+  * One JSON line on stdout; the round's run is committed as
+  * STREAMBENCH_r{N}.json so the number is defensible from JSON alone
+  * (the round-10 `value_quiet` rule applied to the streaming axis).
+  *
+  * Env knobs: SPARK_STREAM_LADDER (comma rates, default
+  * "100000,1000000,2000000" — target, 10× target, pipeline-bound),
+  * SPARK_STREAM_SECONDS per rung (default 45: the first non-empty batch
+  * drains the rate source's startup backlog and is excluded as warm-up,
+  * so the window must fit it plus ≥ 2 steady batches), SPARK_GRAFT_CPUS.
   */
 object StreamBench {
+
+  final case class Rung(offered: Long, eps: Double, p50Ms: Double,
+                        p95Ms: Double, batches: Int, sustained: Boolean)
+
   def main(args: Array[String]): Unit = {
-    val rps = sys.env.getOrElse("SPARK_STREAM_RPS", "2000000").toLong
-    // 45 s default: the first non-empty batch drains the rate source's
-    // startup backlog (~4-12M rows at the default offered rate) and is
-    // excluded as warm-up, so the window must fit it PLUS ≥2 steady
-    // batches — a 20 s window reported 0 completed batches on slow starts
+    val ladder = sys.env.getOrElse("SPARK_STREAM_LADDER", "100000,1000000,2000000")
+      .split(",").map(_.trim.toLong).toSeq
     val seconds = sys.env.getOrElse("SPARK_STREAM_SECONDS", "45").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,31 +45,53 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
-    val agg = Pipeline.flagshipFromWire(Sources.rateEnvelopes(spark, rps))
-    val q = agg.writeStream
-      .format("noop")
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.ProcessingTime("2 seconds")) // W4 parity trigger
-      .start()
-    Thread.sleep(seconds * 1000L)
-    val progress = q.recentProgress.toSeq
+    def pct(xs: Seq[Double], q: Double): Double =
+      if (xs.isEmpty) 0.0
+      else xs.sorted.apply(math.min(xs.size - 1, (q * xs.size).toInt))
 
-    // exclude empty startup batches; if several real batches completed,
-    // also drop the first (codegen warm-up) — with an unbounded rate
-    // source, batches are large and few, so don't over-trim
-    val nonEmpty = progress.filter(_.numInputRows > 0)
-    val steady = if (nonEmpty.size >= 2) nonEmpty.tail else nonEmpty
-    val rows = steady.map(_.numInputRows).sum
-    val secs = steady.map(p => p.durationMs.get("triggerExecution").toDouble / 1000.0).sum
-    val eps = if (secs > 0) rows / secs else 0.0
-    // metric printed BEFORE stop: stopping mid-batch can surface an
-    // InterruptedException from the state-store commit, which must not
-    // eat the measurement
+    val rungs = ladder.map { rps =>
+      val agg = Pipeline.flagshipFromWire(Sources.rateEnvelopes(spark, rps))
+      val q = agg.writeStream
+        .format("noop")
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.ProcessingTime("2 seconds")) // W4 parity trigger
+        .start()
+      Thread.sleep(seconds * 1000L)
+      val progress = q.recentProgress.toSeq
+      try q.stop() catch { case _: Exception => () }
+      // steady window = the LAST half of the non-empty batches (≥ 3):
+      // the rate source accumulates rows while the query initializes, so
+      // the EARLY batches drain a startup backlog across several
+      // triggers — a head-trim of one batch still left 4.6 s p95 drain
+      // batches in the window at offered rates the pipeline beats by 10×
+      val nonEmpty = progress.filter(_.numInputRows > 0)
+      val steady = nonEmpty.takeRight(math.max(3, nonEmpty.size / 2))
+      val rows = steady.map(_.numInputRows).sum
+      val trig = steady.map(_.durationMs.get("triggerExecution").toDouble)
+      val secs = trig.sum / 1000.0
+      val eps = if (secs > 0) rows / secs else 0.0
+      // sustained (finite offered rates): p95 batch latency within the
+      // 2 s trigger period + 500 ms scheduling slack AND steady batches
+      // carrying ~offered×2s rows (a ballooning batch size means the
+      // query is eating a growing backlog even when latency looks fine)
+      val meanBatch = if (steady.nonEmpty) rows.toDouble / steady.size else 0.0
+      val sustained = steady.nonEmpty &&
+        pct(trig, 0.95) <= 2500.0 && meanBatch <= 1.25 * rps * 2.0
+      Rung(rps, eps, pct(trig, 0.50), pct(trig, 0.95), steady.size, sustained)
+    }
+
+    val maxSustained = rungs.filter(_.sustained).map(_.offered)
+      .maxOption.getOrElse(0L)
+    // the top rung is offered far above saturation: its processed rate
+    // is the pipeline-bound ceiling regardless of sustained-ness
+    val ceiling = rungs.map(_.eps).max
+    val rungJson = rungs.map { r =>
+      f"""{"offered":${r.offered},"eps":${r.eps}%.0f,"p50_ms":${r.p50Ms}%.0f,"p95_ms":${r.p95Ms}%.0f,"batches":${r.batches},"sustained":${r.sustained}}"""
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"stream_events_per_sec","value":$eps,"unit":"events/sec","batches":${steady.size},"offered_rps":$rps}""")
-    try q.stop() catch { case _: Exception => () }
+      f"""{"metric":"stream_events_per_sec","value":$ceiling%.0f,"unit":"events/sec","max_sustained_offered":$maxSustained,"ladder":$rungJson,"trigger":"2s","reference_target":100000}""")
     spark.stop()
   }
 }

@@ -763,19 +763,7 @@ object Dedup {
                      toksCol: String = "toks", k: Int = 8,
                      minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = rebalance(docs.select(col(idCol), col(toksCol)), idCol)
-      .select(col(idCol),
-        posexplode(Text.ngrams(col(toksCol), k)).as(Seq("__pos", "__g")))
-      .select(col(idCol), col("__pos").cast("long").as("__pos"),
-        md5(col("__g").cast("binary")).as("__key"))
-    val capped = grams
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__key")))
-      .filter(col("__n") <= dfCap)
-    val a = capped.select(col("__key"), col(idCol).as("a_id"), col("__pos").as("a_pos"))
-    val b = capped.select(col("__key"), col(idCol).as("b_id"), col("__pos").as("b_pos"))
-    val pairs = a.join(b, "__key")
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("__diag", col("a_pos") - col("b_pos"))
+    val pairs = substringGramPairs(docs, idCol, toksCol, k, dfCap)
     val w = Window.partitionBy("a_id", "b_id", "__diag").orderBy("a_pos")
     pairs
       .withColumn("__isl", col("a_pos") - row_number().over(w))
@@ -787,6 +775,30 @@ object Dedup {
       .filter(col("span_tokens") >= minSpan)
       .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"),
         col("span_tokens"))
+  }
+
+  /** Stages 1–3 of [[substringSpans]] (gram table → occurrence cap →
+    * key equi-join), exposed separately so ScaleBench can price the
+    * diagonal-window stage per PAIR ROW — the unit of work the islands
+    * window actually processes. Returns (__key, a_id, a_pos, b_id,
+    * b_pos, __diag). */
+  def substringGramPairs(docs: DataFrame, idCol: String = "doc_id",
+                         toksCol: String = "toks", k: Int = 8,
+                         dfCap: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = rebalance(docs.select(col(idCol), col(toksCol)), idCol)
+      .select(col(idCol),
+        posexplode(Text.ngrams(col(toksCol), k)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos").cast("long").as("__pos"),
+        md5(col("__g").cast("binary")).as("__key"))
+    val capped = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__key")))
+      .filter(col("__n") <= dfCap)
+    val a = capped.select(col("__key"), col(idCol).as("a_id"), col("__pos").as("a_pos"))
+    val b = capped.select(col("__key"), col(idCol).as("b_id"), col("__pos").as("b_pos"))
+    a.join(b, "__key")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("__diag", col("a_pos") - col("b_pos"))
   }
 
   /** Per-document duplicated-token coverage from [[substringSpans]]'s
@@ -804,10 +816,18 @@ object Dedup {
                         minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spans = substringSpans(docs, idCol, toksCol, k, minSpan, dfCap)
+    // DISTINCT is load-bearing, not an optimization: a doc duplicated in
+    // two partners yields the IDENTICAL interval twice, and with tied
+    // (s, e) rows the two window passes below (running max, then the
+    // cumulative island id) may order the ties differently — the same
+    // interval can then seed two islands and double-count (observed in
+    // DuckDB run-to-run). Deduping makes (s, e) a total order per doc,
+    // so both passes see one deterministic sequence.
     val ivs = spans.select(col("a_id").as(idCol), col("a_start").as("__s"),
         (col("a_start") + col("span_tokens")).as("__e")) // [s, e)
       .unionAll(spans.select(col("b_id").as(idCol), col("b_start").as("__s"),
         (col("b_start") + col("span_tokens")).as("__e")))
+      .distinct()
     val w = Window.partitionBy(idCol).orderBy(col("__s"), col("__e"))
     val merged = ivs
       .withColumn("__maxe", max(col("__e")).over(
@@ -825,6 +845,45 @@ object Dedup {
       .na.fill(0L, Seq("dup_tokens"))
       .withColumn("dup_ratio",
         round(col("dup_tokens") / greatest(col("n_tokens"), lit(1L)), 6))
+  }
+
+  /** The REMOVAL pass over [[substringSpans]]'s output — what Lee et
+    * al. 2022 actually do to the corpus (cut one copy of every
+    * duplicated span, keep the other): the span stays in the
+    * smaller-id document of each pair and is cut from the larger-id
+    * one, so exactly one copy of every duplicated sequence survives
+    * corpus-wide and the canonical-keeps-smallest rule matches
+    * [[exactGroups]]/[[nearDupGroups]]. Cut intervals are the b-side
+    * spans only, interval-merged per doc (the [[substringCoverage]]
+    * discipline — overlaps never double-cut). Returns every doc:
+    * (idCol, n_tokens, cut_tokens, kept_tokens). A full text rewrite
+    * is this plus one `slice`-splice map over the kept intervals; the
+    * counts are the verifiable core (and what a curation budget
+    * consumes). */
+  def substringTrim(docs: DataFrame, idCol: String = "doc_id",
+                    toksCol: String = "toks", k: Int = 8,
+                    minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringSpans(docs, idCol, toksCol, k, minSpan, dfCap)
+    val ivs = spans.select(col("b_id").as(idCol), col("b_start").as("__s"),
+        (col("b_start") + col("span_tokens")).as("__e"))
+      .distinct() // tied (s, e) rows would split islands — see substringCoverage
+    val w = Window.partitionBy(idCol).orderBy(col("__s"), col("__e"))
+    val cut = ivs
+      .withColumn("__maxe", max(col("__e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(
+        col("__maxe").isNull || col("__s") > col("__maxe"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("__e")) - min(col("__s"))).as("__cut"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cut")).as("cut_tokens"))
+    docs.select(col(idCol), size(col(toksCol)).cast("long").as("n_tokens"))
+      .join(cut, Seq(idCol), "left")
+      .na.fill(0L, Seq("cut_tokens"))
+      .withColumn("kept_tokens", col("n_tokens") - col("cut_tokens"))
   }
 
   /** SimHash LSH keys: 4 × 16-bit bands — two fingerprints within Hamming

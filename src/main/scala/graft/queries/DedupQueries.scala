@@ -453,6 +453,17 @@ object DedupQueries {
       k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
       .orderBy("doc_id")
 
+  /** Span-REMOVAL accounting ([[Dedup.substringTrim]]): the Lee et al.
+    * pass itself — one copy of every duplicated span survives (in the
+    * smaller-id doc), the other is cut; per-doc kept/cut token counts,
+    * overlaps interval-merged so nothing is double-cut. */
+  def substringTrimQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringTrim(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+      k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
+      .orderBy("doc_id")
+
   private val SpanK = 8
   private val SpanMin = 16
   private val SpanDfCap = 16
@@ -484,9 +495,14 @@ object DedupQueries {
       SELECT * FROM spans ORDER BY a_id, b_id, a_start, b_start""")),
     GQuery("dedup_substring_coverage", substringCoverageQ, Some(s"""
       WITH $spanCtes,
-      iv AS (SELECT a_id AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
-             UNION ALL
-             SELECT b_id, b_start, b_start + span_tokens FROM spans),
+      -- DISTINCT is load-bearing: identical (doc, s, e) intervals from
+      -- two partner docs tie under ORDER BY (s, e), and the two window
+      -- passes below may order ties differently — the same interval can
+      -- then seed two islands and double-count (observed run-to-run).
+      iv AS (SELECT DISTINCT doc_id, s, e FROM (
+               SELECT a_id AS doc_id, a_start AS s, a_start + span_tokens AS e FROM spans
+               UNION ALL
+               SELECT b_id, b_start, b_start + span_tokens FROM spans)),
       m AS (SELECT doc_id, s, e,
                    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
@@ -503,6 +519,27 @@ object DedupQueries {
              coalesce(cov.dup_tokens, 0) AS dup_tokens,
              round(coalesce(cov.dup_tokens, 0) / greatest(len(t.tk), 1), 6) AS dup_ratio
       FROM t LEFT JOIN cov USING (doc_id)
+      ORDER BY t.doc_id""")),
+    GQuery("dedup_substring_trim", substringTrimQ, Some(s"""
+      WITH $spanCtes,
+      iv AS (SELECT DISTINCT b_id AS doc_id, b_start AS s,
+                    b_start + span_tokens AS e FROM spans),
+      m AS (SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+            FROM iv),
+      isl AS (SELECT doc_id, s, e,
+                     sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM m),
+      cut AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS cut_tokens FROM
+                (SELECT doc_id, g, max(e) - min(s) AS c FROM isl GROUP BY doc_id, g)
+              GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             coalesce(cut.cut_tokens, 0) AS cut_tokens,
+             CAST(len(t.tk) - coalesce(cut.cut_tokens, 0) AS BIGINT) AS kept_tokens
+      FROM t LEFT JOIN cut USING (doc_id)
       ORDER BY t.doc_id""")),
     GQuery("dedup_latest", latestPerKey, Some("""
       WITH r AS (

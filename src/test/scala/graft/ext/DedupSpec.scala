@@ -247,6 +247,37 @@ class DedupSpec extends SparkSpec {
     rows(3L) shouldBe ((26L, 20L, 0.769231))
   }
 
+  test("substringCoverage: identical interval from two partners counts once (tie-order regression)") {
+    // A's paragraph is duplicated in BOTH B and C at the same offsets →
+    // A receives the IDENTICAL interval twice; tied (s, e) rows must not
+    // seed two islands (the DuckDB run-to-run double-count this guards)
+    val p = (1 to 20).map(i => s"t$i")
+    val docs = tokDf(Seq(
+      1L -> (p ++ (1 to 5).map(i => s"atail$i")),
+      2L -> (p ++ (1 to 6).map(i => s"btail$i")),
+      3L -> (p ++ (1 to 7).map(i => s"ctail$i"))))
+    val rows = Dedup.substringCoverage(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    rows(1L) shouldBe 20L // twice-duplicated, counted once
+    rows(2L) shouldBe 20L
+    rows(3L) shouldBe 20L
+  }
+
+  test("substringTrim: exactly one copy of a 3-way duplicated paragraph survives, in the smallest id") {
+    val p = (1 to 20).map(i => s"t$i")
+    val docs = tokDf(Seq(
+      1L -> (p ++ (1 to 5).map(i => s"atail$i")),
+      2L -> (p ++ (1 to 6).map(i => s"btail$i")),
+      3L -> (p ++ (1 to 7).map(i => s"ctail$i"))))
+    val rows = Dedup.substringTrim(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cut_tokens"),
+          r.getAs[Long]("kept_tokens")))).toMap
+    rows(1L) shouldBe ((25L, 0L, 25L))  // canonical copy survives
+    rows(2L) shouldBe ((26L, 20L, 6L))  // cut once despite two partners
+    rows(3L) shouldBe ((27L, 20L, 7L))
+  }
+
   test("LSH bucket cap drops pathological buckets") {
     // 5 identical docs → every bucket has 5 members; cap 4 → no pairs survive
     val clones = (1L to 5L).map(i => (i, baseText)).toDF("doc_id", "text")
