@@ -451,6 +451,125 @@ object Similarity {
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
 
+  /** Completion marker for the PQ tier, written strictly AFTER both PQ
+    * artifacts (codebooks + codes) — the [[IndexCompleteMarker]]
+    * discipline applied to the tier: a crash between the two writes
+    * must read as "no PQ tier", never as a codebook serving stale
+    * codes. */
+  val PqCompleteMarker = "_GRAFT_PQ_COMPLETE"
+
+  /** Persist the PQ tier BESIDE a built IVF index (the production
+    * composition [[knnIvfPq]] derives in-query): codebooks as plain
+    * parquet (mSub·ks rows) and the per-vector codes HIVE-PARTITIONED
+    * BY the inverted-list id — the ADC scan then inherits exactly the
+    * directory pruning the index's vector lists get, while reading
+    * mSub small ints per vector instead of the vectors. Training cost
+    * is paid once per index lifetime (same [[pqTrain]] deterministic
+    * trajectory, so the tier's content is oracle-checkable
+    * bit-for-bit). Returns the codebooks as re-read from the tier. */
+  def buildPqTier(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                  mSub: Int = 4, subDim: Int = 16, ks: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  listCol: String = "label"): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$PqCompleteMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$IndexCompleteMarker")),
+      s"buildPqTier: no complete IVF index at $indexPath")
+    fs.delete(marker, false)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      .select(col(idCol), col(vecCol), col(listCol))
+    val (cb, codes) = pqTrain(lists, mSub, subDim, ks, idCol, vecCol)
+    cb.write.mode("overwrite").parquet(s"$indexPath/pq_codebooks")
+    codes.join(lists.select(col(idCol), col(listCol)), idCol)
+      .write.mode("overwrite").partitionBy(listCol)
+      .parquet(s"$indexPath/pq_codes")
+    fs.create(marker, true).close()
+    spark.read.parquet(s"$indexPath/pq_codebooks")
+  }
+
+  /** IVF-PQ search against the PERSISTED index + PQ tier — identical
+    * semantics (and oracle) to the in-query [[knnIvfPq]], but query
+    * time pays NO training and NO vector reads until re-rank:
+    *  - routing reads the 2-file centroid parquet (broadcast);
+    *  - the ADC stage scans ONLY the probed lists' code directories
+    *    (the broadcast (probe, list, LUT) frame sits on the build side,
+    *    so dynamic partition pruning skips unselected `pq_codes`
+    *    directories) and touches mSub ints per candidate;
+    *  - the re-rank vector fetch is the same partition-pruned `lists`
+    *    read as [[knnIvfIndexed]], joined to the ≤ k·candMult winners.
+    * At 100 TB this is the serving shape: codes tier in RAM, vector
+    * tier on disk, touched k·candMult rows per probe. */
+  def knnIvfPqIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      probes: DataFrame, k: Int, nprobe: Int = 2,
+                      candMult: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      listCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexPath/$PqCompleteMarker")),
+      s"knnIvfPqIndexed: no complete PQ tier at $indexPath")
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val cb = spark.read.parquet(s"$indexPath/pq_codebooks")
+    val pv = probes.select(col(idCol).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__pv"))
+    val probed = pv
+      .crossJoin(broadcast(cent))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(
+        cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__t"))
+      .select(col("probe_id"), col("__t.id").as(listCol))
+    // tier geometry (mSub, subDim) comes from the persisted codebooks —
+    // one 2-column lookup over the mSub·ks-row table, so a caller can
+    // never probe with a mismatched split
+    val geom = cb.agg(max(col("__m")), max(size(col("__cent")))).head
+    val psub = pqSubvectors(
+      probes.select(col(idCol).as("probe_id"), col(vecCol)),
+      geom.getInt(0) + 1, geom.getInt(1), "probe_id", vecCol)
+    val lut = psub.join(broadcast(cb), "__m")
+      .select(col("probe_id"), col("__m"), col("__code"),
+        aggregate(
+          zip_with(col("__s"), col("__cent"),
+            (a, b) => (a * b).cast(DecimalType(28, 12))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+          (acc, x) => (acc + x).cast(DecimalType(38, 12))).as("__w"))
+    // (probe, probed-list, LUT-entry) — |probes|·nprobe·mSub·ks rows,
+    // broadcast: its list column drives directory pruning of the codes
+    // scan, its (m, code) legs resolve each candidate's ADC terms
+    val probedLut = probed.join(lut, "probe_id")
+    val codes = spark.read.parquet(s"$indexPath/pq_codes")
+    val cand = codes
+      .join(broadcast(probedLut), Seq(listCol, "__m", "__code"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .groupBy(col("probe_id"), col(idCol))
+      .agg(sum(col("__w")).as("__adc"))
+      .groupBy(col("probe_id"))
+      .agg(BoundedTopK.topk(
+        col("__adc").cast("double"), col(idCol), k * candMult).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__n"))
+      .select(col("probe_id"), col("__n.id").as("neighbor_id"))
+    // re-rank fetch: restrict the vector read to the probed lists first
+    // (broadcast list-id join → partition pruning, the knnIvfIndexed
+    // shape), then resolve the ≤ k·candMult winners by id
+    val fetch = spark.read.parquet(s"$indexPath/lists")
+      .select(col(idCol).as("neighbor_id"), col(vecCol), col(listCol))
+      .join(broadcast(probed.select(listCol).distinct()), listCol)
+      .select(col("neighbor_id"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+    cand.join(fetch, "neighbor_id")
+      .join(pv, "probe_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("__v"), col("__pv")).as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(col("cos_sim"), col("neighbor_id"), k).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__n"))
+      .select(col("probe_id"), col("__n.id").as("neighbor_id"),
+        col("__n.score").as("cos_sim"))
+  }
+
   /** IVF search over an UPSERTED index — base lists ∪ live delta
     * generations, original (never retrained) centroids. This is the read
     * side of the LSM maintenance story: a probe sees vectors added by

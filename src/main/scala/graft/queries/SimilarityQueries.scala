@@ -97,6 +97,21 @@ object SimilarityQueries {
   private val PqSubDim = 16
   private val PqKs = 8
 
+  /** IVF-PQ against the PERSISTED index + PQ tier
+    * ([[Similarity.knnIvfPqIndexed]]): builds the tier beside the index
+    * if missing (marker-gated, deterministic content), then probes pay
+    * no training, prune the code directories to the probed lists, and
+    * read vectors only for the re-rank winners. Must serve IDENTICALLY
+    * to [[knnIvfPqQ]] — the shared oracle hash-proves it. */
+  def annIndexPqQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIvfIndex(spark, dir)
+    if (!new java.io.File(s"$path/${Similarity.PqCompleteMarker}").exists())
+      Similarity.buildPqTier(spark, path,
+        mSub = PqM, subDim = PqSubDim, ks = PqKs)
+    finish(Similarity.knnIvfPqIndexed(spark, path, probes(spark, dir), K,
+      nprobe = NProbeLists, candMult = CandMult))
+  }
+
   /** ANN QUALITY EVALUATION (round 10): recall@K of the two approximate
     * searches — IVF list pruning and SRP-LSH bucket pruning — against
     * the exact top-K ground truth, per probe and method. This is the
@@ -1047,20 +1062,10 @@ object SimilarityQueries {
     // subspace split, sorted-limit seeds, one exact-decimal Lloyd round,
     // code assignment, ADC LUT, both rank stages (each ranked on the
     // decimal's double cast with id tie-breaks, mirroring the engine)
-    GQuery("knn_ivf_pq", knnIvfPqQ, Some(s"""
-      WITH $ivfCentroidCtes,
-      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
-      $pqChainCtes
-      SELECT probe_id, neighbor_id, ROUND(cos_sim,6) AS cos_sim FROM (
-        SELECT c.probe_id, c.neighbor_id,
-               list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) AS cos_sim,
-               row_number() OVER (PARTITION BY c.probe_id
-                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) DESC,
-                          c.neighbor_id) AS rk
-        FROM pqcand c JOIN embeddings e ON e.vec_id = c.neighbor_id
-             JOIN embeddings pe ON pe.vec_id = c.probe_id)
-      WHERE rk <= $K
-      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
+    GQuery("knn_ivf_pq", knnIvfPqQ, Some(ivfPqOracle)),
+    // the PERSISTED tier must serve byte-identically to the in-query
+    // derivation — same oracle, the knn_ivf / knn_ivf_indexed pattern
+    GQuery("ann_index_pq", annIndexPqQ, Some(ivfPqOracle)),
     GQuery("ann_recall", annRecall, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""
@@ -1368,6 +1373,27 @@ object SimilarityQueries {
   /** The batch IVF search oracle (in-query build and persisted index
     * give the same answer, so two registry queries share it). */
   private lazy val ivfOracle: String = ivfOracleFor(NProbes)
+
+  /** IVF-PQ oracle: the full deterministic trajectory replayed in SQL —
+    * subspace split, sorted-limit seeds, one exact-decimal Lloyd round,
+    * code assignment, ADC LUT, both rank stages (each ranked on the
+    * decimal's double cast with id tie-breaks). Shared by `knn_ivf_pq`
+    * (in-query) and `ann_index_pq` (persisted tier) — the two must
+    * serve identically. */
+  private lazy val ivfPqOracle: String = s"""
+      WITH $ivfCentroidCtes,
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      $pqChainCtes
+      SELECT probe_id, neighbor_id, ROUND(cos_sim,6) AS cos_sim FROM (
+        SELECT c.probe_id, c.neighbor_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) AS cos_sim,
+               row_number() OVER (PARTITION BY c.probe_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], pe.embedding::DOUBLE[]) DESC,
+                          c.neighbor_id) AS rk
+        FROM pqcand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+             JOIN embeddings pe ON pe.vec_id = c.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
 
   /** Shared CTE chain for every upsert-family oracle: old-split
     * centroids (exact-decimal means over vec_id < UpsertSplit) and the

@@ -177,6 +177,33 @@ class SimilaritySpec extends SparkSpec {
     plan.toLowerCase should not include "posexplode"
   }
 
+  test("knnIvfPqIndexed: persisted PQ tier answers exactly like the in-query build; marker gates") {
+    val rng = new scala.util.Random(17)
+    val dim = 32
+    val bases = Seq.fill(5)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 8
+    } yield (ci * 100L + j, ci, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val corpusDf = corpus.toDF("vec_id", "label", "embedding")
+    val probesDf = corpus.filter(_._1 % 100 == 0)
+      .map(t => (t._1, t._3)).toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    val path = s"target/test_pq_index_${System.nanoTime()}"
+    // probing before the tier exists must refuse, not misread
+    Similarity.buildIvfIndex(corpusDf, path)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnIvfPqIndexed(spark, path, probesDf, k = 5)
+    val cb = Similarity.buildPqTier(spark, path, mSub = 4, subDim = 8, ks = 4)
+    cb.count() shouldBe 16 // mSub × ks codebook rows persisted
+    key(Similarity.knnIvfPqIndexed(spark, path, probesDf, k = 5,
+      nprobe = 2, candMult = 2)) shouldBe
+      key(Similarity.knnIvfPq(corpusDf, probesDf, k = 5, nprobe = 2,
+        mSub = 4, subDim = 8, ks = 4, candMult = 2))
+  }
+
   /** Shared fixture for the upsert-lifecycle tests: 3 planted clusters,
     * 6 base vectors each (ids ci*100+j), plus generators for arrivals
     * near a given cluster. */

@@ -88,6 +88,23 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p) should not be None
   }
 
+  test("ann_index_pq: code scan prunes list partitions dynamically and reads codes, not vectors") {
+    val df = SimilarityQueries.annIndexPqQ(spark, dir)
+    df.collect() // drive AQE to the final plan on this same handle
+    val p = plan(df)
+    // the persisted tier replaces PQ training at query time: no Lloyd
+    // update aggregation (posexplode of subvectors) may appear
+    p should not include "posexplode"
+    // both pruned scans carry probe-derived partition filters: the ADC
+    // stage over pq_codes and the re-rank vector fetch over lists
+    "dynamicpruningexpression".r.findAllIn(p).size should be >= 2
+    // the ADC scan reads the code columns only — candidate scoring must
+    // never touch an embedding
+    "ReadSchema: struct<vec_id:bigint,__m:int,__code:bigint>".r
+      .findFirstIn(p) should not be None
+    p should not include "CartesianProduct"
+  }
+
   test("ann_index_upsert: assignment never rebuilds centroids — parquet read, broadcast, heap argmax") {
     // drive the registered query once so the base index exists, then
     // audit the assignment frame the upsert writes from
