@@ -886,6 +886,66 @@ object Dedup {
       .withColumn("kept_tokens", col("n_tokens") - col("cut_tokens"))
   }
 
+  /** The full corpus REWRITE over [[substringTrim]]'s cut plan: splice
+    * every document's kept token segments back together, dropping the
+    * cut spans — the transform that actually produces the deduplicated
+    * training corpus. The cut intervals (b-side spans, merged per doc)
+    * are collected into one sorted per-doc array (bounded: ≤ tokens/2
+    * disjoint intervals per doc, fixed-width triples), joined back to
+    * the documents, and the splice is ONE codegen'd `aggregate` fold
+    * over the interval array — acc carries (cursor, kept-so-far), each
+    * interval appends the gap segment before it, the finisher appends
+    * the tail. No shuffle beyond the span machinery: the splice itself
+    * is a narrow map over (doc, intervals).
+    *
+    * Returns (idCol, n_tokens, kept_n, kept_md5) — the md5 of the
+    * space-joined kept stream pins the REWRITTEN CONTENT byte-for-byte,
+    * so the oracle hash proves the splice, not just its accounting. */
+  def substringRewrite(docs: DataFrame, idCol: String = "doc_id",
+                       toksCol: String = "toks", k: Int = 8,
+                       minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringSpans(docs, idCol, toksCol, k, minSpan, dfCap)
+    val ivs = spans.select(col("b_id").as(idCol), col("b_start").as("__s"),
+        (col("b_start") + col("span_tokens")).as("__e"))
+      .distinct() // tied (s, e) rows would split islands — see substringCoverage
+    val w = Window.partitionBy(idCol).orderBy(col("__s"), col("__e"))
+    val cuts = ivs
+      .withColumn("__maxe", max(col("__e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(
+        col("__maxe").isNull || col("__s") > col("__maxe"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("__cs"), max(col("__e")).as("__ce"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__cs"), col("__ce")))).as("__cuts"))
+    val spliced = docs.select(col(idCol), col(toksCol))
+      .join(cuts, Seq(idCol), "left")
+      .withColumn("__cuts", coalesce(col("__cuts"),
+        array().cast("array<struct<__cs:bigint,__ce:bigint>>")))
+      .withColumn("__kept", {
+        val toks = col(toksCol)
+        val fold = aggregate(
+          col("__cuts"),
+          struct(lit(0L).as("pos"), array().cast("array<string>").as("acc")),
+          (st, c) => struct(
+            c.getField("__ce").as("pos"),
+            concat(st.getField("acc"),
+              slice(toks, (st.getField("pos") + 1).cast("int"),
+                (c.getField("__cs") - st.getField("pos")).cast("int"))).as("acc")),
+          st => concat(st.getField("acc"),
+            slice(toks, (st.getField("pos") + 1).cast("int"),
+              (size(toks) - st.getField("pos")).cast("int"))))
+        fold
+      })
+      .select(col(idCol), size(col(toksCol)).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("kept_n"),
+        md5(concat_ws(" ", col("__kept")).cast("binary")).as("kept_md5"))
+    spliced
+  }
+
   /** SimHash LSH keys: 4 × 16-bit bands — two fingerprints within Hamming
     * distance 3 share at least one band (pigeonhole), so near-dup lookup
     * is again an equi-join on (band, key), never all-pairs. */

@@ -464,6 +464,17 @@ object DedupQueries {
       k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
       .orderBy("doc_id")
 
+  /** The corpus REWRITE itself ([[Dedup.substringRewrite]]): splice each
+    * doc's kept segments around the cut spans and pin the REWRITTEN
+    * token stream byte-for-byte via md5 — the oracle hash proves the
+    * splice, not just its accounting. */
+  def substringRewriteQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringRewrite(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+      k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
+      .orderBy("doc_id")
+
   private val SpanK = 8
   private val SpanMin = 16
   private val SpanDfCap = 16
@@ -540,6 +551,38 @@ object DedupQueries {
              coalesce(cut.cut_tokens, 0) AS cut_tokens,
              CAST(len(t.tk) - coalesce(cut.cut_tokens, 0) AS BIGINT) AS kept_tokens
       FROM t LEFT JOIN cut USING (doc_id)
+      ORDER BY t.doc_id""")),
+    GQuery("dedup_substring_rewrite", substringRewriteQ, Some(s"""
+      WITH $spanCtes,
+      iv AS (SELECT DISTINCT b_id AS doc_id, b_start AS s,
+                    b_start + span_tokens AS e FROM spans),
+      m AS (SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+            FROM iv),
+      isl AS (SELECT doc_id, s, e,
+                     sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+              FROM m),
+      cut AS (SELECT doc_id, g, min(s) AS cs, max(e) AS ce FROM isl GROUP BY doc_id, g),
+      lastc AS (SELECT doc_id, max(ce) AS mce FROM cut GROUP BY 1),
+      seg AS (
+        SELECT doc_id, coalesce(lag(ce) OVER (PARTITION BY doc_id ORDER BY cs), 0) AS ks,
+               cs AS ke
+        FROM cut
+        UNION ALL
+        SELECT t.doc_id, coalesce(l.mce, 0) AS ks, len(t.tk) AS ke
+        FROM t LEFT JOIN lastc l USING (doc_id)),
+      kept AS (SELECT s.doc_id,
+                      flatten(list(t.tk[s.ks + 1:s.ke] ORDER BY s.ks)) AS kt
+               FROM seg s JOIN t USING (doc_id) GROUP BY 1)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             CAST(len(k.kt) AS BIGINT) AS kept_n,
+             -- coalesce: DuckDB's array_to_string of an EMPTY list is
+             -- NULL, not '' — a fully-cut doc must still pin md5('')
+             md5(coalesce(array_to_string(k.kt, ' '), '')) AS kept_md5
+      FROM t JOIN kept k USING (doc_id)
       ORDER BY t.doc_id""")),
     GQuery("dedup_latest", latestPerKey, Some("""
       WITH r AS (

@@ -278,6 +278,28 @@ class DedupSpec extends SparkSpec {
     rows(3L) shouldBe ((27L, 20L, 7L))
   }
 
+  test("substringRewrite: spliced token stream is exactly the doc minus its cut spans") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val p = (1 to 16).map(i => s"sh$i")
+    val aToks = (1 to 3).map(i => s"apre$i") ++ p ++ (1 to 2).map(i => s"asuf$i")
+    val bToks = p ++ (1 to 4).map(i => s"btail$i")
+    val rows = Dedup.substringRewrite(tokDf(Seq(1L -> aToks, 2L -> bToks)))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_n"), r.getAs[String]("kept_md5")))).toMap
+    // smaller id keeps everything, larger id keeps only its tail — and
+    // the md5 pins the spliced CONTENT, not just the count
+    rows(1L) shouldBe ((21L, md5hex(aToks.mkString(" "))))
+    rows(2L) shouldBe ((4L, md5hex((1 to 4).map(i => s"btail$i").mkString(" "))))
+    // fully-cut doc: empty stream, md5("")
+    val full = Dedup.substringRewrite(tokDf(Seq(1L -> p, 2L -> p))).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_n"), r.getAs[String]("kept_md5")))).toMap
+    full(2L) shouldBe ((0L, md5hex("")))
+  }
+
   test("LSH bucket cap drops pathological buckets") {
     // 5 identical docs → every bucket has 5 members; cap 4 → no pairs survive
     val clones = (1L to 5L).map(i => (i, baseText)).toDF("doc_id", "text")
