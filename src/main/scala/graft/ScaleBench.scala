@@ -392,6 +392,23 @@ object ScaleBench {
       println(f"""{"metric":"scale","op":"ivf_compact","scale":$k,"vecs":$nv,"sec":$compactSec%.3f}""")
       val pc = timeOpFull(probe())
       println(f"""{"metric":"scale","op":"ivf_probe_compacted","scale":$k,"gens":0,"delta_pct":0.0,"sec":$pc%.3f}""")
+
+      // PQ tier over the compacted index (round 11): tier build cost
+      // (per-subspace Lloyd + codes write — paid once per index
+      // lifetime, must stay ~linear in vectors) and the ADC probe,
+      // whose candidate stage reads mSub ints/vector instead of the
+      // vectors. At fixture vector counts the probe floors on per-job
+      // latency, so the comparable number is the SERIES staying flat
+      // while the corpus grows 30×, like ivf_probe above. Production
+      // geometry (mSub=16/ks=256 → 16 bytes/vector) needs dim ≥ 256;
+      // the fixture's dim=64 uses the registry geometry (4×16, ks=8).
+      val tq0 = System.nanoTime()
+      graft.ext.Similarity.buildPqTier(spark, ixPath)
+      val pqBuildSec = (System.nanoTime() - tq0) / 1e9
+      println(f"""{"metric":"scale","op":"pq_tier_build","scale":$k,"vecs":$nv,"sec":$pqBuildSec%.3f}""")
+      val pq = timeOpFull(graft.ext.Similarity.knnIvfPqIndexed(
+        spark, ixPath, probes, k = 10, nprobe = 2))
+      println(f"""{"metric":"scale","op":"pq_probe","scale":$k,"vecs":$nv,"sec":$pq%.3f}""")
     }
   }
 }
