@@ -120,6 +120,53 @@ object ExtProperties extends Properties("graft.ext") {
       got == unionFind(edges)
     }
 
+  /** Multi-doc corpus with a tiny vocabulary so k=3 grams genuinely
+    * collide across documents — the regime substring spans exist for. */
+  private val corpusGen: Gen[List[(Long, List[String])]] =
+    Gen.chooseNum(2, 4).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(6, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))
+        .map(_.zipWithIndex.map { case (ts, i) => (i.toLong, ts) })
+    }
+
+  property("substringSpans: every reported span is a real equal subsequence, maximal on its diagonal") =
+    forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "toks")
+      // dfCap effectively off: maximality must hold without cap holes
+      val spans = Dedup.substringSpans(df, k = 3, minSpan = 4, dfCap = 1000000L)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      val byId = corpus.toMap
+      spans.forall { case (aId, bId, aS, bS, len) =>
+        val (a, b) = (byId(aId), byId(bId))
+        val equal = a.slice(aS.toInt, (aS + len).toInt) ==
+          b.slice(bS.toInt, (bS + len).toInt)
+        // maximal: one more token on either end must break equality or
+        // run off a document boundary
+        val leftMax = aS == 0 || bS == 0 ||
+          a(aS.toInt - 1) != b(bS.toInt - 1)
+        val rightMax = aS + len >= a.size || bS + len >= b.size ||
+          a((aS + len).toInt) != b((bS + len).toInt)
+        equal && len >= 4 && leftMax && rightMax
+      }
+    }
+
+  property("substring accounting: 0 ≤ coverage ≤ n; trim cut+kept = n; cut ≤ coverage") =
+    forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "toks")
+      val cov = Dedup.substringCoverage(df, k = 3, minSpan = 4, dfCap = 1000000L)
+        .select("doc_id", "n_tokens", "dup_tokens")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val trim = Dedup.substringTrim(df, k = 3, minSpan = 4, dfCap = 1000000L)
+        .select("doc_id", "n_tokens", "cut_tokens", "kept_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      trim.forall { case (id, n, cut, kept) =>
+        val (cn, dup) = cov(id)
+        cn == n && cut + kept == n &&
+          dup >= 0 && dup <= n && cut >= 0 && cut <= dup
+      }
+    }
+
   property("minhash signature: identical token arrays sign identically; length fixed") =
     forAll(tokensGen) { toks =>
       val df = Seq(toks.mkString(" "), toks.mkString(" ")).toDF("text")
