@@ -41,11 +41,12 @@ import graft.core.Tables
   * ~2000-char TAIL of stdout, so the LAST line is a compact summary —
   * engine total (`value`, sum of medians) + least-contended floor
   * (`value_best`, sum of per-query best reps — round-7 verdict #3) +
-  * contention-excluded headline (`value_quiet`, sum of per-query
-  * medians over reps at-or-under the load gate, best-rep fallback —
-  * round-10 verdict #4: the cross-round comparator is now IN the JSON,
-  * not PERF_NOTES prose) + per-family median sums at 2 dp + loadavg
-  * range — kept well under ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
+  * launch-loadavg-verified headline (`value_quiet` — round-10 verdict
+  * #4: equals `value` when the launch ambient was quiet (< 1.5), else
+  * the per-rep gate-filtered estimate; `quiet_launch` says which. The
+  * cross-round comparator is now IN the JSON, not PERF_NOTES prose) +
+  * per-family median sums at 2 dp + loadavg range — kept well under
+  * ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
   * times, per-rep load samples, and per-pass run order go to
   * `BENCH_DETAIL.json` in the working directory (path echoed earlier).
   */
@@ -170,21 +171,26 @@ object Bench {
       }.filter(_._2.nonEmpty)
     val nContendedReps = contended.map(_._2.size).sum
     // value_quiet (round-10 verdict #4): the headline number must be
-    // defensible from the JSON alone. Per query: the median over reps
-    // whose pre-exec loadavg sat at or under the gate (external
-    // contention excluded), falling back to the query's best rep when
-    // every rep was contended (best ≈ the committed floor under load —
-    // the round-7 value_best argument). On a quiet box value_quiet ≈
-    // value; under ambient load value stays the honest all-reps median
-    // while value_quiet carries the comparable cross-round number that
-    // previously lived only in PERF_NOTES prose.
+    // defensible from the JSON alone, in exactly the verdict's terms —
+    // "the launch-loadavg-verified median". The LAUNCH ambient is the
+    // only uncontaminated external-contention signal (every in-run
+    // sample carries the bench's own 32-thread self-load — a first
+    // attempt that filtered PER REP on the in-run gate selected the
+    // cold first-pass reps on an idle box and REPORTED ABOVE the
+    // all-reps median). So: on a quiet launch (ambient < 1.5, the
+    // round-8/10 manual re-run bar) the whole run is the quiet run and
+    // value_quiet == value; on a contended launch the per-rep filter is
+    // the best available estimate — medians over reps at/under the
+    // gate, best-rep fallback when every rep was contended.
     def quietMedian(okTimes: Seq[Double], l: Seq[Double], i: Int): Double = {
       val quiet = (0 until reps)
         .collect { case r if !failedRep(i)(r) && l(r) <= loadGate => times(i)(r) }
       if (quiet.nonEmpty) median(quiet) else okTimes.min
     }
-    val engineQuiet = engineResults
-      .map { case (_, okT, l, i) => quietMedian(okT, l, i) }.sum
+    val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
+    val engineQuiet =
+      if (quietAmbient) engineTotal
+      else engineResults.map { case (_, okT, l, i) => quietMedian(okT, l, i) }.sum
 
     val detail = {
       val qs = results.map { case (k, t, _, _) => s"\"$k\":${fmt(median(t))}" }
@@ -210,7 +216,7 @@ object Bench {
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":${fmt(engineQuiet)},"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":${fmt(engineQuiet)},"quiet_launch":$quietAmbient,"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
@@ -236,7 +242,7 @@ object Bench {
     // n_queries counts ENGINE queries only, matching what `value` sums
     // (round-7 advisor: value/n_queries must reconcile); the pins are
     // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":${fmt2(engineQuiet)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"load_gate":${fmt2(loadGate)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":${fmt2(engineQuiet)},"quiet_launch":$quietAmbient,"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"load_gate":${fmt2(loadGate)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
