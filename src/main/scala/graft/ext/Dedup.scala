@@ -785,20 +785,62 @@ object Dedup {
   def substringGramPairs(docs: DataFrame, idCol: String = "doc_id",
                          toksCol: String = "toks", k: Int = 8,
                          dfCap: Long = 16L): DataFrame = {
+    val capped = cappedGramTable(docs, idCol, toksCol, k, dfCap)
+    val a = capped.select(col("__key"), col(idCol).as("a_id"), col("__pos").as("a_pos"))
+    val b = capped.select(col("__key"), col(idCol).as("b_id"), col("__pos").as("b_pos"))
+    a.join(b, "__key")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("__diag", col("a_pos") - col("b_pos"))
+  }
+
+  /** (id, __pos, __key) gram table with the corpus-wide occurrence cap
+    * applied — stages 1–2 of the substring-span machinery, shared by
+    * the cross-doc and within-doc pair builders. */
+  private def cappedGramTable(docs: DataFrame, idCol: String,
+                              toksCol: String, k: Int, dfCap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = rebalance(docs.select(col(idCol), col(toksCol)), idCol)
       .select(col(idCol),
         posexplode(Text.ngrams(col(toksCol), k)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos").cast("long").as("__pos"),
         md5(col("__g").cast("binary")).as("__key"))
-    val capped = grams
+    grams
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__key")))
       .filter(col("__n") <= dfCap)
-    val a = capped.select(col("__key"), col(idCol).as("a_id"), col("__pos").as("a_pos"))
-    val b = capped.select(col("__key"), col(idCol).as("b_id"), col("__pos").as("b_pos"))
-    a.join(b, "__key")
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("__diag", col("a_pos") - col("b_pos"))
+  }
+
+  /** WITHIN-DOC repeated spans — the self-similarity member of the
+    * substring family (Lee et al. dedup self-repeats too; [[Text]]'s
+    * `text_repetition` counts repeated tokens/bigrams, this finds the
+    * maximal repeated SPANS and their period). Same machinery as
+    * [[substringSpans]] with the pair predicate flipped to same-doc,
+    * later-position: a maximal run of consecutive positions p whose
+    * k-gram equals the k-gram at p+d is exactly a repeated span of
+    * period d. Returns (idCol, a_start, b_start, period, span_tokens)
+    * with a_start < b_start = a_start + period; overlapping
+    * occurrences of periodic text (period < span length) are one span
+    * per period by construction. */
+  def substringSelfSpans(docs: DataFrame, idCol: String = "doc_id",
+                         toksCol: String = "toks", k: Int = 8,
+                         minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = cappedGramTable(docs, idCol, toksCol, k, dfCap)
+    val a = capped.select(col("__key"), col(idCol), col("__pos").as("a_pos"))
+    val b = capped.select(col("__key"), col(idCol).as("__bid"), col("__pos").as("b_pos"))
+    val pairs = a.join(b, "__key")
+      .filter(col(idCol) === col("__bid") && col("a_pos") < col("b_pos"))
+      .withColumn("__diag", col("b_pos") - col("a_pos"))
+    val w = Window.partitionBy(col(idCol), col("__diag")).orderBy("a_pos")
+    pairs
+      .withColumn("__isl", col("a_pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__diag"), col("__isl"))
+      .agg(
+        min(col("a_pos")).as("a_start"),
+        min(col("b_pos")).as("b_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col(idCol), col("a_start"), col("b_start"),
+        col("__diag").as("period"), col("span_tokens"))
   }
 
   /** Per-document duplicated-token coverage from [[substringSpans]]'s

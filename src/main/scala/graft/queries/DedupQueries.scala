@@ -475,6 +475,23 @@ object DedupQueries {
       k = SpanK, minSpan = SpanMin, dfCap = SpanDfCap)
       .orderBy("doc_id")
 
+  /** WITHIN-doc repeated spans ([[Dedup.substringSelfSpans]]): the
+    * self-similarity member of the family, at finer granularity
+    * (k = [[SelfSpanK]], minSpan = [[SelfSpanMin]]) because the corpus
+    * plants cross-doc duplication, not periodic text — only 2 genuine
+    * self-repeats exist at sf0.01 and the oracle must find exactly
+    * those; the operator's semantics are additionally gated by
+    * DedupSpec's planted periodic document. */
+  def substringSelfQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSelfSpans(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks")),
+      k = SelfSpanK, minSpan = SelfSpanMin, dfCap = SpanDfCap)
+      .orderBy("doc_id", "a_start", "b_start")
+
+  private val SelfSpanK = 3
+  private val SelfSpanMin = 4
+
   private val SpanK = 8
   private val SpanMin = 16
   private val SpanDfCap = 16
@@ -531,6 +548,26 @@ object DedupQueries {
              round(coalesce(cov.dup_tokens, 0) / greatest(len(t.tk), 1), 6) AS dup_ratio
       FROM t LEFT JOIN cov USING (doc_id)
       ORDER BY t.doc_id""")),
+    GQuery("dedup_substring_self", substringSelfQ, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+      g0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                    md5(array_to_string(list_slice(tk, i + 1, i + $SelfSpanK), ' ')) AS key
+             FROM t, UNNEST(range(CAST(greatest(len(tk) - ${SelfSpanK - 1}, 0) AS INT))) AS u(i)),
+      g AS (SELECT * FROM (SELECT g0.*, count(*) OVER (PARTITION BY key) AS n FROM g0)
+            WHERE n <= $SpanDfCap),
+      p AS (SELECT a.doc_id, a.pos AS a_pos, b.pos AS b_pos
+            FROM g a JOIN g b ON a.key = b.key AND a.doc_id = b.doc_id AND a.pos < b.pos),
+      r AS (SELECT *, b_pos - a_pos AS diag,
+                   a_pos - row_number() OVER (PARTITION BY doc_id, b_pos - a_pos
+                                              ORDER BY a_pos) AS isl
+            FROM p)
+      SELECT doc_id, CAST(min(a_pos) AS BIGINT) AS a_start,
+             CAST(min(b_pos) AS BIGINT) AS b_start,
+             CAST(diag AS BIGINT) AS period,
+             CAST(count(*) + ${SelfSpanK - 1} AS BIGINT) AS span_tokens
+      FROM r GROUP BY doc_id, diag, isl
+      HAVING count(*) + ${SelfSpanK - 1} >= $SelfSpanMin
+      ORDER BY doc_id, a_start, b_start""")),
     GQuery("dedup_substring_trim", substringTrimQ, Some(s"""
       WITH $spanCtes,
       iv AS (SELECT DISTINCT b_id AS doc_id, b_start AS s,

@@ -300,6 +300,25 @@ class DedupSpec extends SparkSpec {
     full(2L) shouldBe ((0L, md5hex("")))
   }
 
+  test("substringSelfSpans: planted periodic text found with its period; clean text yields nothing") {
+    // doc 1: "p1..p6" repeated twice with distinct filler around it —
+    // one self-repeat of period 8 (6 shared + 2 filler) is NOT planted;
+    // keep it simple: P then X then P again → period = |P| + |X|
+    val p = (1 to 6).map(i => s"p$i")
+    val doc1 = (1 to 2).map(i => s"pre$i") ++ p ++ Seq("mid1", "mid2") ++ p ++ Seq("end1")
+    val doc2 = (1 to 20).map(i => s"u$i") // all-unique: no self-repeats
+    val spans = Dedup.substringSelfSpans(
+      tokDf(Seq(1L -> doc1, 2L -> doc2)), k = 3, minSpan = 4)
+      .collect()
+    spans should have length 1
+    val s = spans.head
+    s.getAs[Long]("doc_id") shouldBe 1L
+    s.getAs[Long]("a_start") shouldBe 2L          // first P occurrence
+    s.getAs[Long]("b_start") shouldBe 10L         // second P occurrence
+    s.getAs[Long]("period") shouldBe 8L           // |P| + |mid|
+    s.getAs[Long]("span_tokens") shouldBe 6L      // the repeated paragraph
+  }
+
   test("LSH bucket cap drops pathological buckets") {
     // 5 identical docs → every bucket has 5 members; cap 4 → no pairs survive
     val clones = (1L to 5L).map(i => (i, baseText)).toDF("doc_id", "text")

@@ -297,7 +297,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_substring_spans: gram-key equi-join, no all-pairs, text never shuffles") {
-    val p = plan(DedupQueries.substringSpansQ(spark, dir))
+    val df = DedupQueries.substringSpansQ(spark, dir)
+    df.collect() // drive AQE to the final plan on this same handle
+    val p = plan(df)
+    // the capped gram table feeds BOTH sides of the self-join from ONE
+    // planned exchange — without runtime stage reuse the scan→tokenize→
+    // md5→window pipeline would execute twice
+    p.toLowerCase should include("reused")
     // the pair stage must be an equi-join on the fixed-width md5 key —
     // a cartesian/nested-loop over the gram table is the n² failure mode
     // this operator is designed to avoid
