@@ -451,6 +451,86 @@ object Similarity {
     corpus.sparkSession.read.parquet(s"$indexPath/centroids")
   }
 
+  /** DISTRIBUTED kNN-GRAPH CONSTRUCTION (NN-Descent — Dong, Moses &
+    * Li 2011, "Efficient K-Nearest Neighbor Graph Construction for
+    * Generic Similarity Measures"): the all-corpus primitive the probe
+    * searches above do NOT cover — SemDedup, embedding clustering, and
+    * graph-ANN serving all start from "every vector's k nearest", and
+    * the brute-force graph is n² at corpus scale. NN-Descent converges
+    * by the neighbor-of-a-neighbor observation: candidates for my top-k
+    * are overwhelmingly my current neighbors' neighbors, so each round
+    * is a self-join of the bounded edge list, never a corpus cross
+    * product — per round ≤ (2k)² candidates per node.
+    *
+    * Kept bit-deterministic for the oracle (the published algorithm
+    * samples; this variant replaces every random choice):
+    *  - init = SRP-bucket top-k (the [[knnLsh]] geometry, corpus side
+    *    vs corpus side) ∪ each node's 2 id-successors (the ring
+    *    guarantees isolated-bucket nodes still enter the graph);
+    *  - each round symmetrizes the graph (u = g ∪ reverse(g)), adds
+    *    all two-hop pairs over u, distincts, drops self-loops, scores
+    *    with exact double cosine, and keeps top-k per node through
+    *    [[BoundedTopK]] (ties → smaller id) — no sampling, fixed
+    *    `rounds`, so both engines walk the identical trajectory.
+    *
+    * Scale shape per round: edge lists are (id, id) pairs — n·k rows,
+    * fixed width; the two-hop self-join shuffles on the join id; the
+    * scoring join shuffles candidates to vectors twice (src, dst).
+    * Nothing grows with document/vector width except the one scoring
+    * stage, and candidate volume is bounded by the graph's own degree,
+    * not the corpus. Returns (idCol, neighbor_id, cos_sim) — the
+    * directed kNN graph after `rounds` refinement rounds. */
+  def knnGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
+               nPlanes: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = srpPlanes(nPlanes, dim)
+    val v = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val bkt = v.withColumn("__b", srpBucket(col("__v"), planes))
+    val bucketInit = bkt.select(col("__id").as("src"), col("__v").as("__sv"), col("__b"))
+      .join(bkt.select(col("__id").as("dst"), col("__v").as("__dv"), col("__b")), "__b")
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src")
+      .agg(BoundedTopK.topk(cosine(col("__sv"), col("__dv")), col("dst"), k).as("__nn"))
+      .select(col("src"), explode(col("__nn").getField("id")).as("dst"))
+    // arithmetic successors semi-joined against the live id set, NOT a
+    // lead() over a global ORDER BY — an unpartitioned window is a
+    // single-task bottleneck at corpus scale, and the ring only needs
+    // SOME deterministic extra edges (sparse id spaces just yield fewer)
+    val ids = v.select(col("__id"))
+    val ring = ids
+      .select(col("__id").as("src"),
+        explode(array(col("__id") + 1, col("__id") + 2)).as("dst"))
+      .join(ids.select(col("__id").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+    var g = bucketInit.unionByName(ring).distinct()
+    for (_ <- 1 to rounds) {
+      val u = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      // lineage truncation per round: u is referenced twice below and g
+      // references the prior round — the CC discipline (analysis cost
+      // grows multiplicatively otherwise); edge lists are n·2k rows
+      val uc = u.localCheckpoint(true)
+      val twoHop = uc.select(col("src"), col("dst").as("__mid"))
+        .join(uc.select(col("src").as("__mid"), col("dst")), "__mid")
+        .select(col("src"), col("dst"))
+      val cand = uc.select("src", "dst").unionByName(twoHop)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      g = cand
+        .join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
+        .join(v.select(col("__id").as("dst"), col("__v").as("__dv")), "dst")
+        .groupBy("src")
+        .agg(BoundedTopK.topk(cosine(col("__sv"), col("__dv")), col("dst"), k).as("__nn"))
+        .select(col("src"), explode(col("__nn").getField("id")).as("dst"))
+    }
+    g.join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
+      .join(v.select(col("__id").as("dst"), col("__v").as("__dv")), "dst")
+      .select(col("src").as(idCol), col("dst").as("neighbor_id"),
+        cosine(col("__sv"), col("__dv")).as("cos_sim"))
+  }
+
   /** Completion marker for the PQ tier, written strictly AFTER both PQ
     * artifacts (codebooks + codes) — the [[IndexCompleteMarker]]
     * discipline applied to the tier: a crash between the two writes

@@ -112,6 +112,23 @@ object SimilarityQueries {
       nprobe = NProbeLists, candMult = CandMult))
   }
 
+  /** Distributed kNN-GRAPH construction ([[Similarity.knnGraph]] —
+    * deterministic NN-Descent): every vector's top-[[GraphK]] after
+    * [[GraphRounds]] neighbor-of-neighbor refinement rounds over a
+    * bucket+ring init. The all-corpus primitive behind SemDedup-style
+    * pipelines, priced per EDGE, never per corpus². Fully hash-checked:
+    * the oracle replays init and both rounds (literal hyperplanes,
+    * exact double cosine, id tie-breaks at every rank). */
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(spark, dir), k = GraphK,
+      rounds = GraphRounds)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+
+  private val GraphK = 10
+  private val GraphRounds = 2
+
   /** ANN QUALITY EVALUATION (round 10): recall@K of the two approximate
     * searches — IVF list pruning and SRP-LSH bucket pruning — against
     * the exact top-K ground truth, per probe and method. This is the
@@ -1066,6 +1083,52 @@ object SimilarityQueries {
     // the PERSISTED tier must serve byte-identically to the in-query
     // derivation — same oracle, the knn_ivf / knn_ivf_indexed pattern
     GQuery("ann_index_pq", annIndexPqQ, Some(ivfPqOracle)),
+    // deterministic NN-Descent kNN graph: the oracle replays the
+    // bucket+ring init and both refinement rounds step for step
+    GQuery("ann_knn_graph", knnGraphQ, Some {
+      val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+      def round(gIn: String, uName: String, cName: String, gName: String) = s"""
+      $uName AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM $gIn UNION ALL SELECT dst, src FROM $gIn)),
+      $cName AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM $uName
+          UNION ALL
+          SELECT a.src, b.dst FROM $uName a JOIN $uName b ON a.dst = b.src)
+        WHERE src <> dst),
+      $gName AS (SELECT src, dst FROM (
+          SELECT c.src, c.dst,
+                 row_number() OVER (PARTITION BY c.src
+                   ORDER BY list_cosine_similarity(vs.e, vd.e) DESC, c.dst) AS rk
+          FROM $cName c JOIN vv vs ON vs.vec_id = c.src
+               JOIN vv vd ON vd.vec_id = c.dst)
+        WHERE rk <= $GraphK)"""
+      s"""
+      WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      bkt AS (SELECT vec_id, embedding,
+                     ${duckBucket("embedding", planes)} AS bucket
+              FROM embeddings),
+      binit AS (SELECT src, dst FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rk
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        WHERE rk <= $GraphK),
+      ring AS (SELECT s.vec_id AS src, s.vec_id + o.o AS dst
+               FROM embeddings s, (SELECT unnest([1, 2]) AS o) o
+               WHERE EXISTS (SELECT 1 FROM embeddings d
+                             WHERE d.vec_id = s.vec_id + o.o)),
+      g0 AS (SELECT DISTINCT src, dst FROM
+               (SELECT * FROM binit UNION ALL SELECT * FROM ring)),
+      ${round("g0", "u1", "c1", "g1")},
+      ${round("g1", "u2", "c2", "g2")}
+      SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
+             ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim
+      FROM g2 JOIN vv vs ON vs.vec_id = g2.src
+           JOIN vv vd ON vd.vec_id = g2.dst
+      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
+    }),
     GQuery("ann_recall", annRecall, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""

@@ -204,6 +204,32 @@ class SimilaritySpec extends SparkSpec {
         mSub = 4, subDim = 8, ks = 4, candMult = 2))
   }
 
+  test("knnGraph: NN-Descent recovers the exact kNN graph on planted clusters; deterministic; rounds improve recall") {
+    val rng = new scala.util.Random(23)
+    val dim = 32
+    val bases = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat * 2f))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 100L + j, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val df = corpus.toDF("vec_id", "embedding")
+    def edges(g: org.apache.spark.sql.DataFrame) =
+      g.select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // exact graph: per-node top-5 by cosine (window-ranked)
+    val exact = edges(Similarity.knnExact(df, df, 5)
+      .select(col("probe_id").as("vec_id"), col("neighbor_id")))
+    val g2 = edges(Similarity.knnGraph(df, k = 5, rounds = 2))
+    // in-cluster geometry: two refinement rounds must essentially
+    // recover the exact graph (every true neighbor is reachable within
+    // two neighbor-of-neighbor hops of the bucket/ring init)
+    (exact & g2).size.toDouble / exact.size should be >= 0.9
+    // more rounds never hurt: round-2 recall dominates round-1's
+    val g1 = edges(Similarity.knnGraph(df, k = 5, rounds = 1))
+    (exact & g2).size should be >= (exact & g1).size
+    // bit-deterministic re-run
+    edges(Similarity.knnGraph(df, k = 5, rounds = 2)) shouldBe g2
+  }
+
   /** Shared fixture for the upsert-lifecycle tests: 3 planted clusters,
     * 6 base vectors each (ids ci*100+j), plus generators for arrivals
     * near a given cluster. */
