@@ -531,6 +531,34 @@ object Similarity {
         cosine(col("__sv"), col("__dv")).as("cos_sim"))
   }
 
+  /** GRAPH-BASED SemDedup — [[semDedup]]'s scale-path twin built on
+    * [[knnGraph]]: a vector is dropped iff a kNN-graph NEIGHBOR with a
+    * smaller id sits at rounded cosine ≥ `threshold`. The cell-based
+    * form pays within-cluster ALL-PAIRS (quadratic in the hottest
+    * cell — its own COVERAGE caveat); here the candidate set is the
+    * graph's bounded out-degree, k per node regardless of how the
+    * corpus clusters, and a true near-duplicate is its victim's top
+    * neighbor by construction, exactly the edge NN-Descent converges
+    * to first. Returns (idCol, dropped, n_close, max_sim). */
+  def semDedupGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
+                    threshold: Double = 0.95,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraph(corpus, k, rounds, idCol = idCol, vecCol = vecCol)
+    val close = g
+      .filter(col("neighbor_id") < col(idCol))
+      .withColumn("__cs", round(col("cos_sim"), 6))
+      .filter(col("__cs") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_close"), max(col("__cs")).as("max_sim"))
+    corpus.select(col(idCol))
+      .join(close, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("n_close").isNull, 0).otherwise(1).as("dropped"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+  }
+
   /** Completion marker for the PQ tier, written strictly AFTER both PQ
     * artifacts (codebooks + codes) — the [[IndexCompleteMarker]]
     * discipline applied to the tier: a crash between the two writes

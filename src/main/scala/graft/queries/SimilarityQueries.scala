@@ -129,6 +129,59 @@ object SimilarityQueries {
   private val GraphK = 10
   private val GraphRounds = 2
 
+  /** Graph-based SemDedup ([[Similarity.semDedupGraph]]): the
+    * cell-based `emb_semdedup`'s scale twin — candidates are the kNN
+    * graph's bounded out-degree instead of within-cluster all-pairs.
+    * Same τ as the cell form, same output shape minus the cluster
+    * column. */
+  def semDedupGraphQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupGraph(Tables.embeddings(spark, dir),
+      k = GraphK, rounds = GraphRounds, threshold = SemDedupTau)
+      .orderBy("vec_id")
+
+  /** Shared SQL replay of [[Similarity.knnGraph]]'s deterministic
+    * trajectory (bucket+ring init, two symmetrize→two-hop→re-rank
+    * rounds), ending at CTE `g2` with `vv` (double vectors) in scope —
+    * reused by `ann_knn_graph` and `emb_semdedup_graph`. */
+  private lazy val knnGraphCtes: String = {
+    val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+    def round(gIn: String, uName: String, cName: String, gName: String) = s"""
+      $uName AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM $gIn UNION ALL SELECT dst, src FROM $gIn)),
+      $cName AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM $uName
+          UNION ALL
+          SELECT a.src, b.dst FROM $uName a JOIN $uName b ON a.dst = b.src)
+        WHERE src <> dst),
+      $gName AS (SELECT src, dst FROM (
+          SELECT c.src, c.dst,
+                 row_number() OVER (PARTITION BY c.src
+                   ORDER BY list_cosine_similarity(vs.e, vd.e) DESC, c.dst) AS rk
+          FROM $cName c JOIN vv vs ON vs.vec_id = c.src
+               JOIN vv vd ON vd.vec_id = c.dst)
+        WHERE rk <= $GraphK)"""
+    s"""vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      bkt AS (SELECT vec_id, embedding,
+                     ${duckBucket("embedding", planes)} AS bucket
+              FROM embeddings),
+      binit AS (SELECT src, dst FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]) DESC,
+                            b.vec_id) AS rk
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        WHERE rk <= $GraphK),
+      ring AS (SELECT s.vec_id AS src, s.vec_id + o.o AS dst
+               FROM embeddings s, (SELECT unnest([1, 2]) AS o) o
+               WHERE EXISTS (SELECT 1 FROM embeddings d
+                             WHERE d.vec_id = s.vec_id + o.o)),
+      g0 AS (SELECT DISTINCT src, dst FROM
+               (SELECT * FROM binit UNION ALL SELECT * FROM ring)),
+      ${round("g0", "u1", "c1", "g1")},
+      ${round("g1", "u2", "c2", "g2")}"""
+  }
+
   /** ANN QUALITY EVALUATION (round 10): recall@K of the two approximate
     * searches — IVF list pruning and SRP-LSH bucket pruning — against
     * the exact top-K ground truth, per probe and method. This is the
@@ -1085,50 +1138,31 @@ object SimilarityQueries {
     GQuery("ann_index_pq", annIndexPqQ, Some(ivfPqOracle)),
     // deterministic NN-Descent kNN graph: the oracle replays the
     // bucket+ring init and both refinement rounds step for step
-    GQuery("ann_knn_graph", knnGraphQ, Some {
-      val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
-      def round(gIn: String, uName: String, cName: String, gName: String) = s"""
-      $uName AS (SELECT DISTINCT src, dst FROM (
-        SELECT src, dst FROM $gIn UNION ALL SELECT dst, src FROM $gIn)),
-      $cName AS (SELECT DISTINCT src, dst FROM (
-          SELECT src, dst FROM $uName
-          UNION ALL
-          SELECT a.src, b.dst FROM $uName a JOIN $uName b ON a.dst = b.src)
-        WHERE src <> dst),
-      $gName AS (SELECT src, dst FROM (
-          SELECT c.src, c.dst,
-                 row_number() OVER (PARTITION BY c.src
-                   ORDER BY list_cosine_similarity(vs.e, vd.e) DESC, c.dst) AS rk
-          FROM $cName c JOIN vv vs ON vs.vec_id = c.src
-               JOIN vv vd ON vd.vec_id = c.dst)
-        WHERE rk <= $GraphK)"""
-      s"""
-      WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      bkt AS (SELECT vec_id, embedding,
-                     ${duckBucket("embedding", planes)} AS bucket
-              FROM embeddings),
-      binit AS (SELECT src, dst FROM (
-          SELECT a.vec_id AS src, b.vec_id AS dst,
-                 row_number() OVER (PARTITION BY a.vec_id
-                   ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
-                                                   b.embedding::DOUBLE[]) DESC,
-                            b.vec_id) AS rk
-          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        WHERE rk <= $GraphK),
-      ring AS (SELECT s.vec_id AS src, s.vec_id + o.o AS dst
-               FROM embeddings s, (SELECT unnest([1, 2]) AS o) o
-               WHERE EXISTS (SELECT 1 FROM embeddings d
-                             WHERE d.vec_id = s.vec_id + o.o)),
-      g0 AS (SELECT DISTINCT src, dst FROM
-               (SELECT * FROM binit UNION ALL SELECT * FROM ring)),
-      ${round("g0", "u1", "c1", "g1")},
-      ${round("g1", "u2", "c2", "g2")}
+    GQuery("ann_knn_graph", knnGraphQ, Some(s"""
+      WITH $knnGraphCtes
       SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
              ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim
       FROM g2 JOIN vv vs ON vs.vec_id = g2.src
            JOIN vv vd ON vd.vec_id = g2.dst
-      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
-    }),
+      ORDER BY vec_id, cos_sim DESC, neighbor_id""")),
+    // graph-based SemDedup: bounded-degree candidates from the SAME
+    // graph trajectory, threshold on the rounded edge cosine
+    GQuery("emb_semdedup_graph", semDedupGraphQ, Some(s"""
+      WITH $knnGraphCtes,
+      close AS (SELECT g2.src AS vec_id,
+                       CAST(count(*) AS BIGINT) AS n_close,
+                       max(ROUND(list_cosine_similarity(vs.e, vd.e), 6)) AS max_sim
+                FROM g2 JOIN vv vs ON vs.vec_id = g2.src
+                     JOIN vv vd ON vd.vec_id = g2.dst
+                WHERE g2.dst < g2.src
+                  AND ROUND(list_cosine_similarity(vs.e, vd.e), 6) >= $SemDedupTau
+                GROUP BY 1)
+      SELECT e.vec_id,
+             CASE WHEN c.vec_id IS NULL THEN 0 ELSE 1 END AS dropped,
+             coalesce(c.n_close, 0) AS n_close,
+             coalesce(c.max_sim, 0.0) AS max_sim
+      FROM embeddings e LEFT JOIN close c USING (vec_id)
+      ORDER BY e.vec_id""")),
     GQuery("ann_recall", annRecall, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""
