@@ -88,6 +88,30 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p) should not be None
   }
 
+  test("knn_ivf_pq: every rank stage on the bounded heap; ADC and list joins are equi-joins") {
+    val p = plan(SimilarityQueries.knnIvfPqQ(spark, dir))
+    // routing (nprobe) + 2 codebook argmins + coarse ADC cut + re-rank
+    // all run on the heap aggregate, never window sorts over candidates
+    "bounded_top_k".r.findAllIn(p).size should be >= 4
+    p should not include "CartesianProduct"
+    // the only nested-loop is the broadcast of the tiny centroid /
+    // codebook tables (the knn_ivf pattern); candidate pairing keys on
+    // (list, m, code) equi-joins
+    p should include("BroadcastHashJoin")
+  }
+
+  test("ann_knn_graph: bucket/two-hop/scoring stages are equi-joins, no corpus cross product") {
+    val df = SimilarityQueries.knnGraphQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // candidate generation works on the checkpointed edge list (fixed-
+    // width id pairs), visible as the scan of a LogicalRDD leaf
+    p should include("Scan ExistingRDD")
+    "bounded_top_k".r.findAllIn(p).size should be >= 1
+  }
+
   test("ann_index_pq: code scan prunes list partitions dynamically and reads codes, not vectors") {
     val df = SimilarityQueries.annIndexPqQ(spark, dir)
     df.collect() // drive AQE to the final plan on this same handle
