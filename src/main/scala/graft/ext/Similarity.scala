@@ -619,6 +619,16 @@ object Similarity {
     require(fs.exists(new org.apache.hadoop.fs.Path(
       s"$indexPath/$PqCompleteMarker")),
       s"knnIvfPqIndexed: no complete PQ tier at $indexPath")
+    // staleness guard: the codes tier is built from the BASE lists, so
+    // probing it while live delta generations exist would silently miss
+    // every upserted vector (and serve superseded copies of re-upserted
+    // ids). Refusing is the honest contract: compact the deltas into
+    // the base (compactIvfIndex) and rebuild the tier, or probe the
+    // vector tier (knnIvfUpserted) until then.
+    require(completedDeltaGens(fs, indexPath).isEmpty,
+      s"knnIvfPqIndexed: live delta generations at $indexPath — the PQ " +
+        "codes tier predates them; compactIvfIndex + buildPqTier first " +
+        "(or probe knnIvfUpserted)")
     val cent = spark.read.parquet(s"$indexPath/centroids")
     val cb = spark.read.parquet(s"$indexPath/pq_codebooks")
     val pv = probes.select(col(idCol).as("probe_id"),

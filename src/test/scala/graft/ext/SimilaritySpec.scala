@@ -230,6 +230,55 @@ class SimilaritySpec extends SparkSpec {
     edges(Similarity.knnGraph(df, k = 5, rounds = 2)) shouldBe g2
   }
 
+  test("PQ at production geometry (dim 256, mSub 16): codes are 16 small ints; uncut ADC equals brute force") {
+    val rng = new scala.util.Random(41)
+    val corpus = (0L until 80L).map(i =>
+      (i, (i % 4).toInt, Seq.fill(256)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val probes = corpus.filter(col("vec_id") < 2).select("vec_id", "embedding")
+    val (cb, codes) = Similarity.pqTrain(corpus, mSub = 16, subDim = 16, ks = 8)
+    cb.count() shouldBe 128 // 16 subspaces × 8 codes
+    codes.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect() shouldBe Array(16L) // 16 codes per vector
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    // candMult wide enough to keep the whole corpus → the 16-byte code
+    // approximation must be invisible after exact re-rank
+    key(Similarity.knnIvfPq(corpus, probes, k = 5, nprobe = 4,
+      mSub = 16, subDim = 16, ks = 8, candMult = 16)) shouldBe
+      key(Similarity.knnExact(corpus, probes, k = 5))
+  }
+
+  test("knnIvfPqIndexed: refuses a PQ tier that predates live delta generations") {
+    val rng = new scala.util.Random(17)
+    val corpus = (0L until 30L).map(i =>
+      (i, (i % 3).toInt, Seq.fill(16)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val probes = corpus.filter(col("vec_id") < 1).select("vec_id", "embedding")
+    val path = s"target/test_pq_stale_${System.nanoTime()}"
+    Similarity.buildIvfIndex(corpus, path)
+    Similarity.buildPqTier(spark, path, mSub = 4, subDim = 4, ks = 4)
+    // sanity: serves before the upsert
+    Similarity.knnIvfPqIndexed(spark, path, probes, k = 3).count() shouldBe 3
+    // an upsert lands a delta generation the codes tier knows nothing
+    // about — probing the tier now would silently miss it
+    Similarity.upsertIvfIndex(spark, path,
+      Seq((99L, Seq.fill(16)(0.1f))).toDF("vec_id", "embedding"))
+      .write.format("noop").mode("overwrite").save()
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnIvfPqIndexed(spark, path, probes, k = 3)
+    // compaction folds the delta into the base; a rebuilt tier serves
+    // the upserted vector — probe with ITS embedding under a fresh id,
+    // so the exact re-rank must surface 99 as the top neighbor
+    Similarity.compactIvfIndex(spark, path)
+    Similarity.buildPqTier(spark, path, mSub = 4, subDim = 4, ks = 4)
+    val probe99 = Seq((999L, Seq.fill(16)(0.1f))).toDF("vec_id", "embedding")
+    Similarity.knnIvfPqIndexed(spark, path, probe99, k = 3)
+      .orderBy(col("cos_sim").desc).select("neighbor_id")
+      .as[Long].head() shouldBe 99L
+  }
+
   /** Shared fixture for the upsert-lifecycle tests: 3 planted clusters,
     * 6 base vectors each (ids ci*100+j), plus generators for arrivals
     * near a given cluster. */
