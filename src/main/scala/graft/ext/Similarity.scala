@@ -481,13 +481,23 @@ object Similarity {
     * not the corpus. Returns (idCol, neighbor_id, cos_sim) — the
     * directed kNN graph after `rounds` refinement rounds. */
   def knnGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
-               nPlanes: Int = 4,
+               nPlanes: Int = 4, maxBucketSize: Int = 1000,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = 64
     val planes = srpPlanes(nPlanes, dim)
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // bucket-size cap BEFORE the init self-join — the candidatePairs
+    // rule: nPlanes buckets are few (2^nPlanes), so an uncapped bucket
+    // self-join is n²/2^nPlanes at corpus scale. Nodes in over-cap
+    // buckets lose only their INIT geometry edges — the ring still
+    // seeds them and the NN-Descent rounds recover their neighborhoods
+    // through two-hop propagation (that recovery is the algorithm's
+    // whole premise).
     val bkt = v.withColumn("__b", srpBucket(col("__v"), planes))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__b")))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
     val bucketInit = bkt.select(col("__id").as("src"), col("__v").as("__sv"), col("__b"))
       .join(bkt.select(col("__id").as("dst"), col("__v").as("__dv"), col("__b")), "__b")
       .filter(col("src") =!= col("dst"))

@@ -161,9 +161,15 @@ object SimilarityQueries {
                JOIN vv vd ON vd.vec_id = c.dst)
         WHERE rk <= $GraphK)"""
     s"""vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      bkt AS (SELECT vec_id, embedding,
-                     ${duckBucket("embedding", planes)} AS bucket
-              FROM embeddings),
+      -- bucket cap mirrors Similarity.knnGraph's init guard (never
+      -- fires at fixture occupancy ~n/16, present for faithfulness)
+      bkt AS (SELECT vec_id, embedding, bucket FROM (
+                SELECT vec_id, embedding, bucket,
+                       count(*) OVER (PARTITION BY bucket) AS n
+                FROM (SELECT vec_id, embedding,
+                             ${duckBucket("embedding", planes)} AS bucket
+                      FROM embeddings))
+              WHERE n <= 1000),
       binit AS (SELECT src, dst FROM (
           SELECT a.vec_id AS src, b.vec_id AS dst,
                  row_number() OVER (PARTITION BY a.vec_id
