@@ -223,6 +223,22 @@ object ScaleBench {
         println(f"""{"metric":"scale","op":"split_leakfree","scale":$k,"docs":$nd,"pairs":$nPairs,"sec":$slSec%.3f,"us_per_doc":${slSec * 1e6 / nd}%.2f}""")
       }
 
+      // NN-Descent kNN-graph build over hashed pseudo-embeddings (the
+      // kmeans vectors): per-round candidate volume is (2k)² per node —
+      // us/doc must stay ~flat since the two-hop join and scoring both
+      // scale with edges, and edges are n·k by construction. timeOpFull
+      // (reps=1): the rounds run eager lineage checkpoints during
+      // construction, so the generic timeOp would price only the final
+      // stage (the CC rule).
+      val kgSec = timeOpFull({
+        val vecs = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)),
+            i => pmod(xxhash64(col("text"), i), lit(1000)).cast("float") / 1000f)
+            .as("embedding"))
+        graft.ext.Similarity.knnGraph(vecs, k = 8, rounds = 2, dim = 16)
+      }, reps = 1)
+      println(f"""{"metric":"scale","op":"knn_graph","scale":$k,"docs":$nd,"edges":${nd * 8},"sec":$kgSec%.3f,"us_per_doc":${kgSec * 1e6 / nd}%.2f}""")
+
       // EXACT SUBSTRING-SPAN dedup (round 11), two regimes:
       //  (a) the SHIPPED guard (dfCap=16): on this corpus every gram of
       //      a k-copy family occurs exactly k times, so past 16 copies

@@ -481,9 +481,8 @@ object Similarity {
     * not the corpus. Returns (idCol, neighbor_id, cos_sim) — the
     * directed kNN graph after `rounds` refinement rounds. */
   def knnGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
-               nPlanes: Int = 4, maxBucketSize: Int = 1000,
+               nPlanes: Int = 4, maxBucketSize: Int = 1000, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
     val planes = srpPlanes(nPlanes, dim)
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
