@@ -568,6 +568,84 @@ object Similarity {
         coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
   }
 
+  /** GRAPH-ANN SEARCH over a [[knnGraph]] edge list — the serving-side
+    * complement of the NN-Descent build (the HNSW/NSG query pattern:
+    * greedy best-first expansion with a bounded beam). Every probe
+    * starts from the same fixed `entries`-node entry set (the smallest
+    * ids — a sort-limit of a tiny constant, one TakeOrdered at any
+    * corpus size), then repeats `hops` times:
+    *
+    *   F_h = top-`beam`( F_{h-1} ∪ out-neighbors(F_{h-1}) )
+    *
+    * scored by exact double cosine against the probe, ties toward the
+    * smaller id ([[BoundedTopK]]). Because a candidate's score never
+    * changes across hops, a node that falls out of the beam is worse
+    * than `beam` kept nodes and can never re-enter any top-k ≤ beam —
+    * so the recurrence needs NO visited set: per-probe state is exactly
+    * `beam` ids, and the final top-k over F_hops equals the top-k over
+    * everything ever scored. That is the 100 TB shape: each hop joins a
+    * broadcast-small frontier (|probes|·beam rows) against the n·k edge
+    * list on its partition key, fetches ≤ |probes|·beam·k candidate
+    * vectors by id, and nothing grows with corpus size except the
+    * pre-built graph itself.
+    *
+    * Entry set = the min-id node of every occupied SRP bucket (the
+    * graph's own init geometry, ≤ 2^nPlanes rows from one groupBy-min —
+    * broadcast-tiny). A fixed global entry point would strand probes
+    * whose region the final top-k graph does not connect to (a k-bounded
+    * graph keeps only each node's nearest out-edges, so well-separated
+    * clusters form disconnected components — the problem HNSW solves
+    * with long-range layers); one entry per bucket guarantees every
+    * region of the space seeds the walk.
+    *
+    * Deterministic end-to-end (fixed entry set, exact cosine, id
+    * tie-breaks at every rank) so the DuckDB oracle replays the same
+    * trajectory hop for hop. Returns (probe_id, neighbor_id, cos_sim).
+    */
+  def graphSearch(corpus: DataFrame, probes: DataFrame, k: Int = 10,
+                  beam: Int = 20, hops: Int = 2,
+                  graphK: Int = 10, graphRounds: Int = 2,
+                  nPlanes: Int = 4, dim: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val g = knnGraph(corpus, graphK, graphRounds, nPlanes = nPlanes,
+      dim = dim, idCol = idCol, vecCol = vecCol)
+      .select(col(idCol).as("__src"), col("neighbor_id").as("__dst"))
+    val v = corpus.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__pv"))
+    val planes = srpPlanes(nPlanes, dim)
+    val entry = v.withColumn("__b", srpBucket(col("__v"), planes))
+      .groupBy("__b").agg(min(col("__id")).as("node"))
+      .select("node")
+    // beam state: (probe_id, node) — scores recomputed per hop against
+    // the broadcast probe vectors (cheaper than carrying doubles through
+    // the distinct, and keeps the frontier rows fixed-width ids)
+    var frontier = p.select(col("probe_id")).crossJoin(broadcast(entry))
+    def topOf(cands: DataFrame, n: Int): DataFrame = cands
+      .join(v.select(col("__id").as("node"), col("__v")), "node")
+      .join(broadcast(p), "probe_id")
+      .filter(col("node") =!= col("probe_id"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(cosine(col("__pv"), col("__v")), col("node"), n).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn").getField("id")).as("node"))
+    for (_ <- 1 to hops) {
+      val expanded = frontier.unionByName(
+          frontier.join(g, frontier("node") === g("__src"))
+            .select(col("probe_id"), col("__dst").as("node")))
+        .distinct()
+      frontier = topOf(expanded, beam)
+    }
+    frontier
+      .join(v.select(col("__id").as("node"), col("__v")), "node")
+      .join(broadcast(p), "probe_id")
+      .withColumn("__cs", cosine(col("__pv"), col("__v")))
+      .withColumn("__rk", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("__cs").desc, col("node"))))
+      .filter(col("__rk") <= k)
+      .select(col("probe_id"), col("node").as("neighbor_id"), col("__cs").as("cos_sim"))
+  }
+
   /** Completion marker for the PQ tier, written strictly AFTER both PQ
     * artifacts (codebooks + codes) — the [[IndexCompleteMarker]]
     * discipline applied to the tier: a crash between the two writes

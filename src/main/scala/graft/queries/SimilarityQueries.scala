@@ -128,6 +128,49 @@ object SimilarityQueries {
 
   private val GraphK = 10
   private val GraphRounds = 2
+  private val GraphBeam = 20
+  // hops is fixed at 2 — the oracle unrolls exactly two hop CTEs
+  // (graphSearchCtes); change both together
+  private val GraphHops = 2
+
+  /** GRAPH-ANN SERVING ([[Similarity.graphSearch]]): greedy beam search
+    * over the NN-Descent graph — entry set = min-id node per occupied
+    * SRP bucket (region coverage against graph disconnection; see the
+    * Scaladoc), [[GraphHops]] expansion rounds at beam width
+    * [[GraphBeam]], final top-[[K]] per probe. The score-is-static
+    * argument (see the Scaladoc) makes the bounded beam EXACT for
+    * top-k ≤ beam over everything visited, so per-probe state is
+    * `beam` ids at any corpus size. Fully hash-checked: the oracle
+    * replays the same graph trajectory plus both hops with id
+    * tie-breaks at every rank. */
+  def graphSearchQ(spark: SparkSession, dir: String): DataFrame =
+    finish(Similarity.graphSearch(Tables.embeddings(spark, dir),
+      probes(spark, dir), K, beam = GraphBeam, hops = GraphHops,
+      graphK = GraphK, graphRounds = GraphRounds))
+
+  /** recall@K of the graph search against the exact top-K — the
+    * [[annRecall]] measurement for the graph method, kept as its own
+    * query so the NN-Descent build cost stays attributable to the graph
+    * family rather than inflating `ann_recall`. */
+  def annGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val p = probes(spark, dir)
+    val exact = Similarity.knnTopKAgg(e, p, K)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = Similarity.graphSearch(e, p, K, beam = GraphBeam,
+      hops = GraphHops, graphK = GraphK, graphRounds = GraphRounds)
+    val hits = exact
+      .join(approx.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    // left join onto the probe list — a total miss reports its zero
+    p.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), lit("graph").as("method"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"))
+      .orderBy("probe_id")
+  }
 
   /** Graph-based SemDedup ([[Similarity.semDedupGraph]]): the
     * cell-based `emb_semdedup`'s scale twin — candidates are the kNN
@@ -186,6 +229,37 @@ object SimilarityQueries {
                (SELECT * FROM binit UNION ALL SELECT * FROM ring)),
       ${round("g0", "u1", "c1", "g1")},
       ${round("g1", "u2", "c2", "g2")}"""
+  }
+
+  /** SQL replay of [[Similarity.graphSearch]] on top of [[knnGraphCtes]]
+    * — entry set `gent`, probe frame `gpr`, and the two unrolled beam
+    * hops ending at CTE `gf2` (per-probe beam of [[GraphBeam]] ids).
+    * Mirrors the engine exactly: expand = frontier ∪ out-neighbors,
+    * self excluded, rank by exact double cosine with id tie-breaks. */
+  private lazy val graphSearchCtes: String = {
+    val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
+    def hop(fIn: String, xName: String, fName: String) = s"""
+      $xName AS (SELECT DISTINCT probe_id, node FROM (
+          SELECT probe_id, node FROM $fIn
+          UNION ALL
+          SELECT f.probe_id, g2.dst AS node
+          FROM $fIn f JOIN g2 ON g2.src = f.node)),
+      $fName AS (SELECT probe_id, node FROM (
+          SELECT x.probe_id, x.node,
+                 row_number() OVER (PARTITION BY x.probe_id
+                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, x.node) AS rk
+          FROM $xName x JOIN vv n ON n.vec_id = x.node
+               JOIN gpr p ON p.probe_id = x.probe_id
+          WHERE x.node <> x.probe_id)
+        WHERE rk <= $GraphBeam)"""
+    s"""$knnGraphCtes,
+      gpr AS (SELECT vec_id AS probe_id, e AS pe FROM vv WHERE vec_id < $NProbes),
+      gent AS (SELECT min(vec_id) AS node FROM (
+          SELECT vec_id, ${duckBucket("embedding", planes)} AS bucket
+          FROM embeddings) GROUP BY bucket),
+      gf0 AS (SELECT p.probe_id, en.node FROM gpr p, gent en),
+      ${hop("gf0", "gx1", "gf1")},
+      ${hop("gf1", "gx2", "gf2")}"""
   }
 
   /** ANN QUALITY EVALUATION (round 10): recall@K of the two approximate
@@ -1169,6 +1243,46 @@ object SimilarityQueries {
              coalesce(c.max_sim, 0.0) AS max_sim
       FROM embeddings e LEFT JOIN close c USING (vec_id)
       ORDER BY e.vec_id""")),
+    // graph-ANN serving: beam search over the SAME graph trajectory —
+    // the oracle unrolls both hops and re-ranks the final beam
+    GQuery("ann_graph_search", graphSearchQ, Some(s"""
+      WITH $graphSearchCtes
+      SELECT probe_id, neighbor_id, cos_sim FROM (
+        SELECT f.probe_id, f.node AS neighbor_id,
+               ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
+               row_number() OVER (PARTITION BY f.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+        FROM gf2 f JOIN vv n ON n.vec_id = f.node
+             JOIN gpr p ON p.probe_id = f.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
+    // graph-search recall@K vs the exact ground truth — the graph
+    // family's ann_recall row, priced separately on purpose
+    GQuery("ann_graph_recall", annGraphRecall, Some(s"""
+      WITH $graphSearchCtes,
+      xact AS (SELECT probe_id, neighbor_id FROM (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_cosine_similarity(e.e, p.pe) DESC,
+                            e.vec_id) AS rk
+          FROM vv e, gpr p WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= $K),
+      gres AS (SELECT probe_id, node AS neighbor_id FROM (
+          SELECT f.probe_id, f.node,
+                 row_number() OVER (PARTITION BY f.probe_id
+                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+          FROM gf2 f JOIN vv n ON n.vec_id = f.node
+               JOIN gpr p ON p.probe_id = f.probe_id)
+        WHERE rk <= $K),
+      h AS (SELECT x.probe_id, count(*) AS n_hit
+            FROM xact x JOIN gres g
+              ON g.probe_id = x.probe_id AND g.neighbor_id = x.neighbor_id
+            GROUP BY 1)
+      SELECT p.probe_id, 'graph' AS method,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k
+      FROM gpr p LEFT JOIN h ON h.probe_id = p.probe_id
+      ORDER BY p.probe_id""")),
     GQuery("ann_recall", annRecall, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""

@@ -230,6 +230,36 @@ class SimilaritySpec extends SparkSpec {
     edges(Similarity.knnGraph(df, k = 5, rounds = 2)) shouldBe g2
   }
 
+  test("graphSearch: beam search over the kNN graph recovers exact top-k on planted clusters; deterministic; self excluded") {
+    val rng = new scala.util.Random(29)
+    val dim = 32
+    val bases = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat * 2f))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 100L + j, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val df = corpus.toDF("vec_id", "embedding")
+    // one probe per planted cluster — the k-bounded graph keeps no
+    // cross-cluster edges, so per-bucket entry coverage (not hop depth)
+    // is what lets each probe reach its own cluster's component
+    val probesDf = df.filter(col("vec_id") % 100 === 0)
+    def key(g: org.apache.spark.sql.DataFrame) =
+      g.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = key(Similarity.knnExact(df, probesDf, 5))
+    val got = Similarity.graphSearch(df, probesDf, k = 5, beam = 10,
+      hops = 2, graphK = 5, graphRounds = 2, dim = dim)
+    val gk = key(got)
+    // every probe reports exactly k rows, never itself
+    got.groupBy("probe_id").count().select("count")
+      .as[Long].collect().toSet shouldBe Set(5L)
+    gk.exists { case (p, n) => p == n } shouldBe false
+    // tight clusters: the beam walk must essentially recover exact top-k
+    (exact & gk).size.toDouble / exact.size should be >= 0.9
+    // bit-deterministic re-run
+    key(Similarity.graphSearch(df, probesDf, k = 5, beam = 10,
+      hops = 2, graphK = 5, graphRounds = 2, dim = dim)) shouldBe gk
+  }
+
   test("PQ at production geometry (dim 256, mSub 16): codes are 16 small ints; uncut ADC equals brute force") {
     val rng = new scala.util.Random(41)
     val corpus = (0L until 80L).map(i =>

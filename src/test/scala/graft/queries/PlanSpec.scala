@@ -112,6 +112,20 @@ class PlanSpec extends SparkSpec {
     "bounded_top_k".r.findAllIn(p).size should be >= 1
   }
 
+  test("ann_graph_search: beam hops are equi-joins on the edge list; probe frames broadcast; beam on the bounded heap") {
+    val df = SimilarityQueries.graphSearchQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // frontier × graph expansion and candidate scoring are equi-joins;
+    // the only permissible nested loop is the |probes|×|entries|
+    // seeding cross join of two broadcast-tiny frames
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    // both beam selections run on the bounded heap, never a window sort
+    // over the candidate set (the final top-k over beam rows may rank)
+    "bounded_top_k".r.findAllIn(p).size should be >= 2
+  }
+
   test("ann_index_pq: code scan prunes list partitions dynamically and reads codes, not vectors") {
     val df = SimilarityQueries.annIndexPqQ(spark, dir)
     df.collect() // drive AQE to the final plan on this same handle
