@@ -160,4 +160,68 @@ object Text {
       .withColumn("bin_id", expr(s"(__cum - $nCol) div $budget"))
       .drop("__cum")
   }
+
+  /** TRAINED QUALITY CLASSIFIER (the fastText-style bootstrap every LLM
+    * data pipeline runs: seed labels from a cheap heuristic, train a
+    * linear bag-of-words model, apply it at corpus scale): multinomial
+    * Naive Bayes with Laplace smoothing, self-supervised on the quality
+    * heuristic's "good" bucket (n_tokens ≥ 40 ∧ stop_ratio < 0.3 → 1,
+    * else 0). The model generalizes past the seed cue: a short doc
+    * written in the positive class's vocabulary outscores a short doc
+    * in the negative class's (the planted-vocabulary spec pins this).
+    *
+    * Determinism discipline — the one genuinely new hazard is the
+    * per-doc sum of per-token float weights, whose value would depend
+    * on Spark's partition-order summation: each token's log-likelihood
+    * ratio is rounded to 6 dp and cast DECIMAL(18,6) AT THE MODEL, so
+    * the scoring sum is exact decimal arithmetic — order-independent
+    * and bit-identical in both engines (the ln agreement itself is the
+    * `text_tfidf` idf precedent; everything else stays exact integers).
+    *
+    * Scale shape: one token-key shuffle builds the per-class counts
+    * (map-side combined), the weight table is vocabulary-sized
+    * fixed-width rows, scoring is a token equi-join + one decimal sum
+    * per doc, and the two scalar frames (class totals, prior) travel
+    * as 1-row broadcasts — never a collect.
+    *
+    * Returns (idCol, label, score DOUBLE, pred INT), unordered. */
+  def nbQualityClassifier(docsDf: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val lab = docsDf
+      .withColumn("toks", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", stopwordCount(col("toks")).cast("long"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop") / col("n_tokens")))
+      .withColumn("label",
+        (col("n_tokens") >= 40 && col("stop_ratio") < 0.3).cast("int"))
+      .select(col(idCol), col("toks"), col("label"))
+    val tok = lab.select(col(idCol), col("label"),
+      explode(col("toks")).as("token"))
+    val cc = tok.groupBy("token").agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("cp"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("cn"))
+    val tot = cc.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    val w = cc.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(log((col("cp") + 1).cast("double") / (col("tp") + col("v")).cast("double")) -
+              log((col("cn") + 1).cast("double") / (col("tn") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("w"))
+    val prior = lab
+      .agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
+      .select(round(log((col("np") + 1).cast("double") / (col("nn") + 1).cast("double")), 6)
+        .cast("decimal(18,6)").as("b"))
+    val s = tok.join(w, "token").groupBy(idCol)
+      .agg(sum(col("w")).as("sw"))
+    val zero = lit(0).cast("decimal(18,6)")
+    lab.select(col(idCol), col("label"))
+      .join(s, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("__score", coalesce(col("sw"), zero) + col("b"))
+      .select(col(idCol), col("label"),
+        col("__score").cast("double").as("score"),
+        (col("__score") >= 0).cast("int").as("pred"))
+  }
 }

@@ -126,6 +126,18 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Trained quality classifier ([[Text.nbQualityClassifier]] — the
+    * fastText-style bootstrap: heuristic seed labels → Laplace-smoothed
+    * multinomial NB → corpus-scale scoring; see the Scaladoc for the
+    * DECIMAL weight discipline that keeps the per-doc score sums
+    * order-independent and oracle-exact). On the near-uniform synthetic
+    * corpus label/pred agreement is necessarily weak (the tokens carry
+    * little class signal — the LSH-recall caveat's analogue); the
+    * planted-vocabulary spec proves real separation. */
+  def qualityClassifierQ(spark: SparkSession, dir: String): DataFrame =
+    Text.nbQualityClassifier(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
   /** Language-ID heuristic (stopword-profile argmax; ties → first profile
     * in order, zero hits → "und"). The corpus labels are synthetic so
     * accuracy is judged by the unit test on real per-language sentences —
@@ -585,6 +597,42 @@ object TextQueries {
       SELECT s.doc_id, s.lang, ROUND(s.score, 6) AS score, c.cut,
              CAST(CASE WHEN ROUND(s.score, 6) >= c.cut THEN 1 ELSE 0 END AS INT) AS kept
       FROM s JOIN c USING (lang) ORDER BY s.doc_id""")),
+    // trained quality classifier: exact-integer counts → 6-dp-rounded
+    // DECIMAL weights → exact decimal score sums (order-independent)
+    GQuery("text_quality_classifier", qualityClassifierQ, Some(s"""
+      WITH lab AS (
+        SELECT doc_id, $duckToks AS toks,
+               CASE WHEN CAST(len($duckToks) AS BIGINT) >= 40 AND
+                         (CASE WHEN len($duckToks) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter($duckToks,
+                                      t -> list_contains($stopList, t))) AS DOUBLE)
+                                    / len($duckToks) END) < 0.3
+                    THEN 1 ELSE 0 END AS label
+        FROM documents),
+      tok AS (SELECT doc_id, label, unnest(toks) AS token FROM lab),
+      cc AS (SELECT token,
+                    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cn
+             FROM tok GROUP BY 1),
+      tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM cc),
+      w AS (SELECT token,
+                   CAST(ROUND(ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)) -
+                              ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS w
+            FROM cc, tot),
+      prior AS (SELECT CAST(ROUND(ln(CAST(np + 1 AS DOUBLE) / CAST(nn + 1 AS DOUBLE)), 6)
+                            AS DECIMAL(18,6)) AS b
+                FROM (SELECT CAST(sum(label) AS BIGINT) AS np,
+                             CAST(sum(1 - label) AS BIGINT) AS nn
+                      FROM lab)),
+      s AS (SELECT t.doc_id, sum(w.w) AS sw FROM tok t JOIN w USING (token) GROUP BY 1)
+      SELECT l.doc_id, CAST(l.label AS INT) AS label,
+             CAST(coalesce(s.sw, 0) + p.b AS DOUBLE) AS score,
+             CAST(CASE WHEN coalesce(s.sw, 0) + p.b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
+      FROM lab l LEFT JOIN s ON s.doc_id = l.doc_id CROSS JOIN prior p
+      ORDER BY l.doc_id""")),
     GQuery("text_lang_id", langIdQ, Some {
       val (cols, caseExpr) = duckLangId
       s"""

@@ -79,4 +79,35 @@ class TextSpec extends SparkSpec {
     fp("Hello, World!") shouldBe fp("hello world")
     fp("hello world") should not be fp("world hello")
   }
+
+  test("nbQualityClassifier: planted vocabularies separate; model generalizes past the length cue; deterministic") {
+    // positive seed class: 50 content tokens drawn from vocab A (no
+    // stopwords → label 1); negative seed class: 8 tokens from vocab B
+    val vocabA = Seq("galaxy", "nebula", "quasar", "pulsar", "photon")
+    val vocabB = Seq("spam", "click", "cheap", "deal")
+    val good = (0L until 6L).map(i =>
+      (i, (0 until 50).map(j => vocabA((i + j).toInt % vocabA.size)).mkString(" ")))
+    val bad = (10L until 16L).map(i =>
+      (i, (0 until 8).map(j => vocabB((i + j).toInt % vocabB.size)).mkString(" ")))
+    // held-out probes: SHORT docs (both label 0 by the length heuristic)
+    // written in each class's vocabulary
+    val probeA = (20L, (0 until 20).map(j => vocabA(j % vocabA.size)).mkString(" "))
+    val probeB = (21L, (0 until 20).map(j => vocabB(j % vocabB.size)).mkString(" "))
+    val df = (good ++ bad ++ Seq(probeA, probeB)).toDF("doc_id", "text")
+    val out = Text.nbQualityClassifier(df)
+      .select("doc_id", "label", "score", "pred")
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // seed classes fully separated
+    good.foreach { case (i, _) => byId(i)._4 shouldBe 1 }
+    bad.foreach { case (i, _) => byId(i)._4 shouldBe 0 }
+    // generalization: same length, opposite vocabularies — the A-vocab
+    // probe must outscore the B-vocab probe (the model learned token
+    // likelihoods, not just the length cue it was seeded with)
+    byId(20L)._3 should be > byId(21L)._3
+    // deterministic re-run, bit for bit
+    Text.nbQualityClassifier(df)
+      .select("doc_id", "label", "score", "pred")
+      .as[(Long, Int, Double, Int)].collect().sortBy(_._1) shouldBe out
+  }
 }
