@@ -49,6 +49,12 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,10,30")
       .split(",").map(_.trim.toInt).toSeq
+    // local-iteration op filter (the Bench/Verify SPARK_GRAFT_QUERIES
+    // idiom): comma-separated op-name PREFIXES; unset = run everything
+    val wantOps = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def on(op: String): Boolean =
+      wantOps.forall(_.exists(p => op.startsWith(p)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -168,7 +174,7 @@ object ScaleBench {
               .as("embedding"))
           graft.ext.Similarity.kmeans(vecs, k = 8, iters = 2)
         }))
-      for ((name, op) <- ops) {
+      for ((name, op) <- ops if on(name)) {
         val sec = timeOp(op())
         val usPerDoc = sec * 1e6 / nd
         println(f"""{"metric":"scale","op":"$name","scale":$k,"docs":$nd,"sec":$sec%.3f,"us_per_doc":$usPerDoc%.2f}""")
@@ -182,7 +188,7 @@ object ScaleBench {
       // 30×/100× (~2.2M/24.7M edges) run distributed star contraction.
       // Edge construction is an equi-join on the family key (fixed-width
       // longs) and is included in the timed build, as in a real pipeline.
-      if (k > 1) {
+      if (k > 1 && (on("cc_groups") || on("near_dup_groups") || on("split_leakfree"))) {
         val fams = docs.select(col("doc_id"), pmod(col("doc_id"), lit(n)).as("__f"))
         def pairs = fams.as("x").join(fams.as("y"),
             col("x.__f") === col("y.__f") && col("x.doc_id") < col("y.doc_id"))
@@ -230,6 +236,7 @@ object ScaleBench {
       // (reps=1): the rounds run eager lineage checkpoints during
       // construction, so the generic timeOp would price only the final
       // stage (the CC rule).
+      if (on("knn_graph")) {
       val kgSec = timeOpFull({
         val vecs = docs.select(col("doc_id").as("vec_id"),
           transform(sequence(lit(0), lit(15)),
@@ -238,6 +245,29 @@ object ScaleBench {
         graft.ext.Similarity.knnGraph(vecs, k = 8, rounds = 2, dim = 16)
       }, reps = 1)
       println(f"""{"metric":"scale","op":"knn_graph","scale":$k,"docs":$nd,"edges":${nd * 8},"sec":$kgSec%.3f,"us_per_doc":${kgSec * 1e6 / nd}%.2f}""")
+      }
+
+      // Graph-ANN SERVING split (ann_graph_search): the NN-Descent build
+      // above is the once-per-generation cost; queries pay only the beam
+      // hops. Per hop the frontier is |probes|·beam broadcast rows, so
+      // the per-query work is bounded — what grows with the corpus at
+      // THIS harness's layout is the scan of the edge list / vector
+      // table that each equi-join streams (at deployment scale those are
+      // bucketed point-lookups). The honest claims to measure: total sec
+      // ~linear in corpus (scan-bound), us/probe per doc falling.
+      if (on("graph_search")) {
+        val vecs = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)),
+            i => pmod(xxhash64(col("text"), i), lit(1000)).cast("float") / 1000f)
+            .as("embedding"))
+        val g = graft.ext.Similarity.knnGraph(vecs, k = 8, rounds = 2, dim = 16)
+          .localCheckpoint(true)
+        val probes = vecs.filter(col("vec_id") < 32)
+        val gqSec = timeOp(graft.ext.Similarity.graphSearchOn(
+          g, vecs, probes, k = 8, beam = 16, hops = 2, dim = 16))
+        org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(g)
+        println(f"""{"metric":"scale","op":"graph_search","scale":$k,"docs":$nd,"probes":32,"sec":$gqSec%.3f,"us_per_doc":${gqSec * 1e6 / nd}%.2f}""")
+      }
 
       // EXACT SUBSTRING-SPAN dedup (round 11), two regimes:
       //  (a) the SHIPPED guard (dfCap=16): on this corpus every gram of
@@ -253,6 +283,7 @@ object ScaleBench {
       //      at 30×/100× the admitted volume is 95M/1.1B rows — the
       //      blowup dfCap exists to prevent — so it is SKIPPED loudly,
       //      not silently capped.
+      if (on("substring_spans")) {
       val toksD = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
       val gSec = timeOp(Dedup.substringSpans(toksD))
       val gSpans = Dedup.substringSpans(toksD).count()
@@ -266,6 +297,8 @@ object ScaleBench {
       } else if (k > 10) {
         println(s"""{"metric":"scale","op":"substring_spans_admitted","scale":$k,"skipped":"admitted pair volume ~ C($k,2) x grams x families (~${k.toLong * (k - 1) / 2 * 47 * n / 1000000}M rows) - the quadratic blowup dfCap guards against; per-pair cost measured at <=10x"}""")
       }
+      }
+      if (on("compact_files")) {
       // small-files compaction: 256 shards (the pathological many-tiny-
       // files layout a per-task-per-batch writer produces) folded to
       // 32 MB targets in shuffle mode — the parallel-rewrite path whose
@@ -278,10 +311,11 @@ object ScaleBench {
         spark, shardPath, outPath, targetFileBytes = 32L << 20, shuffle = true)
       val cSec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"scale","op":"compact_files","scale":$k,"files_in":$nIn,"files_out":$nOut,"mb":${bytesIn / 1e6}%.1f,"sec":$cSec%.3f}""")
+      }
     }
 
-    ivfLifecycle(spark, scales)
-    layoutPruning(spark)
+    if (on("ivf") || on("pq")) ivfLifecycle(spark, scales)
+    if (on("layout")) layoutPruning(spark)
     spark.stop()
   }
 

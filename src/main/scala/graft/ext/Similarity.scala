@@ -606,10 +606,21 @@ object Similarity {
                   beam: Int = 20, hops: Int = 2,
                   graphK: Int = 10, graphRounds: Int = 2,
                   nPlanes: Int = 4, dim: Int = 64,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val g = knnGraph(corpus, graphK, graphRounds, nPlanes = nPlanes,
-      dim = dim, idCol = idCol, vecCol = vecCol)
-      .select(col(idCol).as("__src"), col("neighbor_id").as("__dst"))
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graphSearchOn(
+      knnGraph(corpus, graphK, graphRounds, nPlanes = nPlanes,
+        dim = dim, idCol = idCol, vecCol = vecCol),
+      corpus, probes, k, beam, hops, nPlanes, dim, idCol, vecCol)
+
+  /** [[graphSearch]] over an ALREADY-BUILT (possibly persisted) kNN
+    * graph — the serving split: the NN-Descent build is paid once per
+    * corpus generation, queries pay only the hops. `graph` must carry
+    * (idCol, neighbor_id) out-edges, the [[knnGraph]] output shape. */
+  def graphSearchOn(graph: DataFrame, corpus: DataFrame, probes: DataFrame,
+                    k: Int = 10, beam: Int = 20, hops: Int = 2,
+                    nPlanes: Int = 4, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val g = graph.select(col(idCol).as("__src"), col("neighbor_id").as("__dst"))
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val p = probes.select(col(idCol).as("probe_id"),
@@ -644,6 +655,52 @@ object Similarity {
         .orderBy(col("__cs").desc, col("node"))))
       .filter(col("__rk") <= k)
       .select(col("probe_id"), col("node").as("neighbor_id"), col("__cs").as("cos_sim"))
+  }
+
+  /** Completion marker for the persisted kNN-graph tier — the
+    * [[IndexCompleteMarker]] discipline: a crash between the edge and
+    * vector writes must read as "no graph", never as edges serving
+    * against missing vectors. */
+  val GraphCompleteMarker = "_GRAFT_GRAPH_COMPLETE"
+
+  /** Persist the [[knnGraph]] as a SELF-CONTAINED serving tier (edge
+    * list + the scoring vectors): the NN-Descent build is the
+    * once-per-corpus-generation cost, and [[graphSearchIndexed]] then
+    * pays only the beam hops — the [[buildIvfIndex]] lifecycle applied
+    * to the graph family. Edges are n·k fixed-width rows; at deployment
+    * scale both artifacts would be bucketed by id so the hop joins
+    * co-locate, which parquet round-trips preserve the shape of. */
+  def buildGraphIndex(corpus: DataFrame, indexPath: String,
+                      graphK: Int = 10, graphRounds: Int = 2,
+                      nPlanes: Int = 4, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
+    val fs = marker.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(marker, false)
+    knnGraph(corpus, graphK, graphRounds, nPlanes = nPlanes, dim = dim,
+      idCol = idCol, vecCol = vecCol)
+      .write.mode("overwrite").parquet(s"$indexPath/graph_edges")
+    corpus.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$indexPath/vectors")
+    fs.create(marker, true).close()
+    corpus.sparkSession.read.parquet(s"$indexPath/graph_edges")
+  }
+
+  /** [[graphSearch]] served from a persisted [[buildGraphIndex]] tier —
+    * identical semantics (and oracle) to the in-query form, but query
+    * time pays no NN-Descent rounds: two parquet reads and the hops. */
+  def graphSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                         probes: DataFrame, k: Int = 10, beam: Int = 20,
+                         hops: Int = 2, nPlanes: Int = 4, dim: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"graphSearchIndexed: no complete graph tier at $indexPath")
+    graphSearchOn(
+      spark.read.parquet(s"$indexPath/graph_edges"),
+      spark.read.parquet(s"$indexPath/vectors"),
+      probes, k, beam, hops, nPlanes, dim, idCol, vecCol)
   }
 
   /** Completion marker for the PQ tier, written strictly AFTER both PQ

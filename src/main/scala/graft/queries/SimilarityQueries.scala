@@ -148,6 +148,20 @@ object SimilarityQueries {
       probes(spark, dir), K, beam = GraphBeam, hops = GraphHops,
       graphK = GraphK, graphRounds = GraphRounds))
 
+  /** Graph search served from the PERSISTED tier
+    * ([[Similarity.graphSearchIndexed]]): builds the tier if missing
+    * (marker-gated), then queries pay no NN-Descent rounds — must serve
+    * IDENTICALLY to [[graphSearchQ]]; the shared oracle hash-proves it
+    * (the `ann_index_pq` / `knn_ivf_pq` twin discipline). */
+  def annIndexGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = indexRoot("graft_graph_index", dir)
+    if (!new java.io.File(s"$path/${Similarity.GraphCompleteMarker}").exists())
+      Similarity.buildGraphIndex(Tables.embeddings(spark, dir), path,
+        graphK = GraphK, graphRounds = GraphRounds)
+    finish(Similarity.graphSearchIndexed(spark, path, probes(spark, dir), K,
+      beam = GraphBeam, hops = GraphHops))
+  }
+
   /** recall@K of the graph search against the exact top-K — the
     * [[annRecall]] measurement for the graph method, kept as its own
     * query so the NN-Descent build cost stays attributable to the graph
@@ -261,6 +275,20 @@ object SimilarityQueries {
       ${hop("gf0", "gx1", "gf1")},
       ${hop("gf1", "gx2", "gf2")}"""
   }
+
+  /** Shared by `ann_graph_search` and its persisted-tier twin
+    * `ann_index_graph` — final top-[[K]] re-rank of the hop-2 beam. */
+  private lazy val graphSearchOracle: String = s"""
+      WITH $graphSearchCtes
+      SELECT probe_id, neighbor_id, cos_sim FROM (
+        SELECT f.probe_id, f.node AS neighbor_id,
+               ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
+               row_number() OVER (PARTITION BY f.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+        FROM gf2 f JOIN vv n ON n.vec_id = f.node
+             JOIN gpr p ON p.probe_id = f.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
 
   /** ANN QUALITY EVALUATION (round 10): recall@K of the two approximate
     * searches — IVF list pruning and SRP-LSH bucket pruning — against
@@ -1245,17 +1273,10 @@ object SimilarityQueries {
       ORDER BY e.vec_id""")),
     // graph-ANN serving: beam search over the SAME graph trajectory —
     // the oracle unrolls both hops and re-ranks the final beam
-    GQuery("ann_graph_search", graphSearchQ, Some(s"""
-      WITH $graphSearchCtes
-      SELECT probe_id, neighbor_id, cos_sim FROM (
-        SELECT f.probe_id, f.node AS neighbor_id,
-               ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
-               row_number() OVER (PARTITION BY f.probe_id
-                 ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
-        FROM gf2 f JOIN vv n ON n.vec_id = f.node
-             JOIN gpr p ON p.probe_id = f.probe_id)
-      WHERE rk <= $K
-      ORDER BY probe_id, cos_sim DESC, neighbor_id""")),
+    GQuery("ann_graph_search", graphSearchQ, Some(graphSearchOracle)),
+    // the PERSISTED graph tier must serve byte-identically to the
+    // in-query build — same oracle, the ann_index_pq pattern
+    GQuery("ann_index_graph", annIndexGraphQ, Some(graphSearchOracle)),
     // graph-search recall@K vs the exact ground truth — the graph
     // family's ann_recall row, priced separately on purpose
     GQuery("ann_graph_recall", annGraphRecall, Some(s"""

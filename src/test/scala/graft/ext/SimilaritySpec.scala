@@ -260,6 +260,28 @@ class SimilaritySpec extends SparkSpec {
       hops = 2, graphK = 5, graphRounds = 2, dim = dim)) shouldBe gk
   }
 
+  test("graphSearchIndexed: persisted tier serves exactly like the in-query build; marker gates") {
+    val rng = new scala.util.Random(31)
+    val dim = 32
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rng.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val probesDf = corpus.filter(col("vec_id") < 3)
+    val path = s"target/test_graph_index_${System.nanoTime()}"
+    // serving before the tier exists must refuse, not misread
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.graphSearchIndexed(spark, path, probesDf, k = 5,
+        beam = 10, hops = 2, dim = dim)
+    Similarity.buildGraphIndex(corpus, path, graphK = 5, graphRounds = 2,
+      dim = dim)
+    def key(g: org.apache.spark.sql.DataFrame) = g
+      .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    key(Similarity.graphSearchIndexed(spark, path, probesDf, k = 5,
+      beam = 10, hops = 2, dim = dim)) shouldBe
+      key(Similarity.graphSearch(corpus, probesDf, k = 5, beam = 10,
+        hops = 2, graphK = 5, graphRounds = 2, dim = dim))
+  }
+
   test("PQ at production geometry (dim 256, mSub 16): codes are 16 small ints; uncut ADC equals brute force") {
     val rng = new scala.util.Random(41)
     val corpus = (0L until 80L).map(i =>
