@@ -112,4 +112,45 @@ object Temporal {
       .filter(abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <= maxDeltaUs)
       .drop("__bb")
   }
+
+  /** Open-interval sentinel for [[scd2History]]'s current rows: the
+    * NULL-free encoding of "valid until further notice" (the house
+    * discipline avoids nullable output columns — engines disagree on
+    * null-vs-NaN round-trips long before they disagree on values). */
+  val OpenIntervalUs: Long = Long.MaxValue
+
+  /** SCD TYPE-2 HISTORY from a change stream — the warehouse twin of
+    * the CDC latest-per-key op (`dedup_latest` keeps only the newest
+    * attribute value; this keeps every VERSION with its validity
+    * interval): per key, order updates by (ts, tieCol), collapse
+    * consecutive rows whose tracked attribute did not change, and emit
+    * one row per surviving version with `valid_from_us` inclusive,
+    * `valid_to_us` exclusive (= next version's start, [[OpenIntervalUs]]
+    * for the current row), a 1-based `version`, and `is_current`.
+    *
+    * Equal-timestamp updates are kept as distinct zero-length versions
+    * (deterministic via the tieCol order) rather than silently merged —
+    * an auditable history never drops a recorded change.
+    *
+    * Execution shape: both window passes (change detection, interval
+    * close) share one partitioning on the key — ONE shuffle of
+    * fixed-width rows, per-key sorts parallelize across keys, nothing
+    * is quadratic in versions. The naive per-row "next change" subquery
+    * this replaces re-scans the history per update. */
+  def scd2History(updates: DataFrame, keys: Seq[String], tsCol: String,
+                  attrCol: String, tieCol: String): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col(tsCol), col(tieCol))
+    updates
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn("valid_to_us",
+        coalesce(lead(unix_micros(col(tsCol)), 1).over(w),
+          lit(OpenIntervalUs)))
+      .withColumn("is_current",
+        (col("valid_to_us") === OpenIntervalUs).cast("int"))
+      .drop("__prev")
+  }
 }

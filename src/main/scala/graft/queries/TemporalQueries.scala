@@ -50,7 +50,41 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** SCD type-2 dimension history over the event stream
+    * ([[Temporal.scd2History]]): each user's event_type treated as a
+    * tracked attribute — every change becomes a version row with an
+    * exclusive validity interval, consecutive duplicates collapsed,
+    * current row flagged. The warehouse companion of `dedup_latest`
+    * (which keeps only the newest value). All-integer output
+    * (epoch micros + the open-interval sentinel), so the hash gate is
+    * exact. */
+  def scd2Q(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    Temporal.scd2History(ev, Seq("user_id"), "ts", "event_type", "event_id")
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("scd2_history", scd2Q, Some(s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us, event_id
+                 FROM events),
+      c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, event_type, us, event_id FROM c
+            WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id, event_type,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   us AS valid_from_us,
+                   coalesce(lead(us) OVER w, ${Temporal.OpenIntervalUs}) AS valid_to_us
+            FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, version, event_type,
+             CAST(valid_from_us AS BIGINT) AS valid_from_us,
+             CAST(valid_to_us AS BIGINT) AS valid_to_us,
+             CAST(CASE WHEN valid_to_us = ${Temporal.OpenIntervalUs} THEN 1 ELSE 0 END AS INT) AS is_current
+      FROM v ORDER BY user_id, version""")),
     GQuery("asof_join", asofQ, Some("""
       WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts
                  FROM events WHERE event_type = 'purchase'),

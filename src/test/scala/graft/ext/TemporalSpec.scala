@@ -97,4 +97,29 @@ class TemporalSpec extends SparkSpec {
     got.length shouldBe got.toSet.size // no duplicate pair from the bucket explode
     got.toSet shouldBe naive
   }
+
+  test("scd2History: consecutive duplicates collapse, intervals chain exclusively, re-appearing value is a new version") {
+    // key 1: A@10, A@20 (collapsed), B@30, A@40 — three versions; key 2:
+    // a single row stays open; equal-ts updates keep tieCol order
+    val df = Seq(
+      (1L, "A", ts(10), 100L), (1L, "A", ts(20), 101L),
+      (1L, "B", ts(30), 102L), (1L, "A", ts(40), 103L),
+      (2L, "X", ts(5), 104L)
+    ).toDF("k", "attr", "ts", "id")
+    val got = Temporal.scd2History(df, Seq("k"), "ts", "attr", "id")
+      .select("k", "version", "attr", "valid_from_us", "valid_to_us", "is_current")
+      .as[(Long, Long, String, Long, Long, Int)].collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array(
+      (1L, 1L, "A", 10000000L, 30000000L, 0),
+      (1L, 2L, "B", 30000000L, 40000000L, 0),
+      (1L, 3L, "A", 40000000L, Temporal.OpenIntervalUs, 1),
+      (2L, 1L, "X", 5000000L, Temporal.OpenIntervalUs, 1))
+    // interval chain property: version n's end = version n+1's start
+    got.groupBy(_._1).values.foreach { vs =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => a._5 shouldBe b._4
+        case _ =>
+      }
+    }
+  }
 }
