@@ -112,6 +112,35 @@ class PlanSpec extends SparkSpec {
     "bounded_top_k".r.findAllIn(p).size should be >= 1
   }
 
+  test("scd2_history: change-detect and interval-close windows share ONE key shuffle; no join anywhere") {
+    val df = TemporalQueries.scd2Q(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "Join"
+    // both window passes partition on user_id — adjacent same-key
+    // windows must collapse onto a single hashpartitioning exchange
+    // (the only other exchange is the output sort's rangepartitioning);
+    // count the FINAL plan section only — AQE's toString appends the
+    // initial plan, which would double every occurrence
+    val pFinal = p.split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(pFinal).size shouldBe 1
+    p should include("Window")
+  }
+
+  test("text_quality_classifier: token-key aggregation equi-joins; only 1-row totals/prior frames nested-loop") {
+    val df = TextQueries.qualityClassifierQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    p should not include "CartesianProduct"
+    // scoring joins weights on the token key; doc join on doc_id
+    p should include("hashpartitioning")
+    // the nested loops are exactly the two broadcast 1-row scalar
+    // frames (class totals crossJoin, prior crossJoin); count the final
+    // plan section only (AQE toString appends the initial plan)
+    "BroadcastNestedLoopJoin".r
+      .findAllIn(p.split("== Initial Plan ==")(0)).size should be <= 2
+  }
+
   test("ann_graph_search: beam hops are equi-joins on the edge list; probe frames broadcast; beam on the bounded heap") {
     val df = SimilarityQueries.graphSearchQ(spark, dir)
     df.collect()
