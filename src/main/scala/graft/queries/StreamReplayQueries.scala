@@ -336,7 +336,73 @@ object StreamReplayQueries {
       .orderBy("event_id")
   }
 
+  private val Scd2Cap = 2000L // events through the SCD2 replay (3 chunks)
+
+  /** STREAMING SCD2 replayed through the real
+    * [[Pipeline.scd2Stream]] state machine: the event subset is fed in
+    * GLOBAL (ts, event_id) order split over three micro-batches, so
+    * versions opened in one batch close in a later one — every closed
+    * row whose open/close straddles a chunk boundary proves cross-batch
+    * `flatMapGroupsWithState` state. Output = the CLOSED versions,
+    * which must equal the batch [[graft.ext.Temporal.scd2History]]
+    * minus its open rows — the oracle replays exactly that. */
+  def scd2Replay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val sample = Tables.events(spark, dir)
+      .filter(col("event_id") < Scd2Cap)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
+      .collect()
+      .sortBy(r => (r._3.getTime, r._4)) // global event-time order
+    SimilarityQueries.requireBoundedReplay(sample.length,
+      4 * Scd2Cap.toInt, "scd2Replay sample")
+    val per = math.max(1, sample.length / 3 + 1)
+    val chunks = sample.grouped(per).toSeq
+
+    val source = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val out = Pipeline.scd2Stream(
+      source.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+    val table = s"replay_scd2_${runId.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(table)
+      .outputMode("append")
+      .start()
+    try {
+      chunks.foreach { c =>
+        source.addData(c)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(table)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    // the streaming state machine must reproduce the batch SCD2 history
+    // exactly, minus the still-open rows that live in state
+    GQuery("stream_scd2_replay", scd2Replay, Some(s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us, event_id
+                 FROM events WHERE event_id < $Scd2Cap),
+      c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+            FROM e),
+      f AS (SELECT user_id, event_type, us, event_id FROM c
+            WHERE prev IS NULL OR prev <> event_type),
+      v AS (SELECT user_id, event_type,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   us AS valid_from_us,
+                   lead(us) OVER w AS valid_to_us
+            FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      SELECT user_id, version, event_type,
+             CAST(valid_from_us AS BIGINT) AS valid_from_us,
+             CAST(valid_to_us AS BIGINT) AS valid_to_us,
+             CAST(0 AS INT) AS is_current
+      FROM v WHERE valid_to_us IS NOT NULL
+      ORDER BY user_id, version""")),
     GQuery("stream_dedup_ttl_replay", dedupTtlReplay, Some(s"""
       SELECT event_id, user_id, event_type, value,
              epoch_us(ts::TIMESTAMP) AS ts_us

@@ -106,6 +106,56 @@ object Pipeline {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  final case class Scd2Update(user_id: Long, event_type: String,
+                              ts_us: Long, event_id: Long)
+  final case class Scd2Version(user_id: Long, version: Long, event_type: String,
+                               valid_from_us: Long, valid_to_us: Long,
+                               is_current: Int)
+
+  /** STREAMING SCD2 — the incremental twin of
+    * [[graft.ext.Temporal.scd2History]]: per key the state is exactly
+    * the OPEN version (attr, valid_from, version counter), and a
+    * micro-batch emits a CLOSED version row the moment the tracked
+    * attribute changes — append mode, so history rows are immutable
+    * once emitted (the warehouse contract). Consecutive duplicates
+    * collapse without emitting, same as the batch op; within-batch
+    * arrival order is pinned by sorting each group's slice on
+    * (ts, event_id), and cross-batch ordering is the source's
+    * responsibility (the replay feeds global event-time order — late
+    * data that would REWRITE closed history is exactly what SCD2
+    * forbids, and belongs to the batch recompute path).
+    * State is O(live keys) × fixed width; versions never accumulate in
+    * state (only the open one lives there — the closed ones left as
+    * output). */
+  def scd2Stream(updates: DataFrame): Dataset[Scd2Version] = {
+    import updates.sparkSession.implicits._
+    updates
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Scd2Update]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long), Scd2Version](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Scd2Update],
+         state: GroupState[(String, Long, Long)]) =>
+          var cur = state.getOption // (attr, fromUs, version)
+          val out = Seq.newBuilder[Scd2Version]
+          batch.toSeq.sortBy(u => (u.ts_us, u.event_id)).foreach { u =>
+            cur match {
+              case None =>
+                cur = Some((u.event_type, u.ts_us, 1L))
+              case Some((attr, from, v)) if attr != u.event_type =>
+                out += Scd2Version(uid, v, attr, from, u.ts_us, 0)
+                cur = Some((u.event_type, u.ts_us, v + 1))
+              case _ => () // consecutive duplicate: collapse, no emit
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** A3 streaming twin: per-window global totals. */
   def minuteTotals(events: DataFrame, cfg: StreamConfig = StreamConfig()): DataFrame =
     events

@@ -461,6 +461,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2: version opened in one batch closes in a later one; duplicates collapse; version counter survives batches") {
+    def ts(hhmmss: String) = java.sql.Timestamp.from(Instant.parse(s"2024-11-19T${hhmmss}Z"))
+    def us(hhmmss: String) = Instant.parse(s"2024-11-19T${hhmmss}Z").toEpochMilli * 1000L
+    val in = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val out = Pipeline.scd2Stream(
+      in.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+    val q = out.writeStream.format("memory").queryName("scd2_stream")
+      .outputMode(OutputMode.Append()).start()
+    def rows = spark.table("scd2_stream")
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"))
+      .as[(Long, Long, String, Long, Long)].collect().toSeq.sorted
+    try {
+      // batch 1: user 1 opens version 1 = A (plus a collapsing duplicate)
+      in.addData((1L, "A", ts("10:00:00"), 1L), (1L, "A", ts("10:00:05"), 2L))
+      q.processAllAvailable()
+      rows shouldBe Seq.empty // nothing closed yet — version 1 lives in state
+      // batch 2: the change to B closes version 1 ACROSS the batch gap
+      in.addData((1L, "B", ts("10:01:00"), 3L))
+      q.processAllAvailable()
+      rows shouldBe Seq((1L, 1L, "A", us("10:00:00"), us("10:01:00")))
+      // batch 3: back to A — version counter continued from state (v2 closes)
+      in.addData((1L, "A", ts("10:02:00"), 4L))
+      q.processAllAvailable()
+      rows shouldBe Seq(
+        (1L, 1L, "A", us("10:00:00"), us("10:01:00")),
+        (1L, 2L, "B", us("10:01:00"), us("10:02:00")))
+    } finally q.stop()
+  }
+
   test("streaming curation funnel: gates, cross-batch dedup, and hash sample route every doc") {
     // same portable hash as the batch funnel — used to pick planted ids
     // on each side of the 50% sample split instead of hardcoding
