@@ -162,6 +162,30 @@ object SimilarityQueries {
       beam = GraphBeam, hops = GraphHops))
   }
 
+  /** APPEND-ONLY GRAPH UPSERT — the kNN-graph family's arrival story,
+    * the same LSM discipline the IVF index uses (delta generations, no
+    * in-place rewrites): new vectors [UpsertSplit, ∞) get their
+    * out-edges by beam-searching the BASE graph (vectors
+    * [0, UpsertSplit)), and base out-edges stay untouched — stale by
+    * design until the next rebuild, exactly like IVF lists between
+    * compactions (new↔new edges resolve then too). Cost per arrival is
+    * one bounded beam walk — no NN-Descent rounds, no corpus scan
+    * beyond the hop joins. Output = merged edge list tagged by tier. */
+  def annGraphUpsertQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.filter(col("vec_id") < UpsertSplit)
+    val delta = e.filter(col("vec_id") >= UpsertSplit)
+    val g = Similarity.knnGraph(base, GraphK, GraphRounds)
+    val newEdges = Similarity.graphSearchOn(g, base, delta, k = GraphK,
+        beam = GraphBeam, hops = GraphHops)
+      .select(col("probe_id").as("vec_id"), col("neighbor_id"), col("cos_sim"))
+    g.withColumn("tier", lit("base"))
+      .unionByName(newEdges.withColumn("tier", lit("delta")))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("tier"))
+      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+  }
+
   /** recall@K of the graph search against the exact top-K — the
     * [[annRecall]] measurement for the graph method, kept as its own
     * query so the NN-Descent build cost stays attributable to the graph
@@ -200,7 +224,12 @@ object SimilarityQueries {
     * trajectory (bucket+ring init, two symmetrize→two-hop→re-rank
     * rounds), ending at CTE `g2` with `vv` (double vectors) in scope —
     * reused by `ann_knn_graph` and `emb_semdedup_graph`. */
-  private lazy val knnGraphCtes: String = {
+  private lazy val knnGraphCtes: String = knnGraphCtesOver("embeddings")
+
+  /** [[knnGraphCtes]] generalized over the vector source relation —
+    * `ann_graph_upsert` replays the base-subset graph by passing a
+    * filtered sub-select. */
+  private def knnGraphCtesOver(src: String): String = {
     val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
     def round(gIn: String, uName: String, cName: String, gName: String) = s"""
       $uName AS (SELECT DISTINCT src, dst FROM (
@@ -217,7 +246,7 @@ object SimilarityQueries {
           FROM $cName c JOIN vv vs ON vs.vec_id = c.src
                JOIN vv vd ON vd.vec_id = c.dst)
         WHERE rk <= $GraphK)"""
-    s"""vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s"""vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM $src),
       -- bucket cap mirrors Similarity.knnGraph's init guard (never
       -- fires at fixture occupancy ~n/16, present for faithfulness)
       bkt AS (SELECT vec_id, embedding, bucket FROM (
@@ -225,7 +254,7 @@ object SimilarityQueries {
                        count(*) OVER (PARTITION BY bucket) AS n
                 FROM (SELECT vec_id, embedding,
                              ${duckBucket("embedding", planes)} AS bucket
-                      FROM embeddings))
+                      FROM $src))
               WHERE n <= 1000),
       binit AS (SELECT src, dst FROM (
           SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -236,8 +265,8 @@ object SimilarityQueries {
           FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
         WHERE rk <= $GraphK),
       ring AS (SELECT s.vec_id AS src, s.vec_id + o.o AS dst
-               FROM embeddings s, (SELECT unnest([1, 2]) AS o) o
-               WHERE EXISTS (SELECT 1 FROM embeddings d
+               FROM $src s, (SELECT unnest([1, 2]) AS o) o
+               WHERE EXISTS (SELECT 1 FROM $src d
                              WHERE d.vec_id = s.vec_id + o.o)),
       g0 AS (SELECT DISTINCT src, dst FROM
                (SELECT * FROM binit UNION ALL SELECT * FROM ring)),
@@ -250,7 +279,14 @@ object SimilarityQueries {
     * hops ending at CTE `gf2` (per-probe beam of [[GraphBeam]] ids).
     * Mirrors the engine exactly: expand = frontier ∪ out-neighbors,
     * self excluded, rank by exact double cosine with id tie-breaks. */
-  private lazy val graphSearchCtes: String = {
+  private lazy val graphSearchCtes: String =
+    graphSearchCtesOver("embeddings", s"vec_id < $NProbes")
+
+  /** [[graphSearchCtes]] generalized: graph + entries from `src`,
+    * probes = rows of `src`'s base table matching `probePred` — but
+    * scored/expanded against the `src` graph only (append-only upsert
+    * semantics: new nodes link INTO the base graph). */
+  private def graphSearchCtesOver(src: String, probePred: String): String = {
     val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
     def hop(fIn: String, xName: String, fName: String) = s"""
       $xName AS (SELECT DISTINCT probe_id, node FROM (
@@ -266,11 +302,12 @@ object SimilarityQueries {
                JOIN gpr p ON p.probe_id = x.probe_id
           WHERE x.node <> x.probe_id)
         WHERE rk <= $GraphBeam)"""
-    s"""$knnGraphCtes,
-      gpr AS (SELECT vec_id AS probe_id, e AS pe FROM vv WHERE vec_id < $NProbes),
+    s"""${knnGraphCtesOver(src)},
+      gpr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+              FROM embeddings WHERE $probePred),
       gent AS (SELECT min(vec_id) AS node FROM (
           SELECT vec_id, ${duckBucket("embedding", planes)} AS bucket
-          FROM embeddings) GROUP BY bucket),
+          FROM $src) GROUP BY bucket),
       gf0 AS (SELECT p.probe_id, en.node FROM gpr p, gent en),
       ${hop("gf0", "gx1", "gf1")},
       ${hop("gf1", "gx2", "gf2")}"""
@@ -1277,6 +1314,33 @@ object SimilarityQueries {
     // the PERSISTED graph tier must serve byte-identically to the
     // in-query build — same oracle, the ann_index_pq pattern
     GQuery("ann_index_graph", annIndexGraphQ, Some(graphSearchOracle)),
+    // append-only upsert: base graph over [0, split) + delta out-edges
+    // from the beam walk — the oracle replays the subset graph and both
+    // hops with the delta rows as probes
+    GQuery("ann_graph_upsert", annGraphUpsertQ, Some {
+      val ctes = graphSearchCtesOver(
+        s"(SELECT * FROM embeddings WHERE vec_id < $UpsertSplit)",
+        s"vec_id >= $UpsertSplit")
+      s"""
+      WITH $ctes,
+      basee AS (SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
+                       ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim,
+                       'base' AS tier
+                FROM g2 JOIN vv vs ON vs.vec_id = g2.src
+                     JOIN vv vd ON vd.vec_id = g2.dst),
+      deltae AS (SELECT probe_id AS vec_id, node AS neighbor_id, cos_sim,
+                        'delta' AS tier FROM (
+          SELECT f.probe_id, f.node,
+                 ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY f.probe_id
+                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+          FROM gf2 f JOIN vv n ON n.vec_id = f.node
+               JOIN gpr p ON p.probe_id = f.probe_id)
+        WHERE rk <= $GraphK)
+      SELECT vec_id, neighbor_id, cos_sim, tier FROM (
+        SELECT * FROM basee UNION ALL SELECT * FROM deltae)
+      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
+    }),
     // graph-search recall@K vs the exact ground truth — the graph
     // family's ann_recall row, priced separately on purpose
     GQuery("ann_graph_recall", annGraphRecall, Some(s"""
