@@ -163,6 +163,22 @@ object ScaleBench {
         // whole op, so us/doc must be flat across scales
         "scrub" -> (() =>
           docs.select(col("doc_id"), md5(Text.scrub(col("text"))).as("m"))),
+        // trained NB quality classifier: one token-key shuffle for the
+        // class counts + the vocabulary-join scoring pass — us/doc must
+        // stay ~flat (work is linear in token occurrences; the weight
+        // table grows with vocabulary, not corpus, on this dup-heavy
+        // corpus it is constant across scales)
+        "quality_classifier" -> (() => Text.nbQualityClassifier(docs)),
+        // SCD2 history over synthesized per-key update chains: key =
+        // doc_id mod n (so scale k gives k updates per key), attribute
+        // from the text hash — per-key window sorts parallelize across
+        // keys, us/doc must stay ~flat as chains deepen
+        "scd2" -> (() => graft.ext.Temporal.scd2History(
+          docs.select(pmod(col("doc_id"), lit(n)).as("k"),
+            pmod(xxhash64(col("text")), lit(5)).cast("string").as("attr"),
+            timestamp_micros(col("doc_id") * lit(1000000L)).as("ts"),
+            col("doc_id").as("id")),
+          Seq("k"), "ts", "attr", "id")),
         // Lloyd k-means (2 rounds, k=8) over hashed pseudo-embeddings
         // derived from the text: per round the corpus sees one broadcast
         // assignment map + a k×dim-cell mean aggregate — must stay linear
