@@ -161,6 +161,62 @@ object Text {
       .drop("__cum")
   }
 
+  /** DISTRIBUTED BPE MERGE TRAINING (Sennrich et al. 2016 — the
+    * tokenizer-learning op itself, not just token counting): learn the
+    * first `merges` byte-pair merges from the corpus, exactly the
+    * classic algorithm on the WORD-FREQUENCY table (BPE trains on word
+    * types weighted by frequency, so after the one corpus-wide
+    * tokenize+count shuffle every round runs on a VOCABULARY-sized
+    * frame — the property that makes this tractable at 100 TB: corpus
+    * size prices one aggregation, merge rounds price |vocab|).
+    *
+    * Per round: adjacent symbol pairs from each word's space-delimited
+    * symbol string (the [[ngrams]] zip, freq-weighted), one pair-key
+    * aggregation, argmax via distributed sort-limit (count desc, then
+    * pair text — the deterministic tie-break), and the merge applied
+    * with plain `replace(' a b ' → ' ab ')` over the space-wrapped
+    * symbol strings. Both engines' `replace` scans leftmost
+    * non-overlapping and resumes after the match, so a run like
+    * "a b a b" merges its second occurrence next round — identical
+    * trajectories, hash-provable. Words are re-checkpointed every round
+    * (referenced twice per round: pair counting + merge application —
+    * the CC lineage discipline).
+    *
+    * Returns the learned merge table: (merge_rank, left_sym, right_sym,
+    * pair_count), `merges` rows in learning order. */
+  def bpeTrain(docsDf: DataFrame, merges: Int = 8,
+               textCol: String = "text"): DataFrame = {
+    var words = docsDf
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "),
+          lit("</w> ")).as("syms"))
+      .localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to merges) {
+      val pairs = words
+        .select(col("freq"), explode(ngrams(split(trim(col("syms")), " "))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+      // argmax by TakeOrdered (distributed sort-limit), never a global
+      // single-partition window
+      val best = pairs.orderBy(col("n").desc, col("pair")).limit(1)
+        .localCheckpoint(true)
+      val ranked = best.withColumn("merge_rank", lit(r))
+      out = if (out == null) ranked else out.unionByName(ranked)
+      words = words
+        .crossJoin(broadcast(best.select(col("pair").as("__p"))))
+        .select(col("word"), col("freq"),
+          expr("replace(syms, concat(' ', __p, ' '), " +
+            "concat(' ', replace(__p, ' ', ''), ' '))").as("syms"))
+        .localCheckpoint(true)
+    }
+    out.select(col("merge_rank"),
+      split(col("pair"), " ").getItem(0).as("left_sym"),
+      split(col("pair"), " ").getItem(1).as("right_sym"),
+      col("n").as("pair_count"))
+  }
+
   /** TRAINED QUALITY CLASSIFIER (the fastText-style bootstrap every LLM
     * data pipeline runs: seed labels from a cheap heuristic, train a
     * linear bag-of-words model, apply it at corpus scale): multinomial

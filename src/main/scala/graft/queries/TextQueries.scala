@@ -126,6 +126,19 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  private val BpeMerges = 8
+
+  /** BPE merge training ([[Text.bpeTrain]] — the tokenizer-learning op:
+    * first [[BpeMerges]] merges from the corpus word-frequency table,
+    * freq-weighted pair counts, lexicographic tie-breaks). The oracle
+    * unrolls every round (the `knnGraphCtes` discipline): pair
+    * extraction, argmax, and the space-wrapped `replace` application
+    * replay identically in DuckDB, so the learned merge table is a full
+    * hash gate. */
+  def bpeTrainQ(spark: SparkSession, dir: String): DataFrame =
+    Text.bpeTrain(Tables.documents(spark, dir), merges = BpeMerges)
+      .orderBy("merge_rank")
+
   /** Trained quality classifier ([[Text.nbQualityClassifier]] — the
     * fastText-style bootstrap: heuristic seed labels → Laplace-smoothed
     * multinomial NB → corpus-scale scoring; see the Scaladoc for the
@@ -597,6 +610,37 @@ object TextQueries {
       SELECT s.doc_id, s.lang, ROUND(s.score, 6) AS score, c.cut,
              CAST(CASE WHEN ROUND(s.score, 6) >= c.cut THEN 1 ELSE 0 END AS INT) AS kept
       FROM s JOIN c USING (lang) ORDER BY s.doc_id""")),
+    // BPE merge learning: every round unrolled — pair counts, argmax
+    // with (count desc, pair) tie-break, space-wrapped replace apply
+    GQuery("text_bpe_train", bpeTrainQ, Some {
+      def round(wIn: String, pr: String, b: String, wOut: String) = s"""
+      $pr AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+          SELECT freq, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i + 1])) AS pair
+          FROM (SELECT freq, string_split(trim(syms), ' ') AS l FROM $wIn))
+        GROUP BY 1),
+      $b AS (SELECT pair, n FROM $pr ORDER BY n DESC, pair LIMIT 1),
+      $wOut AS (SELECT word, freq,
+                  replace(syms, ' ' || b.pair || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' ') AS syms
+                FROM $wIn, $b b)"""
+      val rounds = (1 to BpeMerges)
+        .map(r => round(s"w${r - 1}", s"pr$r", s"b$r", s"w$r")).mkString(",")
+      val sel = (1 to BpeMerges).map(r =>
+        s"SELECT $r AS merge_rank, pair, n FROM b$r").mkString(" UNION ALL ")
+      s"""
+      WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                             || '</w> ' AS syms
+                  FROM (SELECT unnest($duckToks) AS word FROM documents)
+                  GROUP BY word),
+      $rounds
+      SELECT CAST(merge_rank AS INT) AS merge_rank,
+             string_split(pair, ' ')[1] AS left_sym,
+             string_split(pair, ' ')[2] AS right_sym,
+             n AS pair_count
+      FROM ($sel) ORDER BY merge_rank"""
+    }),
     // trained quality classifier: exact-integer counts → 6-dp-rounded
     // DECIMAL weights → exact decimal score sums (order-independent)
     GQuery("text_quality_classifier", qualityClassifierQ, Some(s"""

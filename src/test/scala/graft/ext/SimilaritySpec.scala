@@ -260,6 +260,29 @@ class SimilaritySpec extends SparkSpec {
       hops = 2, graphK = 5, graphRounds = 2, dim = dim)) shouldBe gk
   }
 
+  test("graph upsert shape: base edges unchanged, delta nodes link into base only with full out-degree") {
+    val rng = new scala.util.Random(37)
+    val dim = 32
+    val all = (0L until 50L).map(i =>
+      (i, Seq.fill(dim)(rng.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 40)
+    val delta = all.filter(col("vec_id") >= 40)
+    val g = Similarity.knnGraph(base, k = 5, rounds = 2, dim = dim)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val newEdges = Similarity.graphSearchOn(g, base, delta, k = 5,
+      beam = 10, hops = 2, dim = dim)
+      .select(col("probe_id").as("vec_id"), col("neighbor_id"))
+    val ne = key(newEdges)
+    // every delta node gets exactly k out-edges, all into the base set
+    ne.groupBy(_._1).view.mapValues(_.size).toMap.values.toSet shouldBe Set(5)
+    ne.map(_._1).toSet shouldBe (40L until 50L).toSet
+    ne.foreach { case (_, n) => n should be < 40L }
+    // the base graph is untouched by construction (append-only): the
+    // merged edge list is the disjoint union
+    (key(g) & ne) shouldBe empty
+  }
+
   test("graphSearchIndexed: persisted tier serves exactly like the in-query build; marker gates") {
     val rng = new scala.util.Random(31)
     val dim = 32

@@ -80,6 +80,24 @@ class TextSpec extends SparkSpec {
     fp("hello world") should not be fp("world hello")
   }
 
+  test("bpeTrain: classic merge trajectory on a planted corpus — leftmost non-overlap, lexicographic tie-breaks, deterministic") {
+    val df = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    // word table: aaab freq=3, syms " a a a b </w> "
+    // r1: (a,a)×2 + (a,b) + (b,</w>) → "a a" n=6; leftmost-non-overlap
+    //     apply → " aa a b </w> " (the second a-a waits a round)
+    // r2: (aa,a),(a,b),(b,</w>) all n=3 → tie → "a b" (space < 'a')
+    // r3: (aa,ab),(ab,</w>) n=3 → tie → "aa ab" → " aaab </w> "
+    val got = Text.bpeTrain(df, merges = 3)
+      .select("merge_rank", "left_sym", "right_sym", "pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    got shouldBe Array((1, "a", "a", 6L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 3L))
+    // bit-deterministic re-run
+    Text.bpeTrain(df, merges = 3)
+      .select("merge_rank", "left_sym", "right_sym", "pair_count")
+      .as[(Int, String, String, Long)].collect().sortBy(_._1) shouldBe got
+  }
+
   test("nbQualityClassifier: planted vocabularies separate; model generalizes past the length cue; deterministic") {
     // positive seed class: 50 content tokens drawn from vocab A (no
     // stopwords → label 1); negative seed class: 8 tokens from vocab B
