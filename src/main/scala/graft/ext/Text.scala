@@ -185,7 +185,15 @@ object Text {
     * Returns the learned merge table: (merge_rank, left_sym, right_sym,
     * pair_count), `merges` rows in learning order. */
   def bpeTrain(docsDf: DataFrame, merges: Int = 8,
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text"): DataFrame =
+    bpeTrainLoop(docsDf, merges, textCol)._1
+
+  /** The shared train loop — returns (merge table, final merged word
+    * vocabulary). [[bpeSegments]] reads the second element: applying a
+    * learned tokenizer IS the final state of training it, so the apply
+    * path replays the identical trajectory and stays hash-provable. */
+  private def bpeTrainLoop(docsDf: DataFrame, merges: Int,
+                           textCol: String): (DataFrame, DataFrame) = {
     var words = docsDf
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
@@ -211,10 +219,31 @@ object Text {
             "concat(' ', replace(__p, ' ', ''), ' '))").as("syms"))
         .localCheckpoint(true)
     }
-    out.select(col("merge_rank"),
+    (out.select(col("merge_rank"),
       split(col("pair"), " ").getItem(0).as("left_sym"),
       split(col("pair"), " ").getItem(1).as("right_sym"),
-      col("n").as("pair_count"))
+      col("n").as("pair_count")), words)
+  }
+
+  /** BPE APPLY: segment the corpus with the learned merges and report
+    * the resulting subword inventory — (unit, n_words it appears in
+    * weighted by freq = total corpus occurrences, n_types). The apply
+    * path is vocabulary-priced like training: the merged symbol strings
+    * already exist as training's final state, so segmentation is one
+    * explode over the vocab table — a document's subword sequence is
+    * its words' sequences concatenated, so corpus-level unit counts
+    * need no second pass over the documents. Top `limit` units by
+    * (count desc, unit). */
+  def bpeSegments(docsDf: DataFrame, merges: Int = 8, limit: Int = 20,
+                  textCol: String = "text"): DataFrame = {
+    val words = bpeTrainLoop(docsDf, merges, textCol)._2
+    words
+      .select(col("freq"), explode(split(trim(col("syms")), " ")).as("unit"))
+      .groupBy("unit")
+      .agg(sum(col("freq")).as("n_occurrences"),
+        count(lit(1)).as("n_types"))
+      .orderBy(col("n_occurrences").desc, col("unit"))
+      .limit(limit)
   }
 
   /** TRAINED QUALITY CLASSIFIER (the fastText-style bootstrap every LLM

@@ -139,6 +139,13 @@ object TextQueries {
     Text.bpeTrain(Tables.documents(spark, dir), merges = BpeMerges)
       .orderBy("merge_rank")
 
+  /** BPE applied ([[Text.bpeSegments]]): the corpus's top-20 subword
+    * units after the learned merges — the segmentation a trained
+    * tokenizer produces, derived from training's final vocab state so
+    * the whole trajectory stays one hash gate. */
+  def bpeSegmentsQ(spark: SparkSession, dir: String): DataFrame =
+    Text.bpeSegments(Tables.documents(spark, dir), merges = BpeMerges)
+
   /** Trained quality classifier ([[Text.nbQualityClassifier]] — the
     * fastText-style bootstrap: heuristic seed labels → Laplace-smoothed
     * multinomial NB → corpus-scale scoring; see the Scaladoc for the
@@ -640,6 +647,35 @@ object TextQueries {
              string_split(pair, ' ')[2] AS right_sym,
              n AS pair_count
       FROM ($sel) ORDER BY merge_rank"""
+    }),
+    // BPE apply: the final merged vocab (w8) segmented — unit counts
+    // weighted by word freq, top-20 with (count desc, unit) order
+    GQuery("text_bpe_segments", bpeSegmentsQ, Some {
+      def round(wIn: String, pr: String, b: String, wOut: String) = s"""
+      $pr AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+          SELECT freq, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i + 1])) AS pair
+          FROM (SELECT freq, string_split(trim(syms), ' ') AS l FROM $wIn))
+        GROUP BY 1),
+      $b AS (SELECT pair, n FROM $pr ORDER BY n DESC, pair LIMIT 1),
+      $wOut AS (SELECT word, freq,
+                  replace(syms, ' ' || b.pair || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' ') AS syms
+                FROM $wIn, $b b)"""
+      val rounds = (1 to BpeMerges)
+        .map(r => round(s"w${r - 1}", s"pr$r", s"b$r", s"w$r")).mkString(",")
+      s"""
+      WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                             || '</w> ' AS syms
+                  FROM (SELECT unnest($duckToks) AS word FROM documents)
+                  GROUP BY word),
+      $rounds
+      SELECT unit, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM (SELECT freq, unnest(string_split(trim(syms), ' ')) AS unit
+            FROM w$BpeMerges)
+      GROUP BY unit ORDER BY n_occurrences DESC, unit LIMIT 20"""
     }),
     // trained quality classifier: exact-integer counts → 6-dp-rounded
     // DECIMAL weights → exact decimal score sums (order-independent)
