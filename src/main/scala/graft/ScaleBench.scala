@@ -252,6 +252,16 @@ object ScaleBench {
       // (reps=1): the rounds run eager lineage checkpoints during
       // construction, so the generic timeOp would price only the final
       // stage (the CC rule).
+      // BPE merge training: the init shuffle is corpus-priced, the 8
+      // merge rounds are VOCABULARY-priced — on this dup-heavy corpus
+      // the vocabulary barely grows with k (copies add one suffix token
+      // family), so total sec must flatten toward the round floor while
+      // us/doc falls ~k×. timeOpFull: per-round eager checkpoints.
+      if (on("bpe_train")) {
+        val bpeSec = timeOpFull(Text.bpeTrain(docs, merges = 8), reps = 1)
+        println(f"""{"metric":"scale","op":"bpe_train","scale":$k,"docs":$nd,"merges":8,"sec":$bpeSec%.3f,"us_per_doc":${bpeSec * 1e6 / nd}%.2f}""")
+      }
+
       if (on("knn_graph")) {
       val kgSec = timeOpFull({
         val vecs = docs.select(col("doc_id").as("vec_id"),
