@@ -141,6 +141,29 @@ class PlanSpec extends SparkSpec {
       .findAllIn(p.split("== Initial Plan ==")(0)).size should be <= 2
   }
 
+  test("text_bpe_train: rounds ran from checkpointed frames; argmax is a TakeOrdered, never a single-partition window") {
+    val df = TextQueries.bpeTrainQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // each round's argmax executed eagerly inside the loop (the
+    // checkpoint discipline), so the FINAL plan is just the 8 best
+    // frames as LogicalRDD leaves + the output sort — proving the
+    // rounds were truncated, not re-derived from the corpus scan
+    p should include("Scan ExistingRDD")
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    // the argmax op itself: audit the round's frame shape directly —
+    // sort-limit must plan as TakeOrderedAndProject (distributed
+    // per-partition top-1 + driver merge of 1 row per partition)
+    val pairs = graft.core.Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ext.Text.tokens(org.apache.spark.sql.functions.col("text"))).as("pair"))
+      .groupBy("pair").count()
+    val argmax = pairs.orderBy(org.apache.spark.sql.functions.col("count").desc,
+      org.apache.spark.sql.functions.col("pair")).limit(1)
+    argmax.queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
+
   test("ann_graph_search: beam hops are equi-joins on the edge list; probe frames broadcast; beam on the bounded heap") {
     val df = SimilarityQueries.graphSearchQ(spark, dir)
     df.collect()
