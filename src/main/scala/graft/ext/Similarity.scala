@@ -703,6 +703,41 @@ object Similarity {
       probes, k, beam, hops, nPlanes, dim, idCol, vecCol)
   }
 
+  /** Append one batch of arrivals to a persisted [[buildGraphIndex]]
+    * tier — the graph family's streaming-arrival path, the same
+    * append-only contract as [[upsertIvfIndex]]'s delta generations:
+    * each arrival's out-edges come from ONE bounded beam walk against
+    * the BASE tier ([[graphSearchOn]]), appended under `delta_edges`;
+    * base edges and the vector tier stay untouched (delta↔delta
+    * neighborhoods resolve at the next rebuild, exactly like IVF
+    * compaction). Per-probe beam searches are independent, so the
+    * merged result is IDENTICAL however arrivals are micro-batched —
+    * the property the streaming replay's shared oracle hash-proves. */
+  def upsertGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       batch: DataFrame, k: Int = 10, beam: Int = 20,
+                       hops: Int = 2, nPlanes: Int = 4, dim: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"upsertGraphIndex: no complete graph tier at $indexPath")
+    graphSearchOn(
+      spark.read.parquet(s"$indexPath/graph_edges"),
+      spark.read.parquet(s"$indexPath/vectors"),
+      batch, k, beam, hops, nPlanes, dim, idCol, vecCol)
+      .select(col("probe_id").as(idCol), col("neighbor_id"), col("cos_sim"))
+      .write.mode("append").parquet(s"$indexPath/delta_edges")
+  }
+
+  /** Remove a graph tier's delta edges (replay idempotence — the
+    * [[dropIvfDelta]] twin). */
+  def dropGraphDelta(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/delta_edges")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
   /** Completion marker for the PQ tier, written strictly AFTER both PQ
     * artifacts (codebooks + codes) — the [[IndexCompleteMarker]]
     * discipline applied to the tier: a crash between the two writes

@@ -186,6 +186,55 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
   }
 
+  /** STREAMING graph arrivals replayed through the persisted tier
+    * ([[Similarity.upsertGraphIndex]]): the [0, UpsertSplit) base tier
+    * is built once, then the delta vectors arrive as TWO real
+    * micro-batches whose `foreachBatch` each runs the bounded beam walk
+    * and appends delta edges — and the merged edge list must be
+    * IDENTICAL to the single-batch [[annGraphUpsertQ]], which the
+    * shared oracle hash-proves (per-probe searches are independent, so
+    * micro-batching cannot change any result — the exactly-the-batch
+    * answer contract `stream_ann_upsert_replay` pins for IVF). */
+  def streamGraphUpsertReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = indexRoot("graft_stream_graph_index", dir)
+    val e = Tables.embeddings(spark, dir)
+    if (!new java.io.File(s"$path/${Similarity.GraphCompleteMarker}").exists())
+      Similarity.buildGraphIndex(e.filter(col("vec_id") < UpsertSplit), path,
+        graphK = GraphK, graphRounds = GraphRounds)
+    Similarity.dropGraphDelta(spark, path)
+    val arrivals = e
+      .filter(col("vec_id") >= UpsertSplit)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    requireBoundedReplay(arrivals.length, 4 * UpsertSplit,
+      "streamGraphUpsertReplay arrivals")
+    val mid = arrivals(arrivals.length / 2)._1
+    val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
+      arrivals.filter(_._1 >= mid).toSeq)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = source.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.upsertGraphIndex(spark, path, batch, k = GraphK,
+          beam = GraphBeam, hops = GraphHops)
+        ()
+      }
+      .start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    spark.read.parquet(s"$path/graph_edges").withColumn("tier", lit("base"))
+      .unionByName(spark.read.parquet(s"$path/delta_edges")
+        .withColumn("tier", lit("delta")))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"), col("tier"))
+      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+  }
+
   /** recall@K of the graph search against the exact top-K — the
     * [[annRecall]] measurement for the graph method, kept as its own
     * query so the NN-Descent build cost stays attributable to the graph
@@ -311,6 +360,35 @@ object SimilarityQueries {
       gf0 AS (SELECT p.probe_id, en.node FROM gpr p, gent en),
       ${hop("gf0", "gx1", "gf1")},
       ${hop("gf1", "gx2", "gf2")}"""
+  }
+
+  /** Shared by `ann_graph_upsert` and `stream_graph_upsert_replay`:
+    * per-probe beam searches are independent, so the merged edge list
+    * is identical however arrivals are micro-batched — one oracle
+    * hash-proves both paths. */
+  private lazy val graphUpsertOracle: String = {
+    val ctes = graphSearchCtesOver(
+      s"(SELECT * FROM embeddings WHERE vec_id < $UpsertSplit)",
+      s"vec_id >= $UpsertSplit")
+    s"""
+      WITH $ctes,
+      basee AS (SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
+                       ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim,
+                       'base' AS tier
+                FROM g2 JOIN vv vs ON vs.vec_id = g2.src
+                     JOIN vv vd ON vd.vec_id = g2.dst),
+      deltae AS (SELECT probe_id AS vec_id, node AS neighbor_id, cos_sim,
+                        'delta' AS tier FROM (
+          SELECT f.probe_id, f.node,
+                 ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
+                 row_number() OVER (PARTITION BY f.probe_id
+                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+          FROM gf2 f JOIN vv n ON n.vec_id = f.node
+               JOIN gpr p ON p.probe_id = f.probe_id)
+        WHERE rk <= $GraphK)
+      SELECT vec_id, neighbor_id, cos_sim, tier FROM (
+        SELECT * FROM basee UNION ALL SELECT * FROM deltae)
+      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
   }
 
   /** Shared by `ann_graph_search` and its persisted-tier twin
@@ -1317,30 +1395,11 @@ object SimilarityQueries {
     // append-only upsert: base graph over [0, split) + delta out-edges
     // from the beam walk — the oracle replays the subset graph and both
     // hops with the delta rows as probes
-    GQuery("ann_graph_upsert", annGraphUpsertQ, Some {
-      val ctes = graphSearchCtesOver(
-        s"(SELECT * FROM embeddings WHERE vec_id < $UpsertSplit)",
-        s"vec_id >= $UpsertSplit")
-      s"""
-      WITH $ctes,
-      basee AS (SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
-                       ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim,
-                       'base' AS tier
-                FROM g2 JOIN vv vs ON vs.vec_id = g2.src
-                     JOIN vv vd ON vd.vec_id = g2.dst),
-      deltae AS (SELECT probe_id AS vec_id, node AS neighbor_id, cos_sim,
-                        'delta' AS tier FROM (
-          SELECT f.probe_id, f.node,
-                 ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
-                 row_number() OVER (PARTITION BY f.probe_id
-                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
-          FROM gf2 f JOIN vv n ON n.vec_id = f.node
-               JOIN gpr p ON p.probe_id = f.probe_id)
-        WHERE rk <= $GraphK)
-      SELECT vec_id, neighbor_id, cos_sim, tier FROM (
-        SELECT * FROM basee UNION ALL SELECT * FROM deltae)
-      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
-    }),
+    GQuery("ann_graph_upsert", annGraphUpsertQ, Some(graphUpsertOracle)),
+    // the STREAMING arrival path must produce the identical merged edge
+    // list however the arrivals are micro-batched — shared oracle
+    GQuery("stream_graph_upsert_replay", streamGraphUpsertReplay,
+      Some(graphUpsertOracle)),
     // graph-search recall@K vs the exact ground truth — the graph
     // family's ann_recall row, priced separately on purpose
     GQuery("ann_graph_recall", annGraphRecall, Some(s"""
