@@ -721,12 +721,42 @@ object Similarity {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker),
       s"upsertGraphIndex: no complete graph tier at $indexPath")
+    // vectors FIRST, then edges: a crash in between leaves vectors
+    // without edges — harmless (compaction rebuilds from vectors; the
+    // serving path reads only edges), where the reverse order would
+    // leave edges whose endpoints compaction then forgets
+    batch.select(col(idCol), col(vecCol))
+      .write.mode("append").parquet(s"$indexPath/delta_vectors")
     graphSearchOn(
       spark.read.parquet(s"$indexPath/graph_edges"),
       spark.read.parquet(s"$indexPath/vectors"),
       batch, k, beam, hops, nPlanes, dim, idCol, vecCol)
       .select(col("probe_id").as(idCol), col("neighbor_id"), col("cos_sim"))
       .write.mode("append").parquet(s"$indexPath/delta_edges")
+  }
+
+  /** COMPACT the graph tier: full NN-Descent rebuild over base ∪ delta
+    * vectors (so delta↔delta neighborhoods finally materialize and
+    * every stale base edge refreshes), then the delta generations are
+    * dropped — [[compactIvfIndex]]'s twin. After compaction the tier
+    * serves the graph [[knnGraph]] would build over the union corpus,
+    * which is exactly what the oracle replays. */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                        graphK: Int = 10, graphRounds: Int = 2,
+                        nPlanes: Int = 4, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // materialize the union BEFORE rebuilding: buildGraphIndex
+    // overwrites `vectors`, and Spark (rightly) refuses to overwrite a
+    // path an active plan still reads from
+    val all = spark.read.parquet(s"$indexPath/vectors")
+      .unionByName(spark.read.parquet(s"$indexPath/delta_vectors"))
+      .localCheckpoint(true)
+    val rebuilt = buildGraphIndex(all, indexPath, graphK, graphRounds,
+      nPlanes, dim, idCol, vecCol)
+    dropGraphDelta(spark, indexPath)
+    val dv = new org.apache.hadoop.fs.Path(s"$indexPath/delta_vectors")
+    dv.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dv, true)
+    rebuilt
   }
 
   /** Remove a graph tier's delta edges (replay idempotence — the

@@ -235,6 +235,33 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
   }
 
+  /** FULL graph-tier lifecycle: clean build over [0, UpsertSplit) →
+    * delta upsert of the rest → COMPACT
+    * ([[Similarity.compactGraphIndex]] — NN-Descent rebuild over
+    * base ∪ delta, so delta↔delta neighborhoods materialize and stale
+    * base edges refresh, then the deltas drop). After compaction the
+    * tier must hold exactly the graph [[Similarity.knnGraph]] builds
+    * over the whole corpus — the `ann_knn_graph` oracle hash-proves
+    * it. The tier directory is recreated per run: this query IS the
+    * lifecycle, the `ann_index_compact` convention. */
+  def annGraphCompactQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = indexRoot("graft_graph_compact_index", dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    val e = Tables.embeddings(spark, dir)
+    Similarity.buildGraphIndex(e.filter(col("vec_id") < UpsertSplit), path,
+      graphK = GraphK, graphRounds = GraphRounds)
+    Similarity.upsertGraphIndex(spark, path,
+      e.filter(col("vec_id") >= UpsertSplit),
+      k = GraphK, beam = GraphBeam, hops = GraphHops)
+    Similarity.compactGraphIndex(spark, path,
+      graphK = GraphK, graphRounds = GraphRounds)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+  }
+
   /** recall@K of the graph search against the exact top-K — the
     * [[annRecall]] measurement for the graph method, kept as its own
     * query so the NN-Descent build cost stays attributable to the graph
@@ -361,6 +388,18 @@ object SimilarityQueries {
       ${hop("gf0", "gx1", "gf1")},
       ${hop("gf1", "gx2", "gf2")}"""
   }
+
+  /** The full-corpus NN-Descent graph replay — shared by
+    * `ann_knn_graph` (the in-query build) and `ann_graph_compact`
+    * (the persisted tier after its build→upsert→compact lifecycle,
+    * which must converge to exactly this graph). */
+  private lazy val fullGraphOracle: String = s"""
+      WITH $knnGraphCtes
+      SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
+             ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim
+      FROM g2 JOIN vv vs ON vs.vec_id = g2.src
+           JOIN vv vd ON vd.vec_id = g2.dst
+      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
 
   /** Shared by `ann_graph_upsert` and `stream_graph_upsert_replay`:
     * per-probe beam searches are independent, so the merged edge list
@@ -1361,13 +1400,10 @@ object SimilarityQueries {
     GQuery("ann_index_pq", annIndexPqQ, Some(ivfPqOracle)),
     // deterministic NN-Descent kNN graph: the oracle replays the
     // bucket+ring init and both refinement rounds step for step
-    GQuery("ann_knn_graph", knnGraphQ, Some(s"""
-      WITH $knnGraphCtes
-      SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
-             ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim
-      FROM g2 JOIN vv vs ON vs.vec_id = g2.src
-           JOIN vv vd ON vd.vec_id = g2.dst
-      ORDER BY vec_id, cos_sim DESC, neighbor_id""")),
+    GQuery("ann_knn_graph", knnGraphQ, Some(fullGraphOracle)),
+    // post-compaction the tier holds exactly the full-corpus graph —
+    // the ann_knn_graph oracle hash-proves the whole lifecycle
+    GQuery("ann_graph_compact", annGraphCompactQ, Some(fullGraphOracle)),
     // graph-based SemDedup: bounded-degree candidates from the SAME
     // graph trajectory, threshold on the rounded edge cosine
     GQuery("emb_semdedup_graph", semDedupGraphQ, Some(s"""
