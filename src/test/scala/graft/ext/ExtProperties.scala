@@ -175,4 +175,49 @@ object ExtProperties extends Properties("graft.ext") {
       val sigs = df.as[Seq[Int]].collect()
       sigs(0) == sigs(1) && sigs(0).size == 64
     }
+
+  /** Random update streams: (ts, key, attr) triples with repeats. */
+  private val updatesGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.chooseNum(0L, 3L)
+      ts <- Gen.chooseNum(0L, 9L)
+      a <- Gen.oneOf("A", "B", "C")
+    } yield (k, ts, a))
+
+  property("scd2History: per-key intervals tile [first,∞) gaplessly; attrs alternate; last version ≡ CDC latest-per-key") =
+    forAll(updatesGen) { ups =>
+      ups.isEmpty || {
+        val df = ups.zipWithIndex
+          .map { case ((k, ts, a), i) =>
+            (k, a, new java.sql.Timestamp(ts * 1000L), i.toLong)
+          }
+          .toDF("k", "attr", "ts", "id")
+        val hist = Temporal.scd2History(df, Seq("k"), "ts", "attr", "id")
+          .select("k", "version", "attr", "valid_from_us", "valid_to_us",
+            "is_current")
+          .as[(Long, Long, String, Long, Long, Int)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+        // CDC latest: max by (ts, id) per key — the dedup_latest order
+        val latest = ups.zipWithIndex
+          .map { case ((k, ts, a), i) => (k, ts, i.toLong, a) }
+          .groupBy(_._1).view
+          .mapValues(_.maxBy(r => (r._2, r._3))._4).toMap
+        hist.forall { case (k, vs) =>
+          val versionsContiguous = vs.map(_._2).toSeq == (1L to vs.length)
+          val tiled = vs.sliding(2).forall {
+            case Array(a, b) => a._5 == b._4
+            case _ => true
+          }
+          val alternates = vs.sliding(2).forall {
+            case Array(a, b) => a._3 != b._3
+            case _ => true
+          }
+          val lastOpen = vs.last._5 == Temporal.OpenIntervalUs &&
+            vs.last._6 == 1 && vs.init.forall(_._6 == 0)
+          // the open version's attribute IS the CDC latest value
+          versionsContiguous && tiled && alternates && lastOpen &&
+            vs.last._3 == latest(k)
+        }
+      }
+    }
 }
