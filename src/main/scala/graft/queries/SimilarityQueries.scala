@@ -235,6 +235,43 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
   }
 
+  /** The beam grid for [[annGraphBeamSweep]] (public so the spec drives
+    * the same points). Widths below [[K]] deliberately truncate the
+    * result — the cheap end of the curve. */
+  val GraphBeamSweep: Seq[Int] = Seq(4, 8, 16)
+
+  /** GRAPH-SEARCH TUNING CURVE — the [[annNprobeSweep]] analogue for
+    * the graph method: recall@[[K]] at every beam width in
+    * [[GraphBeamSweep]], all arms walking the SAME built graph (the
+    * NN-Descent build is paid once; each arm re-runs only the two
+    * bounded hops, whose trajectory genuinely depends on the beam — no
+    * one-pass trick exists because a narrower beam PRUNES differently,
+    * unlike nprobe's monotone list cut). The number every graph-ANN
+    * deployment tunes against: wider beam = more candidates scored per
+    * hop for exactly this recall. */
+  def annGraphBeamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val p = probes(spark, dir)
+    val g = Similarity.knnGraph(e, GraphK, GraphRounds).localCheckpoint(true)
+    val exact = Similarity.knnTopKAgg(e, p, K)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probeIds = p.select(col("vec_id").as("probe_id"))
+    GraphBeamSweep.map { b =>
+      val res = Similarity.graphSearchOn(g, e, p, K, beam = b,
+        hops = GraphHops)
+      val hits = exact
+        .join(res.select(col("probe_id"), col("neighbor_id")),
+          Seq("probe_id", "neighbor_id"))
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+      probeIds.join(hits, Seq("probe_id"), "left")
+        .select(lit(b).as("beam"), col("probe_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / K)
+            .as("recall_at_k"))
+    }.reduce(_.unionByName(_))
+      .orderBy("beam", "probe_id")
+  }
+
   /** FULL graph-tier lifecycle: clean build over [0, UpsertSplit) →
     * delta upsert of the rest → COMPACT
     * ([[Similarity.compactGraphIndex]] — NN-Descent rebuild over
@@ -362,9 +399,10 @@ object SimilarityQueries {
     * probes = rows of `src`'s base table matching `probePred` — but
     * scored/expanded against the `src` graph only (append-only upsert
     * semantics: new nodes link INTO the base graph). */
-  private def graphSearchCtesOver(src: String, probePred: String): String = {
+  private def graphSearchCtesOver(src: String, probePred: String,
+      beams: Seq[(Int, String)] = Seq((GraphBeam, ""))): String = {
     val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
-    def hop(fIn: String, xName: String, fName: String) = s"""
+    def hop(fIn: String, xName: String, fName: String, w: Int) = s"""
       $xName AS (SELECT DISTINCT probe_id, node FROM (
           SELECT probe_id, node FROM $fIn
           UNION ALL
@@ -377,7 +415,13 @@ object SimilarityQueries {
           FROM $xName x JOIN vv n ON n.vec_id = x.node
                JOIN gpr p ON p.probe_id = x.probe_id
           WHERE x.node <> x.probe_id)
-        WHERE rk <= $GraphBeam)"""
+        WHERE rk <= $w)"""
+    // one hop chain per beam width, CTE names suffixed — the sweep
+    // oracle replays every width over the SAME graph and entry frame
+    val chains = beams.map { case (w, sfx) =>
+      s"""${hop("gf0", s"gx1$sfx", s"gf1$sfx", w)},
+      ${hop(s"gf1$sfx", s"gx2$sfx", s"gf2$sfx", w)}"""
+    }.mkString(",")
     s"""${knnGraphCtesOver(src)},
       gpr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
               FROM embeddings WHERE $probePred),
@@ -385,8 +429,7 @@ object SimilarityQueries {
           SELECT vec_id, ${duckBucket("embedding", planes)} AS bucket
           FROM $src) GROUP BY bucket),
       gf0 AS (SELECT p.probe_id, en.node FROM gpr p, gent en),
-      ${hop("gf0", "gx1", "gf1")},
-      ${hop("gf1", "gx2", "gf2")}"""
+      $chains"""
   }
 
   /** The full-corpus NN-Descent graph replay — shared by
@@ -1436,6 +1479,42 @@ object SimilarityQueries {
     // list however the arrivals are micro-batched — shared oracle
     GQuery("stream_graph_upsert_replay", streamGraphUpsertReplay,
       Some(graphUpsertOracle)),
+    // graph tuning curve: every beam width replayed over the same
+    // graph/entry CTEs with suffixed hop chains
+    GQuery("ann_graph_beam_sweep", annGraphBeamSweep, Some {
+      val arms = GraphBeamSweep.map(b => (b, s"b$b"))
+      val ctes = graphSearchCtesOver("embeddings", s"vec_id < $NProbes", arms)
+      val armSql = arms.map { case (b, sfx) =>
+        s"""SELECT $b AS beam, probe_id, node AS neighbor_id FROM (
+          SELECT f.probe_id, f.node,
+                 row_number() OVER (PARTITION BY f.probe_id
+                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+          FROM gf2$sfx f JOIN vv n ON n.vec_id = f.node
+               JOIN gpr p ON p.probe_id = f.probe_id)
+        WHERE rk <= $K"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH $ctes,
+      xact AS (SELECT probe_id, neighbor_id FROM (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_cosine_similarity(e.e, p.pe) DESC,
+                            e.vec_id) AS rk
+          FROM vv e, gpr p WHERE e.vec_id <> p.probe_id)
+        WHERE rk <= $K),
+      arms AS ($armSql),
+      h AS (SELECT a.beam, a.probe_id, count(*) AS n_hit
+            FROM arms a JOIN xact x
+              ON x.probe_id = a.probe_id AND x.neighbor_id = a.neighbor_id
+            GROUP BY 1, 2)
+      SELECT b.beam, p.probe_id,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k
+      FROM gpr p CROSS JOIN (${GraphBeamSweep.map(b => s"SELECT $b AS beam")
+        .mkString(" UNION ALL ")}) b
+      LEFT JOIN h ON h.probe_id = p.probe_id AND h.beam = b.beam
+      ORDER BY b.beam, p.probe_id"""
+    }),
     // graph-search recall@K vs the exact ground truth — the graph
     // family's ann_recall row, priced separately on purpose
     GQuery("ann_graph_recall", annGraphRecall, Some(s"""
