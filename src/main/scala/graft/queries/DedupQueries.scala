@@ -904,7 +904,7 @@ object DedupQueries {
       "canon_cap" -> canon("cap", s"WHERE d.doc_id < $PortableCap"))
   }
 
-  private val lshTempDeps: Map[String, Seq[String]] = Map(
+  private lazy val lshTempDeps: Map[String, Seq[String]] = Map(
     "sh_all" -> Nil,
     "pairs_all" -> Seq("sh_all"),
     "pairs_cap" -> Seq("pairs_all"),
