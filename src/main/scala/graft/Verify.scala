@@ -24,7 +24,12 @@ object Verify {
   /** Queries that ensure/rebuild the SAME on-disk tier (marker-gated
     * build-once roots in SimilarityQueries). Content is deterministic so
     * intra-group order is irrelevant, but two members running at once
-    * could overwrite artifacts mid-read. */
+    * could overwrite artifacts mid-read. Membership mirrors the
+    * `indexRoot` kinds in SimilarityQueries — one group per persisted
+    * root with >1 registry reader/writer (`graft_graph_index`,
+    * `graft_ivf_index` + its upsert/multi variants); a name listed here
+    * but absent from the registry fails fast in main() so renames can't
+    * silently reopen the race. */
   private val tierGroups: Seq[(String, Seq[String])] = Seq(
     "tier_ivf_main" -> Seq("ann_index_build", "knn_ivf_indexed",
       "ann_index_pq", "stream_ann_query_replay"),
@@ -101,6 +106,14 @@ object Verify {
       }
     }
 
+    // fail fast on registry drift: a tierGroups name missing from the
+    // registry would otherwise be dropped SILENTLY by the filter below,
+    // quietly reintroducing the concurrent-dump artifact race the
+    // groups exist to serialize (a renamed query keeps its old name
+    // here and its new name races its tier-mates)
+    val unknown = tierGroups.flatMap(_._2).filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"Verify.tierGroups names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     val grouped = tierGroups.map { case (g, names) =>
       g -> names.filter(selected.contains)
     }.filter(_._2.nonEmpty)

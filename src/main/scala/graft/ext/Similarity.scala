@@ -703,16 +703,42 @@ object Similarity {
       probes, k, beam, hops, nPlanes, dim, idCol, vecCol)
   }
 
+  private def graphDeltaRoot(indexPath: String) = s"$indexPath/graph_delta"
+  private def graphDeltaGenPath(indexPath: String, gen: Int) =
+    s"${graphDeltaRoot(indexPath)}/gen=$gen"
+
+  /** Generation numbers of all COMPLETED graph delta segments, ascending
+    * — the graph twin of [[completedDeltaGens]], same
+    * [[DeltaCompleteMarker]] discipline: a marker-less (crashed) attempt
+    * is invisible and its slot is reclaimed by the next upsert's
+    * overwrite or by [[dropGraphDelta]]. */
+  private def completedGraphDeltaGens(fs: org.apache.hadoop.fs.FileSystem,
+                                      indexPath: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(graphDeltaRoot(indexPath))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${graphDeltaGenPath(indexPath, g)}/$DeltaCompleteMarker")))
+      .sorted
+  }
+
   /** Append one batch of arrivals to a persisted [[buildGraphIndex]]
     * tier — the graph family's streaming-arrival path, the same
-    * append-only contract as [[upsertIvfIndex]]'s delta generations:
-    * each arrival's out-edges come from ONE bounded beam walk against
-    * the BASE tier ([[graphSearchOn]]), appended under `delta_edges`;
-    * base edges and the vector tier stay untouched (delta↔delta
+    * generation contract as [[upsertIvfIndex]]: each arrival's out-edges
+    * come from ONE bounded beam walk against the BASE tier
+    * ([[graphSearchOn]]); the batch lands as a NEW numbered generation
+    * `graph_delta/gen=N/{vectors,edges}` whose completion marker is
+    * written strictly LAST, so a crash anywhere mid-write leaves an
+    * invisible generation rather than half-committed files that
+    * [[graphDeltaEdges]] would serve or [[compactGraphIndex]] would
+    * fold. Base edges and the vector tier stay untouched (delta↔delta
     * neighborhoods resolve at the next rebuild, exactly like IVF
     * compaction). Per-probe beam searches are independent, so the
     * merged result is IDENTICAL however arrivals are micro-batched —
-    * the property the streaming replay's shared oracle hash-proves. */
+    * the property the streaming replay's shared oracle hash-proves.
+    * An empty batch is a no-op, mirroring [[upsertIvfIndex]]. */
   def upsertGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        batch: DataFrame, k: Int = 10, beam: Int = 20,
                        hops: Int = 2, nPlanes: Int = 4, dim: Int = 64,
@@ -721,50 +747,107 @@ object Similarity {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker),
       s"upsertGraphIndex: no complete graph tier at $indexPath")
-    // vectors FIRST, then edges: a crash in between leaves vectors
-    // without edges — harmless (compaction rebuilds from vectors; the
-    // serving path reads only edges), where the reverse order would
-    // leave edges whose endpoints compaction then forgets
+    if (batch.select(col(idCol)).isEmpty) return
+    val next = completedGraphDeltaGens(fs, indexPath).lastOption.getOrElse(0) + 1
+    val gen = graphDeltaGenPath(indexPath, next)
     batch.select(col(idCol), col(vecCol))
-      .write.mode("append").parquet(s"$indexPath/delta_vectors")
+      .write.mode("overwrite").parquet(s"$gen/vectors")
     graphSearchOn(
       spark.read.parquet(s"$indexPath/graph_edges"),
       spark.read.parquet(s"$indexPath/vectors"),
       batch, k, beam, hops, nPlanes, dim, idCol, vecCol)
       .select(col("probe_id").as(idCol), col("neighbor_id"), col("cos_sim"))
-      .write.mode("append").parquet(s"$indexPath/delta_edges")
+      .write.mode("overwrite").parquet(s"$gen/edges")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$gen/$DeltaCompleteMarker"), true).close()
+  }
+
+  /** The LIVE delta edge list — all completed generations unioned, the
+    * LATEST generation winning per upserted id (a re-upserted id
+    * replaces its whole out-edge set, the edge-list analogue of
+    * [[deltaSegment]]'s `max_by`) — or None when no completed generation
+    * exists. The dedup join touches DELTA rows only, never the base. */
+  def graphDeltaEdges(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      idCol: String = "vec_id"): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = completedGraphDeltaGens(fs, indexPath)
+    if (gens.isEmpty) None
+    else if (gens.sizeIs == 1)
+      Some(spark.read.parquet(s"${graphDeltaGenPath(indexPath, gens.head)}/edges"))
+    else {
+      val tagged = gens
+        .map(g => spark.read.parquet(s"${graphDeltaGenPath(indexPath, g)}/edges")
+          .withColumn("__gen", lit(g)))
+        .reduce(_ unionByName _)
+      val latest = tagged.groupBy(col(idCol)).agg(max(col("__gen")).as("__gen"))
+      Some(tagged.join(latest, Seq(idCol, "__gen")).drop("__gen"))
+    }
+  }
+
+  /** The LIVE delta vectors (latest generation wins per id) — what
+    * [[compactGraphIndex]] folds; None when no completed generation. */
+  private def graphDeltaVectors(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, idCol: String,
+                                vecCol: String): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = completedGraphDeltaGens(fs, indexPath)
+    if (gens.isEmpty) None
+    else if (gens.sizeIs == 1)
+      Some(spark.read.parquet(s"${graphDeltaGenPath(indexPath, gens.head)}/vectors")
+        .select(col(idCol), col(vecCol)))
+    else Some(
+      gens.map(g => spark.read.parquet(s"${graphDeltaGenPath(indexPath, g)}/vectors")
+          .select(col(idCol), col(vecCol), lit(g).as("__gen")))
+        .reduce(_ unionByName _)
+        .groupBy(col(idCol))
+        .agg(max_by(col(vecCol), col("__gen")).as(vecCol)))
   }
 
   /** COMPACT the graph tier: full NN-Descent rebuild over base ∪ delta
-    * vectors (so delta↔delta neighborhoods finally materialize and
-    * every stale base edge refreshes), then the delta generations are
-    * dropped — [[compactIvfIndex]]'s twin. After compaction the tier
+    * vectors (delta wins on id, so a re-upserted vector replaces its
+    * base copy; delta↔delta neighborhoods finally materialize and every
+    * stale base edge refreshes), then the delta generations are dropped
+    * — [[compactIvfIndex]]'s twin. With NO live delta the rebuild is
+    * skipped entirely (nothing to fold — the no-op the empty-delta
+    * tier's serving answers already prove). After compaction the tier
     * serves the graph [[knnGraph]] would build over the union corpus,
     * which is exactly what the oracle replays. */
   def compactGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                         graphK: Int = 10, graphRounds: Int = 2,
                         nPlanes: Int = 4, dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // materialize the union BEFORE rebuilding: buildGraphIndex
-    // overwrites `vectors`, and Spark (rightly) refuses to overwrite a
-    // path an active plan still reads from
-    val all = spark.read.parquet(s"$indexPath/vectors")
-      .unionByName(spark.read.parquet(s"$indexPath/delta_vectors"))
-      .localCheckpoint(true)
-    val rebuilt = buildGraphIndex(all, indexPath, graphK, graphRounds,
-      nPlanes, dim, idCol, vecCol)
-    dropGraphDelta(spark, indexPath)
-    val dv = new org.apache.hadoop.fs.Path(s"$indexPath/delta_vectors")
-    dv.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(dv, true)
-    rebuilt
+    graphDeltaVectors(spark, indexPath, idCol, vecCol) match {
+      case None =>
+        spark.read.parquet(s"$indexPath/graph_edges")
+      case Some(dv) =>
+        // materialize the union BEFORE rebuilding: buildGraphIndex
+        // overwrites `vectors`, and Spark (rightly) refuses to overwrite
+        // a path an active plan still reads from
+        val all = spark.read.parquet(s"$indexPath/vectors")
+          .join(dv.select(col(idCol)), Seq(idCol), "left_anti")
+          .unionByName(dv)
+          .localCheckpoint(true)
+        val rebuilt = buildGraphIndex(all, indexPath, graphK, graphRounds,
+          nPlanes, dim, idCol, vecCol)
+        dropGraphDelta(spark, indexPath)
+        org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(all)
+        rebuilt
+    }
   }
 
-  /** Remove a graph tier's delta edges (replay idempotence — the
-    * [[dropIvfDelta]] twin). */
+  /** Remove a graph tier's delta generations — vectors AND edges, the
+    * whole `graph_delta/` root (replay idempotence — the
+    * [[dropIvfDelta]] twin). Also clears the pre-generation flat
+    * `delta_edges`/`delta_vectors` layout so tiers persisted by older
+    * builds can't serve stale appends beside the new generations. */
   def dropGraphDelta(spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/delta_edges")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(graphDeltaRoot(indexPath), s"$indexPath/delta_edges",
+        s"$indexPath/delta_vectors")
+      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
     ()
   }
 

@@ -212,6 +212,9 @@ object SimilarityQueries {
       .sortBy(_._1)
     requireBoundedReplay(arrivals.length, 4 * UpsertSplit,
       "streamGraphUpsertReplay arrivals")
+    require(arrivals.nonEmpty,
+      "streamGraphUpsertReplay: no arrivals above UpsertSplit — the " +
+        "fixture's id space changed shape; re-derive the replay window")
     val mid = arrivals(arrivals.length / 2)._1
     val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
       arrivals.filter(_._1 >= mid).toSeq)
@@ -228,7 +231,10 @@ object SimilarityQueries {
     try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
     finally q.stop()
     spark.read.parquet(s"$path/graph_edges").withColumn("tier", lit("base"))
-      .unionByName(spark.read.parquet(s"$path/delta_edges")
+      .unionByName(Similarity.graphDeltaEdges(spark, path)
+        .getOrElse(sys.error(
+          "streamGraphUpsertReplay: no completed graph delta generation " +
+            "after a non-empty replay — the upsert path lost a batch"))
         .withColumn("tier", lit("delta")))
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"), col("tier"))
@@ -256,7 +262,7 @@ object SimilarityQueries {
     val exact = Similarity.knnTopKAgg(e, p, K)
       .select(col("probe_id"), col("neighbor_id"))
     val probeIds = p.select(col("vec_id").as("probe_id"))
-    GraphBeamSweep.map { b =>
+    val sweep = GraphBeamSweep.map { b =>
       val res = Similarity.graphSearchOn(g, e, p, K, beam = b,
         hops = GraphHops)
       val hits = exact
@@ -269,6 +275,16 @@ object SimilarityQueries {
           (coalesce(col("n_hit"), lit(0L)).cast("double") / K)
             .as("recall_at_k"))
     }.reduce(_.unionByName(_))
+      .orderBy("beam", "probe_id")
+    // The result is tiny (|beams| × |probes| rows) while the cached
+    // graph is corpus-scale: materialize the result OFF the checkpoint's
+    // lineage, then free the graph's cached blocks — otherwise every
+    // bench rep leaks a full graph into storage memory for the JVM's
+    // lifetime (Dataset.unpersist can't reach a localCheckpoint cache).
+    val rows = sweep.collect().toIndexedSeq
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(g)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), sweep.schema)
       .orderBy("beam", "probe_id")
   }
 
@@ -667,8 +683,13 @@ object SimilarityQueries {
     * OS owns that lifecycle.
     *
     * CONCURRENCY CONTRACT (round-7 verdict #8): one writer per root.
-    * The driver runs queries sequentially, so builds never race here;
-    * if two builders DID race on the same root, the (mtime, length) key
+    * Verify dumps queries CONCURRENTLY since round 12 — single-writer
+    * safety for same-root queries now rests on `Verify.tierGroups`,
+    * which fuses every query sharing one of these roots into a single
+    * sequential work unit (and fails fast if a listed name drifts from
+    * the registry). Any NEW query that builds or reads a persisted root
+    * here MUST be added to its root's tierGroups entry. If two builders
+    * DID race on the same root, the (mtime, length) key
     * makes the race benign-but-last-writer-wins — both write the same
     * deterministic content, but interleaved `mode("overwrite")` commits
     * of the two artifacts are not atomic as a pair, so the completion

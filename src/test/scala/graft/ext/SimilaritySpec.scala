@@ -305,6 +305,78 @@ class SimilaritySpec extends SparkSpec {
         hops = 2, graphK = 5, graphRounds = 2, dim = dim))
   }
 
+  test("graph delta lifecycle: marker-gated generations, crash slots reclaimed, latest-wins, compact folds and retires") {
+    val rng = new scala.util.Random(53)
+    val dim = 32
+    def vec() = Seq.fill(dim)(rng.nextFloat() - 0.5f)
+    val base = (0L until 30L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val b1 = Seq((30L, vec()), (31L, vec())).toDF("vec_id", "embedding")
+    val b2 = Seq((32L, vec()), (33L, vec())).toDF("vec_id", "embedding")
+    val path = s"target/test_graph_delta_${System.nanoTime()}"
+    Similarity.buildGraphIndex(base, path, graphK = 5, graphRounds = 2, dim = dim)
+
+    // no completed generation yet → no delta; compaction is a no-op
+    Similarity.graphDeltaEdges(spark, path) shouldBe None
+    def edgeKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val baseEdges = edgeKey(spark.read.parquet(s"$path/graph_edges"))
+    edgeKey(Similarity.compactGraphIndex(spark, path, graphK = 5,
+      graphRounds = 2, dim = dim)) shouldBe baseEdges
+
+    // empty batch is a no-op (no generation lands)
+    Similarity.upsertGraphIndex(spark, path,
+      base.filter(col("vec_id") < 0), k = 5, beam = 10, hops = 2, dim = dim)
+    Similarity.graphDeltaEdges(spark, path) shouldBe None
+
+    // two real batches land as two generations; merged delta = disjoint union
+    Similarity.upsertGraphIndex(spark, path, b1, k = 5, beam = 10, hops = 2, dim = dim)
+    Similarity.upsertGraphIndex(spark, path, b2, k = 5, beam = 10, hops = 2, dim = dim)
+    val delta = Similarity.graphDeltaEdges(spark, path).get
+    delta.select("vec_id").distinct().as[Long].collect().toSet shouldBe
+      Set(30L, 31L, 32L, 33L)
+    delta.groupBy("vec_id").count().select("count").distinct()
+      .as[Long].collect() shouldBe Array(5L)
+
+    // crash simulation: a marker-less generation dir is invisible and its
+    // slot is reclaimed by the next upsert's overwrite
+    Seq((99L, 0L, 0.0)).toDF("vec_id", "neighbor_id", "cos_sim")
+      .write.parquet(s"$path/graph_delta/gen=3/edges")
+    Similarity.graphDeltaEdges(spark, path).get
+      .filter(col("vec_id") === 99L).count() shouldBe 0
+
+    // re-upsert of id 33 with a CHANGED vector supersedes generation 2's
+    // copy (latest generation wins for the whole out-edge set)
+    val v33b = vec()
+    Similarity.upsertGraphIndex(spark, path,
+      Seq((33L, v33b)).toDF("vec_id", "embedding"), k = 5, beam = 10,
+      hops = 2, dim = dim)
+    val expected33 = Similarity.graphSearchOn(
+        spark.read.parquet(s"$path/graph_edges"),
+        spark.read.parquet(s"$path/vectors"),
+        Seq((33L, v33b)).toDF("vec_id", "embedding"),
+        k = 5, beam = 10, hops = 2, dim = dim)
+      .select(col("probe_id").as("vec_id"), col("neighbor_id"))
+    val served = Similarity.graphDeltaEdges(spark, path).get
+    edgeKey(served.filter(col("vec_id") === 33L)) shouldBe edgeKey(expected33)
+    served.filter(col("vec_id") === 33L).count() shouldBe 5
+
+    // compact: rebuild over base ∪ latest-delta (33 uses the NEW vector),
+    // then every generation is retired — vectors AND edges
+    val compacted = Similarity.compactGraphIndex(spark, path, graphK = 5,
+      graphRounds = 2, dim = dim)
+    val union = base
+      .unionByName(b1).unionByName(b2.filter(col("vec_id") =!= 33L))
+      .unionByName(Seq((33L, v33b)).toDF("vec_id", "embedding"))
+    edgeKey(compacted) shouldBe
+      edgeKey(Similarity.knnGraph(union, k = 5, rounds = 2, dim = dim))
+    Similarity.graphDeltaEdges(spark, path) shouldBe None
+    new java.io.File(s"$path/graph_delta").exists() shouldBe false
+    // replay idempotence: a re-run tier (drop + same upserts) serves the
+    // same delta content as the first run did
+    Similarity.dropGraphDelta(spark, path)
+    Similarity.graphDeltaEdges(spark, path) shouldBe None
+  }
+
   test("PQ at production geometry (dim 256, mSub 16): codes are 16 small ints; uncut ADC equals brute force") {
     val rng = new scala.util.Random(41)
     val corpus = (0L until 80L).map(i =>
