@@ -42,8 +42,10 @@ import graft.core.Tables
   * engine total (`value`, sum of medians) + least-contended floor
   * (`value_best`, sum of per-query best reps — round-7 verdict #3) +
   * launch-loadavg-verified headline (`value_quiet` — round-10 verdict
-  * #4: equals `value` when the launch ambient was quiet (< 1.5), else
-  * the per-rep gate-filtered estimate; `quiet_launch` says which. The
+  * #4, protocol re-cut round 13: equals `value` when the launch ambient
+  * was quiet (< 1.5); on a contended launch the bench settles and
+  * re-prices the engine queries, or reports NULL when the box never
+  * went quiet — `quiet_reason` states what was observed. The
   * cross-round comparator is now IN the JSON, not PERF_NOTES prose) +
   * per-family median sums at 2 dp + loadavg range — kept well under
   * ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
@@ -170,27 +172,67 @@ object Bench {
         k -> (0 until reps).filter(r => l(r) > loadGate)
       }.filter(_._2.nonEmpty)
     val nContendedReps = contended.map(_._2.size).sum
-    // value_quiet (round-10 verdict #4): the headline number must be
-    // defensible from the JSON alone, in exactly the verdict's terms —
-    // "the launch-loadavg-verified median". The LAUNCH ambient is the
-    // only uncontaminated external-contention signal (every in-run
-    // sample carries the bench's own 32-thread self-load — a first
-    // attempt that filtered PER REP on the in-run gate selected the
-    // cold first-pass reps on an idle box and REPORTED ABOVE the
-    // all-reps median). So: on a quiet launch (ambient < 1.5, the
-    // round-8/10 manual re-run bar) the whole run is the quiet run and
-    // value_quiet == value; on a contended launch the per-rep filter is
-    // the best available estimate — medians over reps at/under the
-    // gate, best-rep fallback when every rep was contended.
-    def quietMedian(okTimes: Seq[Double], l: Seq[Double], i: Int): Double = {
-      val quiet = (0 until reps)
-        .collect { case r if !failedRep(i)(r) && l(r) <= loadGate => times(i)(r) }
-      if (quiet.nonEmpty) median(quiet) else okTimes.min
-    }
+    // value_quiet (round-10 verdict #4, protocol re-cut round 13 after
+    // r11 verdict #7): the headline must be defensible from the JSON
+    // alone — "the launch-loadavg-verified median". The LAUNCH ambient
+    // is the only uncontaminated external-contention signal (every
+    // in-run sample carries the bench's own 32-thread self-load, so a
+    // per-rep load filter on a contended launch just passes the
+    // contaminated medians through — measured 170.8 ≈ 170.0 at ambient
+    // 4.3). The honest protocol is therefore BOUNDED RE-RUNS, not
+    // filtering: on a quiet launch (ambient < 1.5, the round-8/10
+    // manual re-run bar) the whole run is the quiet run and
+    // value_quiet == value; on a contended launch the bench IDLES long
+    // enough for the 1-min loadavg to shed its own self-load
+    // (SPARK_GRAFT_QUIET_SETTLE_MS, default 75 s), re-samples, and if
+    // the box has gone quiet re-prices the ENGINE queries with
+    // SPARK_GRAFT_QUIET_REPS fresh passes; if after
+    // SPARK_GRAFT_QUIET_RETRIES settles the box never went quiet,
+    // value_quiet is NULL — no number beats a fabricated one — and
+    // quiet_reason says exactly what was observed either way.
     val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
-    val engineQuiet =
-      if (quietAmbient) engineTotal
-      else engineResults.map { case (_, okT, l, i) => quietMedian(okT, l, i) }.sum
+    val (engineQuiet: Option[Double], quietReason: String) =
+      if (quietAmbient)
+        (Some(engineTotal),
+          s"quiet launch: ambient ${fmt2(ambientLoad)} < 1.5")
+      else {
+        val maxRetries = sys.env.getOrElse("SPARK_GRAFT_QUIET_RETRIES", "2").toInt
+        val settleMs = sys.env.getOrElse("SPARK_GRAFT_QUIET_SETTLE_MS", "75000").toLong
+        val qReps = sys.env.getOrElse("SPARK_GRAFT_QUIET_REPS", "2").toInt
+        val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+        while (samples.length < maxRetries &&
+               !samples.lastOption.exists(s => s >= 0 && s < 1.5)) {
+          Thread.sleep(settleMs)
+          samples += osBean.getSystemLoadAverage
+        }
+        val sampleStr = samples.map(fmt2).mkString("[", ",", "]")
+        if (samples.lastOption.exists(s => s >= 0 && s < 1.5)) {
+          // quiet re-price: fresh interleaved passes over ENGINE queries
+          // only (evidence pins are priced separately and never feed
+          // value_quiet); a query whose quiet reps all fail falls back
+          // to its main-run median so the total stays comparable
+          val qTimes = Array.fill(nq, qReps)(-1.0)
+          for (r <- 0 until qReps;
+               i <- new scala.util.Random(0xBEEF + r).shuffle((0 until nq).toList)
+               if !failed(i) && !EvidenceQueries.contains(queries(i)._1)) {
+            val t0 = System.nanoTime()
+            try {
+              exec(queries(i)._2(spark, sfDir))
+              qTimes(i)(r) = (System.nanoTime() - t0) / 1e9
+            } catch { case _: Throwable => () }
+          }
+          val total = engineResults.map { case (_, okT, _, i) =>
+            val ok = qTimes(i).filter(_ >= 0).toSeq
+            if (ok.nonEmpty) median(ok) else median(okT)
+          }.sum
+          (Some(total),
+            s"re-priced engine after settle: ambient ${fmt2(ambientLoad)} -> $sampleStr, $qReps quiet reps")
+        } else
+          (None,
+            s"contended launch (ambient ${fmt2(ambientLoad)}) and box never settled < 1.5 after $maxRetries x ${settleMs / 1000}s: samples $sampleStr")
+      }
+    val quietJson = engineQuiet.map(fmt2).getOrElse("null")
+    val quietJson3 = engineQuiet.map(fmt).getOrElse("null")
 
     val detail = {
       val qs = results.map { case (k, t, _, _) => s"\"$k\":${fmt(median(t))}" }
@@ -216,7 +258,7 @@ object Bench {
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":${fmt(engineQuiet)},"quiet_launch":$quietAmbient,"evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":$quietJson3,"quiet_launch":$quietAmbient,"quiet_reason":"$quietReason","evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
@@ -225,7 +267,7 @@ object Bench {
     // full per-query compact medians (2 dp), second-to-last
     val qs2 = results.map { case (k, t, _, _) => s"\"$k\":${fmt2(median(t))}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":${fmt2(engineQuiet)},"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_failed":${failedNames.size},"queries":$qs2,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_failed":${failedNames.size},"queries":$qs2,"sf":"$sfDir"}""")
     // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
     // target — engine total + evidence total + per-family median sums +
     // loadavg [min,med,max] + the detail pointer. The per-query line
@@ -242,7 +284,7 @@ object Bench {
     // n_queries counts ENGINE queries only, matching what `value` sums
     // (round-7 advisor: value/n_queries must reconcile); the pins are
     // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":${fmt2(engineQuiet)},"quiet_launch":$quietAmbient,"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"load_gate":${fmt2(loadGate)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"quiet_launch":$quietAmbient,"quiet_reason":"$quietReason","evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"load_gate":${fmt2(loadGate)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
