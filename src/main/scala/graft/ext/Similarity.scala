@@ -837,6 +837,36 @@ object Similarity {
     }
   }
 
+  /** AUTO-COMPACTION POLICY for the graph tier (round-11 verdict #5 —
+    * the maintenance loop should not need an operator watching
+    * generation counts): fold the delta into the base when completed
+    * generations reach `maxGens` OR raw live delta rows reach
+    * `maxRatio` of the base vector count. Generation counts are RAW
+    * (pre-dedup) row counts — parquet footer metadata, no scan — because
+    * the policy prices storage/serving amplification, which stale
+    * superseded copies contribute to until compaction reclaims them.
+    * Returns true iff compaction fired, so a caller (or a replay's
+    * hash gate) can prove exactly-once firing. */
+  def maybeCompactGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                             maxGens: Int = 4, maxRatio: Double = 0.25,
+                             graphK: Int = 10, graphRounds: Int = 2,
+                             nPlanes: Int = 4, dim: Int = 64,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = completedGraphDeltaGens(fs, indexPath)
+    val fire = gens.nonEmpty && (gens.sizeIs >= maxGens || {
+      val nDelta = gens.map(g => spark.read
+        .parquet(s"${graphDeltaGenPath(indexPath, g)}/vectors").count()).sum
+      val nBase = spark.read.parquet(s"$indexPath/vectors").count()
+      nBase == 0 || nDelta.toDouble / nBase >= maxRatio
+    })
+    if (fire)
+      compactGraphIndex(spark, indexPath, graphK, graphRounds, nPlanes,
+        dim, idCol, vecCol)
+    fire
+  }
+
   /** Remove a graph tier's delta generations — vectors AND edges, the
     * whole `graph_delta/` root (replay idempotence — the
     * [[dropIvfDelta]] twin). Also clears the pre-generation flat
@@ -1232,6 +1262,32 @@ object Similarity {
       spark.read.parquet(s"$indexPath/lists")
         .select(col(idCol), col(vecCol), col(listCol)),
       probes, k, nprobe, idCol, vecCol, listCol, broadcastProbes = true)
+
+  /** AUTO-COMPACTION POLICY for the IVF index — the
+    * [[maybeCompactGraphIndex]] twin, same two bars: fold when
+    * completed generations reach `maxGens` OR raw live delta rows reach
+    * `maxRatio` of the base list row count (raw = pre-dedup, pricing
+    * the storage/probe amplification superseded copies cause until
+    * reclaimed; counts come from parquet footers, no scan). The ratio
+    * bar is the policy-level mirror of the per-list `recluster` flag
+    * [[upsertIvfIndex]] reports — that flag trips per hot list, this
+    * bar prices the whole tier. Returns true iff compaction fired. */
+  def maybeCompactIvfIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                           maxGens: Int = 4, maxRatio: Double = 0.25,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           listCol: String = "label"): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = completedDeltaGens(fs, indexPath)
+    val fire = gens.nonEmpty && (gens.sizeIs >= maxGens || {
+      val nDelta = gens.map(g => spark.read
+        .parquet(deltaGenPath(indexPath, g)).count()).sum
+      val nBase = spark.read.parquet(s"$indexPath/lists").count()
+      nBase == 0 || nDelta.toDouble / nBase >= maxRatio
+    })
+    if (fire) compactIvfIndex(spark, indexPath, idCol, vecCol, listCol)
+    fire
+  }
 
   /** The IVF probe stage over a (centroids, inverted-lists) pair:
     * probe → nprobe nearest centroids via the bounded heap (the centroid

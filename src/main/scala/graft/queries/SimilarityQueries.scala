@@ -241,6 +241,67 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
   }
 
+  /** STREAMING graph maintenance WITH the auto-compaction policy in the
+    * loop — the [[streamAnnAutocompactReplay]] twin for the graph tier:
+    * base over [0, UpsertSplit), arrivals in two micro-batches, each
+    * batch's `foreachBatch` running [[Similarity.upsertGraphIndex]] then
+    * [[Similarity.maybeCompactGraphIndex]] at `maxGens = 2` — off after
+    * batch 1, firing after batch 2, folding both generations through a
+    * full NN-Descent rebuild. Post-compaction the tier must hold exactly
+    * the graph [[Similarity.knnGraph]] builds over the WHOLE corpus
+    * (delta↔delta neighborhoods materialized, stale base edges
+    * refreshed), so the registered result — the served edge list tagged
+    * with the firing count — shares the `ann_knn_graph` oracle plus a
+    * pinned `n_compactions = 1`: a misfiring policy serves either the
+    * stale base-only graph or a double-folded rebuild, and both
+    * hash-mismatch. Own root, wiped at entry (compaction mutates the
+    * tier in place). */
+  def streamGraphAutocompactReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = indexRoot("graft_graph_autocompact", dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    val e = Tables.embeddings(spark, dir)
+    Similarity.buildGraphIndex(e.filter(col("vec_id") < UpsertSplit), path,
+      graphK = GraphK, graphRounds = GraphRounds)
+    val arrivals = e
+      .filter(col("vec_id") >= UpsertSplit)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    requireBoundedReplay(arrivals.length, 4 * UpsertSplit,
+      "streamGraphAutocompactReplay arrivals")
+    require(arrivals.nonEmpty,
+      "streamGraphAutocompactReplay: no arrivals above UpsertSplit — the " +
+        "fixture's id space changed shape; re-derive the replay window")
+    val mid = arrivals(arrivals.length / 2)._1
+    val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
+      arrivals.filter(_._1 >= mid).toSeq)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = source.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.upsertGraphIndex(spark, path, batch, k = GraphK,
+          beam = GraphBeam, hops = GraphHops)
+        if (Similarity.maybeCompactGraphIndex(spark, path, maxGens = 2,
+            maxRatio = Double.PositiveInfinity, graphK = GraphK,
+            graphRounds = GraphRounds)) { fired.incrementAndGet(); () }
+      }
+      .start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    spark.read.parquet(s"$path/graph_edges")
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 6).as("cos_sim"),
+        lit(fired.get).as("n_compactions"))
+      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+  }
+
   /** The beam grid for [[annGraphBeamSweep]] (public so the spec drives
     * the same points). Widths below [[K]] deliberately truncate the
     * result — the cheap end of the curve. */
@@ -958,6 +1019,63 @@ object SimilarityQueries {
       nprobe = NProbeLists))
   }
 
+  /** STREAMING maintenance WITH the auto-compaction policy in the loop
+    * (round-11 verdict #5): the same arrival replay as
+    * [[streamAnnUpsertReplay]], but each micro-batch ends with
+    * [[Similarity.maybeCompactIvfIndex]] at `maxGens = 2` — the policy
+    * must hold OFF after batch 1 (one generation) and FIRE after batch
+    * 2, folding both generations into a retrained base. The registered
+    * result is the post-replay probe tagged with the observed firing
+    * count: the oracle pins `n_compactions = 1` AND neighbor sets
+    * routed through the RETRAINED centroids (exact-decimal per-list
+    * means of the merged corpus), so a policy that misfires (0 or 2
+    * compactions) or a fold that loses/duplicates a generation both
+    * hash-mismatch. Own root, wiped at entry — compaction mutates the
+    * tier in place, so marker-gated reuse would hand the second run a
+    * different base and break idempotency. */
+  def streamAnnAutocompactReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = indexRoot("graft_ivf_autocompact", dir)
+    val root = new org.apache.hadoop.fs.Path(path)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    val e = Tables.embeddings(spark, dir)
+    Similarity.buildIvfIndex(e.filter(col("vec_id") < UpsertSplit), path)
+    val arrivals = e
+      .filter(col("vec_id") >= UpsertSplit && col("vec_id") < StreamUpsertCap)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    requireBoundedReplay(arrivals.length, 4 * (StreamUpsertCap - UpsertSplit),
+      "streamAnnAutocompactReplay arrivals")
+    require(arrivals.nonEmpty,
+      "streamAnnAutocompactReplay: empty arrival window — the fixture's " +
+        "id space changed shape; re-derive the replay window")
+    val chunks = Seq(
+      arrivals.filter(_._1 < MultiSplit).toSeq,
+      arrivals.filter(_._1 >= MultiSplit).toSeq)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = source.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.upsertIvfIndex(spark, path, batch)
+        // gens-bar only (ratio bar off): 2 micro-batches → deterministic
+        // exactly-once firing, which the n_compactions column hash-pins
+        if (Similarity.maybeCompactIvfIndex(spark, path, maxGens = 2,
+            maxRatio = Double.PositiveInfinity)) { fired.incrementAndGet(); () }
+      }
+      .start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    finish(Similarity.knnIvfUpserted(spark, path, probes(spark, dir), K,
+      nprobe = NProbeLists))
+      .withColumn("n_compactions", lit(fired.get))
+  }
+
   /** Probe window for the streaming SERVING replay — wider than the
     * batch queries' [[NProbes]] on purpose, so the replay answers
     * probes the batch oracles never exercised. */
@@ -1549,6 +1667,11 @@ object SimilarityQueries {
     // list however the arrivals are micro-batched — shared oracle
     GQuery("stream_graph_upsert_replay", streamGraphUpsertReplay,
       Some(graphUpsertOracle)),
+    // maintenance loop with the auto-compaction policy inline: fires
+    // exactly once (pinned n_compactions) and must then serve the
+    // full-corpus NN-Descent graph
+    GQuery("stream_graph_autocompact_replay", streamGraphAutocompactReplay,
+      Some(graphAutocompactOracle)),
     // graph tuning curve: every beam width replayed over the same
     // graph/entry CTEs with suffixed hop chains
     GQuery("ann_graph_beam_sweep", annGraphBeamSweep, Some {
@@ -1768,6 +1891,11 @@ object SimilarityQueries {
       Some(ivfOracleFor(StreamQueryCap))),
     GQuery("stream_ann_upsert_replay", streamAnnUpsertReplay,
       Some(streamProbeOracle)),
+    // auto-compaction policy in the maintenance loop: holds off at one
+    // generation, fires at two (pinned n_compactions = 1), then serves
+    // through the RETRAINED centroids of the merged corpus
+    GQuery("stream_ann_autocompact_replay", streamAnnAutocompactReplay,
+      Some(autocompactProbeOracle)),
     GQuery("decon_semantic", deconSemantic, Some {
       val planes = Similarity.srpPlanes(nPlanes = 4, dim = 64)
       s"""
@@ -2014,6 +2142,56 @@ object SimilarityQueries {
   /** The streaming replay serves base ∪ only the CAPPED arrival window. */
   private lazy val streamProbeOracle: String =
     upsertProbeOracleOver(upsertAssignCtesOver(s" AND vec_id < $StreamUpsertCap"))
+
+  /** Post-autocompaction probe oracle (`stream_ann_autocompact_replay`):
+    * the capped merged corpus served through RETRAINED centroids
+    * (exact-decimal per-list means of the merged corpus — the same
+    * decimal discipline as the base `cent` CTE, so routing argmaxes are
+    * bit-stable), plus the pinned exactly-once `n_compactions = 1`. */
+  private lazy val autocompactProbeOracle: String = s"""
+      WITH ${upsertAssignCtesOver(s" AND vec_id < $StreamUpsertCap")},
+      $upsertCorpCte,
+      cex2 AS (
+        SELECT lst AS label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                 i -> struct_pack(p := i, v := embedding[i]::DOUBLE))) AS pv
+        FROM corp),
+      centd2 AS (
+        SELECT label, pv.p AS p,
+               CAST(sum(CAST(pv.v AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS c
+        FROM cex2 GROUP BY 1, 2),
+      cent2 AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd2 GROUP BY 1),
+      sel2 AS (
+        SELECT probe_id, pv, label FROM (
+          SELECT p.vec_id AS probe_id, p.embedding AS pv, c.label,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.embedding::DOUBLE[], c.centroid) DESC,
+                            c.label) AS crk
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $NProbes) p, cent2 c)
+        WHERE crk <= $NProbeLists)
+      SELECT probe_id, neighbor_id, cos_sim, 1 AS n_compactions FROM (
+        SELECT probe_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim FROM (
+          SELECT s.probe_id, e.vec_id AS neighbor_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) AS cos_sim,
+                 row_number() OVER (PARTITION BY s.probe_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.pv::DOUBLE[]) DESC,
+                            e.vec_id) AS rk
+          FROM sel2 s JOIN corp e ON e.lst = s.label AND e.vec_id <> s.probe_id)
+        WHERE rk <= $K)
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+
+  /** Graph autocompaction oracle (`stream_graph_autocompact_replay`):
+    * the full-corpus NN-Descent graph — same temp-table chain as
+    * `ann_knn_graph` — plus the pinned exactly-once `n_compactions`. */
+  private lazy val graphAutocompactOracle: String = s"""
+      ${graphTempPrefix("full", "embeddings")}
+      WITH ${graphTempAliases("full")}
+      SELECT vec_id, neighbor_id, cos_sim, 1 AS n_compactions FROM (
+        SELECT g2.src AS vec_id, g2.dst AS neighbor_id,
+               ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim
+        FROM g2 JOIN vv vs ON vs.vec_id = g2.src
+             JOIN vv vd ON vd.vec_id = g2.dst)
+      ORDER BY vec_id, cos_sim DESC, neighbor_id"""
 
   /** Compacted-centroid oracle (`ann_index_compact`): exact-decimal
     * per-list means over the MERGED corpus — what

@@ -177,6 +177,60 @@ class SimilaritySpec extends SparkSpec {
     plan.toLowerCase should not include "posexplode"
   }
 
+  test("maybeCompact policy: holds off under both bars, fires on gens bar, fires on ratio bar") {
+    val rng = new scala.util.Random(59)
+    val dim = 32
+    val bases = Seq.fill(3)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    def mk(ids: Seq[Long]) = ids.map(i =>
+      (i, (i % 3).toInt, bases((i % 3).toInt)
+        .map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq))
+    val corpusDf = mk(0L until 24L).toDF("vec_id", "label", "embedding")
+    val path = s"target/test_ivf_policy_${System.nanoTime()}"
+    Similarity.buildIvfIndex(corpusDf, path)
+    // no delta at all → never fires, even at maxGens = 1
+    Similarity.maybeCompactIvfIndex(spark, path, maxGens = 1,
+      maxRatio = 0.0) shouldBe false
+    // one small generation: under gens bar (2) and under ratio bar
+    // (3/24 = 0.125 < 0.25) → holds off
+    Similarity.upsertIvfIndex(spark, path,
+      mk(100L until 103L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"))
+    Similarity.maybeCompactIvfIndex(spark, path, maxGens = 2,
+      maxRatio = 0.25) shouldBe false
+    // second generation trips the gens bar; the fold retires both
+    Similarity.upsertIvfIndex(spark, path,
+      mk(103L until 106L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"))
+    Similarity.maybeCompactIvfIndex(spark, path, maxGens = 2,
+      maxRatio = 0.25) shouldBe true
+    spark.read.parquet(s"$path/lists").count() shouldBe 30 // 24 + 6 folded
+    // a fresh generation of 9 rows over base 30 trips the RATIO bar
+    // (9/30 = 0.3 ≥ 0.25) though far under the gens bar
+    Similarity.upsertIvfIndex(spark, path,
+      mk(200L until 209L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"))
+    Similarity.maybeCompactIvfIndex(spark, path, maxGens = 99,
+      maxRatio = 0.25) shouldBe true
+    spark.read.parquet(s"$path/lists").count() shouldBe 39
+    // graph twin: same two bars, same exactly-once accounting
+    val gPath = s"target/test_graph_policy_${System.nanoTime()}"
+    val gCorpus = mk(0L until 24L).map(t => (t._1, t._3))
+      .toDF("vec_id", "embedding")
+    Similarity.buildGraphIndex(gCorpus, gPath, graphK = 5, graphRounds = 2,
+      dim = dim)
+    Similarity.maybeCompactGraphIndex(spark, gPath, maxGens = 1,
+      maxRatio = 0.0, graphK = 5, graphRounds = 2, dim = dim) shouldBe false
+    Similarity.upsertGraphIndex(spark, gPath,
+      mk(100L until 103L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"),
+      k = 5, beam = 10, hops = 2, dim = dim)
+    Similarity.maybeCompactGraphIndex(spark, gPath, maxGens = 2,
+      maxRatio = 0.25, graphK = 5, graphRounds = 2, dim = dim) shouldBe false
+    Similarity.upsertGraphIndex(spark, gPath,
+      mk(103L until 106L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"),
+      k = 5, beam = 10, hops = 2, dim = dim)
+    Similarity.maybeCompactGraphIndex(spark, gPath, maxGens = 2,
+      maxRatio = 0.25, graphK = 5, graphRounds = 2, dim = dim) shouldBe true
+    Similarity.graphDeltaEdges(spark, gPath) shouldBe None
+    spark.read.parquet(s"$gPath/vectors").count() shouldBe 30
+  }
+
   test("knnIvfPqIndexed: persisted PQ tier answers exactly like the in-query build; marker gates") {
     val rng = new scala.util.Random(17)
     val dim = 32
