@@ -262,6 +262,17 @@ object ScaleBench {
         println(f"""{"metric":"scale","op":"bpe_train","scale":$k,"docs":$nd,"merges":8,"sec":$bpeSec%.3f,"us_per_doc":${bpeSec * 1e6 / nd}%.2f}""")
       }
 
+      // bigram-LM perplexity: one corpus-wide bigram shuffle for the
+      // counts, vocab-bounded re-agg for the denominators, then the
+      // scoring join back over the exploded bigram stream — two passes
+      // over the bigrams total, so us/doc must stay ~flat with k (the
+      // dup-heavy corpus keeps the count tables near-constant while the
+      // stream grows linearly).
+      if (on("lm_score")) {
+        val lmSec = timeOp(Text.lmScore(docs))
+        println(f"""{"metric":"scale","op":"lm_score","scale":$k,"docs":$nd,"sec":$lmSec%.3f,"us_per_doc":${lmSec * 1e6 / nd}%.2f}""")
+      }
+
       if (on("knn_graph")) {
       val kgSec = timeOpFull({
         val vecs = docs.select(col("doc_id").as("vec_id"),

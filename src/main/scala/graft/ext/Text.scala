@@ -246,6 +246,61 @@ object Text {
       .limit(limit)
   }
 
+  /** Bigram-LM fluency scoring (round-11 verdict #6): train an
+    * add-one-smoothed bigram language model over the corpus and score
+    * every document by its average per-bigram negative log-likelihood
+    * (and perplexity = exp of it) — the classic LM quality signal a
+    * training-data pipeline uses to rank fluent text above
+    * keyword-mash / boilerplate (low ppl = the doc's transitions are
+    * common in the corpus).
+    *
+    * EVERY model statistic derives from ONE explode+groupBy pass over
+    * the bigram stream: `c2(w1,w2)` = bigram count; `c1(w1)` = Σ_w2 c2
+    * (w1's count as a bigram head — the conditional's denominator);
+    * `V` = |distinct continuations w2|. P(w2|w1) = (c2+1)/(c1+V).
+    *
+    * Determinism discipline (the [[nbQualityClassifier]] weight
+    * discipline): each occurrence's nll = ln(c1+V) − ln(c2+1) is
+    * computed from exact integers, rounded to 6 dp, and cast
+    * DECIMAL(18,6) BEFORE the per-doc sum, so the sum is exact decimal
+    * arithmetic — order-independent and bit-identical in both engines;
+    * `ppl` is exp of the ALREADY-6dp-ROUNDED average so both engines
+    * exponentiate the identical double. Docs with < 2 tokens have no
+    * bigrams and drop out (no fluency evidence either way).
+    *
+    * Scale shape: one corpus-wide bigram-key shuffle builds `c2`
+    * (map-side combined); `c1` re-aggregates the count table itself
+    * (vocab-bounded, never a second corpus scan); scoring equi-joins
+    * the exploded bigram stream against the two count tables and ends
+    * in one decimal sum per doc; `V` travels as a 1-row broadcast.
+    *
+    * Returns (idCol, n_bigrams, avg_nll DOUBLE, ppl DOUBLE), unordered. */
+  def lmScore(docsDf: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val bg = docsDf
+      .withColumn("toks", tokens(col(textCol)))
+      .select(col(idCol), explode(ngrams(col("toks"))).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = c2.agg(
+      countDistinct(split(col("bg"), " ").getItem(1)).as("v"))
+    val terms = bg
+      .join(c2.select(col("bg"), col("c2"), col("w1")), "bg")
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        round(log((col("c1") + col("v")).cast("double")) -
+              log((col("c2") + 1).cast("double")), 6)
+          .cast("decimal(18,6)").as("nll"))
+    val avg6 = round(col("snll").cast("double") / col("n_bigrams"), 6)
+    terms.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
+      .select(col(idCol), col("n_bigrams"),
+        avg6.as("avg_nll"),
+        round(exp(avg6), 4).as("ppl"))
+  }
+
   /** TRAINED QUALITY CLASSIFIER (the fastText-style bootstrap every LLM
     * data pipeline runs: seed labels from a cheap heuristic, train a
     * linear bag-of-words model, apply it at corpus scale): multinomial

@@ -158,6 +158,12 @@ object TextQueries {
     Text.nbQualityClassifier(Tables.documents(spark, dir))
       .orderBy("doc_id")
 
+  /** Bigram-LM perplexity per doc ([[Text.lmScore]]) — the fluency
+    * quality signal; model stats from one bigram aggregation pass,
+    * scoring by vocabulary join, decimal-exact per-doc sums. */
+  def lmScoreQ(spark: SparkSession, dir: String): DataFrame =
+    Text.lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Language-ID heuristic (stopword-profile argmax; ties → first profile
     * in order, zero hits → "und"). The corpus labels are synthetic so
     * accuracy is judged by the unit test on real per-language sentences —
@@ -713,6 +719,35 @@ object TextQueries {
              CAST(CASE WHEN coalesce(s.sw, 0) + p.b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
       FROM lab l LEFT JOIN s ON s.doc_id = l.doc_id CROSS JOIN prior p
       ORDER BY l.doc_id""")),
+    // bigram-LM perplexity: all model stats (c2, c1 = Σc2 by head,
+    // V = distinct continuations) from ONE bigram groupBy; per-term nll
+    // rounded to 6 dp and summed as exact DECIMAL (order-independent);
+    // ppl exponentiates the already-rounded average so both engines
+    // exp() the identical double
+    GQuery("text_lm_score", lmScoreQ, Some(s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+      c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bgs GROUP BY 1),
+      c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+             FROM c2 GROUP BY 1),
+      vv AS (SELECT CAST(count(DISTINCT split_part(bg, ' ', 2)) AS BIGINT) AS v
+             FROM c2),
+      terms AS (
+        SELECT b.doc_id,
+               CAST(ROUND(ln(CAST(c1.c1 + vv.v AS DOUBLE)) -
+                          ln(CAST(cc.c2 + 1 AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS nll
+        FROM bgs b JOIN c2 cc USING (bg)
+             JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
+             CROSS JOIN vv),
+      s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(nll) AS snll
+            FROM terms GROUP BY 1)
+      SELECT doc_id, n_bigrams,
+             ROUND(CAST(snll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
+             ROUND(exp(ROUND(CAST(snll AS DOUBLE) / n_bigrams, 6)), 4) AS ppl
+      FROM s ORDER BY doc_id""")),
     GQuery("text_lang_id", langIdQ, Some {
       val (cols, caseExpr) = duckLangId
       s"""

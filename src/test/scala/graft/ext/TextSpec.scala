@@ -128,4 +128,34 @@ class TextSpec extends SparkSpec {
       .select("doc_id", "label", "score", "pred")
       .as[(Long, Int, Double, Int)].collect().sortBy(_._1) shouldBe out
   }
+
+  test("lmScore: planted fluency — repeated transitions score lower ppl than novel ones; short docs drop; deterministic") {
+    // fluent block: many docs repeating the SAME bigram transitions, so
+    // every transition is high-count under the trained model
+    val fluent = (0L until 8L).map(i =>
+      (i, "the cat sat on the mat " * 5))
+    // disfluent probe: same tokens EXIST in the vocab, but in transitions
+    // seen nowhere else — every bigram bottoms out at the +1 smoothing
+    val disfluent = (20L, "mat the on cat the sat mat cat on sat the on")
+    // one-token doc: no bigrams, must drop from the result entirely
+    val tiny = (30L, "the")
+    val df = (fluent ++ Seq(disfluent, tiny)).toDF("doc_id", "text")
+    val out = Text.lmScore(df)
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    byId.keySet should not contain 30L
+    // every fluent doc beats the disfluent one on both scores
+    fluent.foreach { case (i, _) =>
+      byId(i)._4 should be < byId(20L)._4
+      byId(i)._3 should be < byId(20L)._3
+    }
+    // ppl is exp(avg_nll) within the stated rounding
+    out.foreach { case (_, _, avg, ppl) =>
+      ppl shouldBe math.exp(avg) +- 1e-3 }
+    // deterministic re-run, bit for bit
+    Text.lmScore(df)
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1) shouldBe out
+  }
 }
