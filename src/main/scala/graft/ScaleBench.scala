@@ -301,7 +301,7 @@ object ScaleBench {
           .localCheckpoint(true)
         val probes = vecs.filter(col("vec_id") < 32)
         val gqSec = timeOp(graft.ext.Similarity.graphSearchOn(
-          g, vecs, probes, k = 8, beam = 16, hops = 2, dim = 16))
+          g, vecs, probes, k = 8, beam = 16, hops = 2))
         org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(g)
         println(f"""{"metric":"scale","op":"graph_search","scale":$k,"docs":$nd,"probes":32,"sec":$gqSec%.3f,"us_per_doc":${gqSec * 1e6 / nd}%.2f}""")
       }

@@ -570,35 +570,44 @@ object Similarity {
 
   /** GRAPH-ANN SEARCH over a [[knnGraph]] edge list — the serving-side
     * complement of the NN-Descent build (the HNSW/NSG query pattern:
-    * greedy best-first expansion with a bounded beam). Every probe
-    * starts from the same fixed `entries`-node entry set (the smallest
-    * ids — a sort-limit of a tiny constant, one TakeOrdered at any
-    * corpus size), then repeats `hops` times:
+    * greedy best-first expansion with a bounded beam). Per hop:
     *
-    *   F_h = top-`beam`( F_{h-1} ∪ out-neighbors(F_{h-1}) )
+    *   F_h = top-`beam`( F_{h-1} ∪ neighbors(F_{h-1}) )
     *
-    * scored by exact double cosine against the probe, ties toward the
-    * smaller id ([[BoundedTopK]]). Because a candidate's score never
-    * changes across hops, a node that falls out of the beam is worse
-    * than `beam` kept nodes and can never re-enter any top-k ≤ beam —
-    * so the recurrence needs NO visited set: per-probe state is exactly
-    * `beam` ids, and the final top-k over F_hops equals the top-k over
-    * everything ever scored. That is the 100 TB shape: each hop joins a
-    * broadcast-small frontier (|probes|·beam rows) against the n·k edge
-    * list on its partition key, fetches ≤ |probes|·beam·k candidate
-    * vectors by id, and nothing grows with corpus size except the
-    * pre-built graph itself.
+    * where neighbors is SYMMETRIZED (out-edges ∪ in-edges — the top-k
+    * edge list is directed, and a node's in-neighbors are exactly as
+    * navigable; NN-Descent symmetrizes every round for the same
+    * reason), scored by exact double cosine against the probe, ties
+    * toward the smaller id ([[BoundedTopK]]). Scores never change
+    * across hops, so the recurrence needs NO visited set. The RESULT
+    * re-ranks the best-seen list (each stage's top-max(k, beam),
+    * accumulated — HNSW's result list): for beam ≥ k this provably
+    * equals the top-k of the final frontier (a node that falls out of
+    * the beam is worse than `beam` kept nodes and can never re-enter
+    * any top-k ≤ beam); for beam < k it fills the k result slots from
+    * candidates the walk already paid to score instead of truncating
+    * at `beam`. That is the 100 TB shape: each hop joins a
+    * broadcast-small frontier (|probes|·beam rows) against the n·k
+    * edge list on its endpoint keys (deployment stores the edge list
+    * bucketed by both endpoints, or pre-symmetrized), fetches ≤
+    * |probes|·beam·2k candidate vectors by id, and nothing grows with
+    * corpus size except the pre-built graph itself.
     *
-    * Entry set = the min-id node of every occupied SRP bucket (the
-    * graph's own init geometry, ≤ 2^nPlanes rows from one groupBy-min —
-    * broadcast-tiny). A fixed global entry point would strand probes
-    * whose region the final top-k graph does not connect to (a k-bounded
-    * graph keeps only each node's nearest out-edges, so well-separated
-    * clusters form disconnected components — the problem HNSW solves
-    * with long-range layers); one entry per bucket guarantees every
-    * region of the space seeds the walk.
+    * Entry set = HIERARCHICAL (round-11 verdict #3): a coarse sampled
+    * top layer — every `entryStride`-th id — is scored against the
+    * probe first, and its per-probe top-`beam` nodes seed the base
+    * walk. The previous design (one global min-id node per SRP bucket)
+    * seeded every probe with the SAME ≤ 2^nPlanes nodes, so a narrow
+    * beam spent its whole width re-ranking far-away globals (beam-4
+    * recall@10 measured 0.40); probe-local coarse entries start the
+    * walk inside the probe's own region, exactly HNSW's upper-layer
+    * role. The coarse scan is |probes|·n/stride cheap exact cosines —
+    * at deployment scale the top layer is itself an index tier
+    * (searched recursively, or via its own IVF routing); one sampled
+    * layer is the 2-level form of that story and keeps the whole
+    * trajectory SQL-replayable.
     *
-    * Deterministic end-to-end (fixed entry set, exact cosine, id
+    * Deterministic end-to-end (deterministic layer, exact cosine, id
     * tie-breaks at every rank) so the DuckDB oracle replays the same
     * trajectory hop for hop. Returns (probe_id, neighbor_id, cos_sim).
     */
@@ -606,48 +615,77 @@ object Similarity {
                   beam: Int = 20, hops: Int = 2,
                   graphK: Int = 10, graphRounds: Int = 2,
                   nPlanes: Int = 4, dim: Int = 64,
+                  entryStride: Int = GraphEntryStride,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graphSearchOn(
       knnGraph(corpus, graphK, graphRounds, nPlanes = nPlanes,
         dim = dim, idCol = idCol, vecCol = vecCol),
-      corpus, probes, k, beam, hops, nPlanes, dim, idCol, vecCol)
+      corpus, probes, k, beam, hops, entryStride, idCol, vecCol)
+
+  /** Sampling stride of the coarse entry layer: ids ≡ 0 (mod stride)
+    * form the top layer every [[graphSearchOn]] walk enters through.
+    * Shared with the oracle SQL so both engines sample identically. */
+  val GraphEntryStride: Int = 4
 
   /** [[graphSearch]] over an ALREADY-BUILT (possibly persisted) kNN
     * graph — the serving split: the NN-Descent build is paid once per
     * corpus generation, queries pay only the hops. `graph` must carry
-    * (idCol, neighbor_id) out-edges, the [[knnGraph]] output shape. */
+    * (idCol, neighbor_id) out-edges, the [[knnGraph]] output shape.
+    * The corpus must contain at least one id ≡ 0 (mod `entryStride`)
+    * or no walk can enter (the fixtures' dense id spaces always do). */
   def graphSearchOn(graph: DataFrame, corpus: DataFrame, probes: DataFrame,
                     k: Int = 10, beam: Int = 20, hops: Int = 2,
-                    nPlanes: Int = 4, dim: Int = 64,
+                    entryStride: Int = GraphEntryStride,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val g = graph.select(col(idCol).as("__src"), col("neighbor_id").as("__dst"))
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
     val p = probes.select(col(idCol).as("probe_id"),
       transform(col(vecCol), x => x.cast("double")).as("__pv"))
-    val planes = srpPlanes(nPlanes, dim)
-    val entry = v.withColumn("__b", srpBucket(col("__v"), planes))
-      .groupBy("__b").agg(min(col("__id")).as("node"))
-      .select("node")
-    // beam state: (probe_id, node) — scores recomputed per hop against
-    // the broadcast probe vectors (cheaper than carrying doubles through
-    // the distinct, and keeps the frontier rows fixed-width ids)
-    var frontier = p.select(col("probe_id")).crossJoin(broadcast(entry))
+    // per-stage ranking width: the beam bounds the WALK, but the
+    // RESULT re-ranks everything ever scored (the HNSW "best seen"
+    // list), so each stage keeps top-max(k, beam) — for beam ≥ k this
+    // changes nothing (a node that falls out of the beam is worse than
+    // `beam` kept nodes and can never re-enter any top-k ≤ beam); for
+    // beam < k it fills the k result slots from candidates the narrow
+    // frontier already paid to score instead of truncating at `beam`
+    val kk = math.max(k, beam)
     def topOf(cands: DataFrame, n: Int): DataFrame = cands
       .join(v.select(col("__id").as("node"), col("__v")), "node")
       .join(broadcast(p), "probe_id")
       .filter(col("node") =!= col("probe_id"))
       .groupBy("probe_id")
       .agg(BoundedTopK.topk(cosine(col("__pv"), col("__v")), col("node"), n).as("__nn"))
-      .select(col("probe_id"), explode(col("__nn").getField("id")).as("node"))
+      .select(col("probe_id"),
+        posexplode(col("__nn").getField("id")).as(Seq("__pos", "node")))
+    // hierarchical entry: per-probe top-of-the-coarse-sampled-layer —
+    // beam state stays (probe_id, node), scores recomputed per hop
+    // against the broadcast probe vectors (cheaper than carrying
+    // doubles through the distinct, and keeps frontier rows fixed-width)
+    val layer = v.filter(pmod(col("__id"), lit(entryStride)) === 0)
+      .select(col("__id").as("node"))
+    var ranked = topOf(p.select(col("probe_id")).crossJoin(layer), kk)
+    var best = ranked.select("probe_id", "node")
+    var frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
+    // hop expansion is SYMMETRIZED (out-edges ∪ in-edges): the top-k
+    // edge list is directed, and on weakly-clustered data a node's
+    // in-neighbors are as navigable as its out-neighbors (NN-Descent
+    // itself symmetrizes every round for the same reason). At
+    // deployment scale the edge list is stored bucketed by BOTH
+    // endpoints (or pre-symmetrized), so each direction is still a
+    // co-located equi-join.
+    val gSym = g.unionByName(
+      g.select(col("__dst").as("__src"), col("__src").as("__dst")))
     for (_ <- 1 to hops) {
       val expanded = frontier.unionByName(
-          frontier.join(g, frontier("node") === g("__src"))
+          frontier.join(gSym, frontier("node") === gSym("__src"))
             .select(col("probe_id"), col("__dst").as("node")))
         .distinct()
-      frontier = topOf(expanded, beam)
+      ranked = topOf(expanded, kk)
+      best = best.unionByName(ranked.select("probe_id", "node")).distinct()
+      frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
     }
-    frontier
+    best
       .join(v.select(col("__id").as("node"), col("__v")), "node")
       .join(broadcast(p), "probe_id")
       .withColumn("__cs", cosine(col("__pv"), col("__v")))
@@ -691,7 +729,7 @@ object Similarity {
     * time pays no NN-Descent rounds: two parquet reads and the hops. */
   def graphSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                          probes: DataFrame, k: Int = 10, beam: Int = 20,
-                         hops: Int = 2, nPlanes: Int = 4, dim: Int = 64,
+                         hops: Int = 2, entryStride: Int = GraphEntryStride,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -700,7 +738,7 @@ object Similarity {
     graphSearchOn(
       spark.read.parquet(s"$indexPath/graph_edges"),
       spark.read.parquet(s"$indexPath/vectors"),
-      probes, k, beam, hops, nPlanes, dim, idCol, vecCol)
+      probes, k, beam, hops, entryStride, idCol, vecCol)
   }
 
   private def graphDeltaRoot(indexPath: String) = s"$indexPath/graph_delta"
@@ -741,7 +779,7 @@ object Similarity {
     * An empty batch is a no-op, mirroring [[upsertIvfIndex]]. */
   def upsertGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        batch: DataFrame, k: Int = 10, beam: Int = 20,
-                       hops: Int = 2, nPlanes: Int = 4, dim: Int = 64,
+                       hops: Int = 2, entryStride: Int = GraphEntryStride,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -755,7 +793,7 @@ object Similarity {
     graphSearchOn(
       spark.read.parquet(s"$indexPath/graph_edges"),
       spark.read.parquet(s"$indexPath/vectors"),
-      batch, k, beam, hops, nPlanes, dim, idCol, vecCol)
+      batch, k, beam, hops, entryStride, idCol, vecCol)
       .select(col("probe_id").as(idCol), col("neighbor_id"), col("cos_sim"))
       .write.mode("overwrite").parquet(s"$gen/edges")
     fs.create(new org.apache.hadoop.fs.Path(

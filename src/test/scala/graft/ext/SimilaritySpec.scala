@@ -219,12 +219,12 @@ class SimilaritySpec extends SparkSpec {
       maxRatio = 0.0, graphK = 5, graphRounds = 2, dim = dim) shouldBe false
     Similarity.upsertGraphIndex(spark, gPath,
       mk(100L until 103L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"),
-      k = 5, beam = 10, hops = 2, dim = dim)
+      k = 5, beam = 10, hops = 2)
     Similarity.maybeCompactGraphIndex(spark, gPath, maxGens = 2,
       maxRatio = 0.25, graphK = 5, graphRounds = 2, dim = dim) shouldBe false
     Similarity.upsertGraphIndex(spark, gPath,
       mk(103L until 106L).map(t => (t._1, t._3)).toDF("vec_id", "embedding"),
-      k = 5, beam = 10, hops = 2, dim = dim)
+      k = 5, beam = 10, hops = 2)
     Similarity.maybeCompactGraphIndex(spark, gPath, maxGens = 2,
       maxRatio = 0.25, graphK = 5, graphRounds = 2, dim = dim) shouldBe true
     Similarity.graphDeltaEdges(spark, gPath) shouldBe None
@@ -325,7 +325,7 @@ class SimilaritySpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val newEdges = Similarity.graphSearchOn(g, base, delta, k = 5,
-      beam = 10, hops = 2, dim = dim)
+      beam = 10, hops = 2)
       .select(col("probe_id").as("vec_id"), col("neighbor_id"))
     val ne = key(newEdges)
     // every delta node gets exactly k out-edges, all into the base set
@@ -347,14 +347,14 @@ class SimilaritySpec extends SparkSpec {
     // serving before the tier exists must refuse, not misread
     an[IllegalArgumentException] should be thrownBy
       Similarity.graphSearchIndexed(spark, path, probesDf, k = 5,
-        beam = 10, hops = 2, dim = dim)
+        beam = 10, hops = 2)
     Similarity.buildGraphIndex(corpus, path, graphK = 5, graphRounds = 2,
       dim = dim)
     def key(g: org.apache.spark.sql.DataFrame) = g
       .select(col("probe_id"), col("neighbor_id"), round(col("cos_sim"), 9))
       .as[(Long, Long, Double)].collect().toSet
     key(Similarity.graphSearchIndexed(spark, path, probesDf, k = 5,
-      beam = 10, hops = 2, dim = dim)) shouldBe
+      beam = 10, hops = 2)) shouldBe
       key(Similarity.graphSearch(corpus, probesDf, k = 5, beam = 10,
         hops = 2, graphK = 5, graphRounds = 2, dim = dim))
   }
@@ -379,12 +379,12 @@ class SimilaritySpec extends SparkSpec {
 
     // empty batch is a no-op (no generation lands)
     Similarity.upsertGraphIndex(spark, path,
-      base.filter(col("vec_id") < 0), k = 5, beam = 10, hops = 2, dim = dim)
+      base.filter(col("vec_id") < 0), k = 5, beam = 10, hops = 2)
     Similarity.graphDeltaEdges(spark, path) shouldBe None
 
     // two real batches land as two generations; merged delta = disjoint union
-    Similarity.upsertGraphIndex(spark, path, b1, k = 5, beam = 10, hops = 2, dim = dim)
-    Similarity.upsertGraphIndex(spark, path, b2, k = 5, beam = 10, hops = 2, dim = dim)
+    Similarity.upsertGraphIndex(spark, path, b1, k = 5, beam = 10, hops = 2)
+    Similarity.upsertGraphIndex(spark, path, b2, k = 5, beam = 10, hops = 2)
     val delta = Similarity.graphDeltaEdges(spark, path).get
     delta.select("vec_id").distinct().as[Long].collect().toSet shouldBe
       Set(30L, 31L, 32L, 33L)
@@ -403,12 +403,12 @@ class SimilaritySpec extends SparkSpec {
     val v33b = vec()
     Similarity.upsertGraphIndex(spark, path,
       Seq((33L, v33b)).toDF("vec_id", "embedding"), k = 5, beam = 10,
-      hops = 2, dim = dim)
+      hops = 2)
     val expected33 = Similarity.graphSearchOn(
         spark.read.parquet(s"$path/graph_edges"),
         spark.read.parquet(s"$path/vectors"),
         Seq((33L, v33b)).toDF("vec_id", "embedding"),
-        k = 5, beam = 10, hops = 2, dim = dim)
+        k = 5, beam = 10, hops = 2)
       .select(col("probe_id").as("vec_id"), col("neighbor_id"))
     val served = Similarity.graphDeltaEdges(spark, path).get
     edgeKey(served.filter(col("vec_id") === 33L)) shouldBe edgeKey(expected33)
