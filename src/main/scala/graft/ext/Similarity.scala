@@ -352,10 +352,23 @@ object Similarity {
     * pruning (partitioning) and int8 (scalar quantization): coarse
     * centroid routing prunes the corpus to the `nprobe` nearest inverted
     * lists, then the surviving candidates are scored WITHOUT touching
-    * their vectors via Asymmetric Distance Computation: each probe
-    * precomputes a (mSub × ks) lookup table of subvector·codebook-
-    * centroid inner products, and a candidate's approximate score is the
-    * sum of the `mSub` LUT entries its codes select. At 100 TB the ADC
+    * their vectors via Asymmetric Distance Computation over RESIDUAL
+    * codes (IVFADC — round 13): PQ quantizes x − μ_list(x), each probe
+    * precomputes a (mSub × ks) LUT of raw-probe-subvector ·
+    * residual-codebook-centroid inner products, and a candidate's
+    * approximate score is ⟨p, μ_list⟩ (exact, per probed list) plus the
+    * sum of the `mSub` LUT entries its codes select. When lists are
+    * clusters (the real IVF assignment) residuals carry the
+    * within-list detail raw codes would spend re-encoding the shared
+    * cluster mean — the SimilaritySpec planted-cluster test pins the
+    * contrast (raw codes collapse cluster members onto identical
+    * tuples; residual codes separate them and a thin re-rank margin
+    * recovers the exact in-list answer). On the sf fixtures the list
+    * assignment is a RANDOM partition of centered noise (per-list
+    * centroids ≈ 0, measured |μ| ≤ 0.02 vs data range ±0.37), so
+    * residual ≡ raw there and recall sits at the nprobe ceiling either
+    * way (sf0.01, nprobe=2: exact-in-probed-lists caps recall@10 at
+    * 0.30; ADC delivers 0.28 = 93% of the ceiling). At 100 TB the ADC
     * scan reads mSub code bytes per vector instead of 4·D vector bytes
     * (~64× less memory traffic at D=64/mSub=4), and the LUT join is a
     * BROADCAST of |probes|·mSub·ks tiny rows. Exact double cosine then
@@ -380,7 +393,20 @@ object Similarity {
         cosine(col("__pv"), col("__centroid")), col(listCol), nprobe).as("__top"))
       .select(col("probe_id"), explode(col("__top")).as("__t"))
       .select(col("probe_id"), col("__t.id").as(listCol))
-    val (cb, codes) = pqTrain(corpus, mSub, subDim, ks, idCol, vecCol)
+    // RESIDUAL quantization (IVFADC, Jégou et al. 2011 §IV-A, round 13):
+    // PQ learns x − μ_list(x), not x — residuals are centered and far
+    // lower-variance than raw vectors, so the same (mSub, ks) budget
+    // spends its codes on the fine structure the coarse quantizer
+    // can't express (measured recall@10 at sf0.01, nprobe=2, candMult=3:
+    // 0.28 raw → see query scaladoc for the residual figure). The ADC
+    // score decomposes asymmetrically: ⟨p, x⟩ ≈ ⟨p, μ_l⟩ + Σ_m LUT[m,
+    // code_m], with the ⟨p, μ_l⟩ term exact per (probe, probed list).
+    val rcorp = corpus
+      .join(broadcast(cent), listCol)
+      .select(col(idCol),
+        zip_with(col(vecCol), col("__centroid"),
+          (a, b) => a.cast("double") - b).as("__r"))
+    val (cb, codes) = pqTrain(rcorp, mSub, subDim, ks, idCol, "__r")
     val psub = pqSubvectors(
       probes.select(col(idCol).as("probe_id"), col(vecCol)),
       mSub, subDim, "probe_id", vecCol)
@@ -392,13 +418,27 @@ object Similarity {
             (a, b) => (a * b).cast(DecimalType(28, 12))),
           lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
           (acc, x) => (acc + x).cast(DecimalType(38, 12))).as("__w"))
+    // the exact ⟨probe, list-centroid⟩ term — |probes|·nprobe rows,
+    // same decimal discipline as the LUT so both engines add identical
+    // decimals
+    val ip0 = probed
+      .join(broadcast(cent), listCol)
+      .join(pv, "probe_id")
+      .select(col("probe_id"), col(listCol),
+        aggregate(
+          zip_with(col("__pv"), col("__centroid"),
+            (a, b) => (a * b).cast(DecimalType(28, 12))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+          (acc, x) => (acc + x).cast(DecimalType(38, 12))).as("__w0"))
     val cand = codes
       .join(corpus.select(col(idCol), col(listCol)), idCol)
-      .join(probed, listCol)
+      .join(ip0, listCol)
       .filter(col(idCol) =!= col("probe_id"))
       .join(broadcast(lut), Seq("probe_id", "__m", "__code"))
       .groupBy(col("probe_id"), col(idCol))
-      .agg(sum(col("__w")).as("__adc"))
+      // __w0 is constant within the group (a candidate lives in exactly
+      // one list), so max() just carries it across the fold
+      .agg((sum(col("__w")) + max(col("__w0"))).as("__adc"))
       .groupBy(col("probe_id"))
       .agg(BoundedTopK.topk(
         col("__adc").cast("double"), col(idCol), k * candMult).as("__nn"))
@@ -924,7 +964,39 @@ object Similarity {
     * discipline applied to the tier: a crash between the two writes
     * must read as "no PQ tier", never as a codebook serving stale
     * codes. */
-  val PqCompleteMarker = "_GRAFT_PQ_COMPLETE"
+  /** "_R" = residual codes (round 13): renaming the marker makes every
+    * pre-residual tier read as "no PQ tier", so a cached tier built on
+    * raw-vector codes can never serve against the residual oracle. */
+  val PqCompleteMarker = "_GRAFT_PQ_COMPLETE_R"
+
+  /** The marker's CONTENT is a codec + geometry fingerprint (round 13):
+    * an existence-only gate lets a tier built with a different (mSub,
+    * subDim, ks) — or by a since-changed codec — serve forever, because
+    * the tier root is keyed by the CORPUS identity, not by how the
+    * codes were cut (observed live: a geometry re-cut left an old
+    * 4×16-d tier marker-valid and every persisted-tier answer wrong
+    * while the in-query twin was green). [[pqTierServes]] treats any
+    * content mismatch — including the empty content of pre-fingerprint
+    * markers — as "no PQ tier". The graph tier solves the same problem
+    * positionally (its params are baked into the ROOT path); the PQ
+    * tier lives inside the IVF index root it serves, so the fingerprint
+    * rides in the marker instead. */
+  def pqFingerprint(mSub: Int, subDim: Int, ks: Int): String =
+    s"ivfadc:$mSub:$subDim:$ks"
+
+  /** True iff a complete PQ tier with exactly this codec + geometry is
+    * present at `indexPath`. */
+  def pqTierServes(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                   mSub: Int, subDim: Int, ks: Int): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$PqCompleteMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(marker) && {
+      val in = fs.open(marker)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      content == pqFingerprint(mSub, subDim, ks)
+    }
+  }
 
   /** Persist the PQ tier BESIDE a built IVF index (the production
     * composition [[knnIvfPq]] derives in-query): codebooks as plain
@@ -947,12 +1019,22 @@ object Similarity {
     fs.delete(marker, false)
     val lists = spark.read.parquet(s"$indexPath/lists")
       .select(col(idCol), col(vecCol), col(listCol))
-    val (cb, codes) = pqTrain(lists, mSub, subDim, ks, idCol, vecCol)
+    // residual PQ (the knnIvfPq discipline): codes quantize
+    // x − μ_list(x) against the index's own persisted centroids
+    val cent = spark.read.parquet(s"$indexPath/centroids")
+    val rlists = lists
+      .join(broadcast(cent), listCol)
+      .select(col(idCol),
+        zip_with(col(vecCol), col("__centroid"),
+          (a, b) => a.cast("double") - b).as("__r"))
+    val (cb, codes) = pqTrain(rlists, mSub, subDim, ks, idCol, "__r")
     cb.write.mode("overwrite").parquet(s"$indexPath/pq_codebooks")
     codes.join(lists.select(col(idCol), col(listCol)), idCol)
       .write.mode("overwrite").partitionBy(listCol)
       .parquet(s"$indexPath/pq_codes")
-    fs.create(marker, true).close()
+    val out = fs.create(marker, true)
+    out.write(pqFingerprint(mSub, subDim, ks).getBytes("UTF-8"))
+    out.close()
     spark.read.parquet(s"$indexPath/pq_codebooks")
   }
 
@@ -1014,6 +1096,17 @@ object Similarity {
             (a, b) => (a * b).cast(DecimalType(28, 12))),
           lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
           (acc, x) => (acc + x).cast(DecimalType(38, 12))).as("__w"))
+    // the exact ⟨probe, list-centroid⟩ residual-decomposition term
+    // (see knnIvfPq) — |probes|·nprobe rows, broadcast
+    val ip0 = probed
+      .join(broadcast(cent), listCol)
+      .join(pv, "probe_id")
+      .select(col("probe_id"), col(listCol),
+        aggregate(
+          zip_with(col("__pv"), col("__centroid"),
+            (a, b) => (a * b).cast(DecimalType(28, 12))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+          (acc, x) => (acc + x).cast(DecimalType(38, 12))).as("__w0"))
     // (probe, probed-list, LUT-entry) — |probes|·nprobe·mSub·ks rows,
     // broadcast: its list column drives directory pruning of the codes
     // scan, its (m, code) legs resolve each candidate's ADC terms
@@ -1022,8 +1115,9 @@ object Similarity {
     val cand = codes
       .join(broadcast(probedLut), Seq(listCol, "__m", "__code"))
       .filter(col(idCol) =!= col("probe_id"))
+      .join(broadcast(ip0), Seq("probe_id", listCol))
       .groupBy(col("probe_id"), col(idCol))
-      .agg(sum(col("__w")).as("__adc"))
+      .agg((sum(col("__w")) + max(col("__w0"))).as("__adc"))
       .groupBy(col("probe_id"))
       .agg(BoundedTopK.topk(
         col("__adc").cast("double"), col(idCol), k * candMult).as("__nn"))

@@ -93,9 +93,9 @@ object SimilarityQueries {
       candMult = CandMult))
   }
 
-  private val PqM = 4
-  private val PqSubDim = 16
-  private val PqKs = 8
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqKs = 16
 
   /** IVF-PQ against the PERSISTED index + PQ tier
     * ([[Similarity.knnIvfPqIndexed]]): builds the tier beside the index
@@ -105,7 +105,10 @@ object SimilarityQueries {
     * to [[knnIvfPqQ]] — the shared oracle hash-proves it. */
   def annIndexPqQ(spark: SparkSession, dir: String): DataFrame = {
     val path = ensureIvfIndex(spark, dir)
-    if (!new java.io.File(s"$path/${Similarity.PqCompleteMarker}").exists())
+    // fingerprint-gated (not existence-gated): a tier cut with an older
+    // geometry or codec must rebuild, not serve — see
+    // [[Similarity.pqTierServes]]
+    if (!Similarity.pqTierServes(spark, path, PqM, PqSubDim, PqKs))
       Similarity.buildPqTier(spark, path,
         mSub = PqM, subDim = PqSubDim, ks = PqKs)
     finish(Similarity.knnIvfPqIndexed(spark, path, probes(spark, dir), K,
@@ -1989,10 +1992,18 @@ object SimilarityQueries {
                             c.label) AS crk
           FROM (SELECT * FROM embeddings WHERE vec_id < $NProbes) p, cent c)
         WHERE crk <= $NProbeLists),
+      rx AS (SELECT e.vec_id,
+                    list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE - c.centroid[i]) AS remb
+             FROM embeddings e JOIN cent c USING (label)),
       sx AS (SELECT vec_id, CAST(m AS INT) AS m,
+                    list_slice(remb, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS s
+             FROM rx, UNNEST(range($PqM)) AS u(m)),
+      px AS (SELECT vec_id, CAST(m AS INT) AS m,
                     list_transform(list_slice(embedding, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim),
                       x -> x::DOUBLE) AS s
-             FROM embeddings, UNNEST(range($PqM)) AS u(m)),
+             FROM embeddings, UNNEST(range($PqM)) AS u(m)
+             WHERE vec_id < $NProbes),
       pinit AS (SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS BIGINT) AS code,
                        s AS cent
                 FROM sx WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqKs)),
@@ -2018,11 +2029,18 @@ object SimilarityQueries {
       lut AS (SELECT p.vec_id AS probe_id, p.m, c.code,
                      list_sum(list_transform(range(1, ${PqSubDim + 1}),
                        i -> CAST(p.s[i]*c.cent[i] AS DECIMAL(28,12)))) AS w
-              FROM (SELECT * FROM sx WHERE vec_id < $NProbes) p JOIN cb c USING (m)),
-      adc AS (SELECT s.probe_id, e.vec_id AS neighbor_id, sum(l.w) AS adc
+              FROM px p JOIN cb c USING (m)),
+      ip0 AS (SELECT s.probe_id, s.label,
+                     list_sum(list_transform(range(1, len(c.centroid) + 1),
+                       i -> CAST(pe.embedding[i]::DOUBLE * c.centroid[i] AS DECIMAL(28,12)))) AS w0
+              FROM pqsel s JOIN cent c USING (label)
+                   JOIN embeddings pe ON pe.vec_id = s.probe_id),
+      adc AS (SELECT s.probe_id, e.vec_id AS neighbor_id,
+                     sum(l.w) + max(i.w0) AS adc
               FROM pqsel s JOIN embeddings e ON e.label = s.label AND e.vec_id <> s.probe_id
                    JOIN pqcodes k ON k.vec_id = e.vec_id
                    JOIN lut l ON l.probe_id = s.probe_id AND l.m = k.m AND l.code = k.code
+                   JOIN ip0 i ON i.probe_id = s.probe_id AND i.label = s.label
               GROUP BY 1,2),
       pqcand AS (SELECT probe_id, neighbor_id FROM (
                  SELECT *, row_number() OVER (PARTITION BY probe_id

@@ -231,6 +231,62 @@ class SimilaritySpec extends SparkSpec {
     spark.read.parquet(s"$gPath/vectors").count() shouldBe 30
   }
 
+  test("residual PQ: on clustered lists, residual codes rank within-cluster while raw codes collapse") {
+    // The IVFADC argument (Jégou et al. 2011 §IV-A), pinned: when lists
+    // ARE clusters (the real IVF assignment), raw-vector PQ spends its
+    // codes re-encoding the cluster mean every member shares, so members
+    // collapse onto identical code tuples and ADC cannot rank within a
+    // list; residual codes encode the within-cluster detail. (On the sf
+    // fixture lists are a random partition of centered noise — centroids
+    // ≈ 0, residual ≡ raw — so THIS planted geometry is where the design
+    // is observable.)
+    val rng = new scala.util.Random(67)
+    val dim = 32
+    val bases = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val corpus = (for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 12
+    } yield (ci * 100L + j, ci,
+      b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "label", "embedding")
+    val probesDf = corpus.filter(col("vec_id") % 100 === 0)
+      .select("vec_id", "embedding")
+    // code-collapse contrast, via the public trainer on both frames
+    // examine a cluster whose members did NOT seed the codebook (seeds
+    // are the 8 smallest ids, all from cluster 0)
+    def distinctTuples(codes: org.apache.spark.sql.DataFrame): Long = codes
+      .filter(col("vec_id") >= 300L)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("__m"), col("__code")))).as("t"))
+      .select("t").distinct().count()
+    val rawTuples = distinctTuples(
+      Similarity.pqTrain(corpus, mSub = 4, subDim = 8, ks = 8)._2)
+    val cent = corpus.groupBy("label")
+      .agg(array(
+        (0 until dim).map(i => avg(col("embedding").getItem(i))): _*).as("c"))
+    val residual = corpus.join(cent, "label")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("c"),
+          (a, b) => a.cast("double") - b).as("embedding"))
+    val resTuples = distinctTuples(
+      Similarity.pqTrain(residual, mSub = 4, subDim = 8, ks = 8)._2)
+    withClue(s"raw=$rawTuples res=$resTuples of 12 cluster members: ") {
+      resTuples should be > rawTuples
+      resTuples.toDouble should be >= 8.0 // codes genuinely separate members
+    }
+    // end-to-end: the shipped residual ADC ranks well enough within the
+    // probed cluster that a THIN re-rank margin already recovers the
+    // exact in-cluster answer
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = key(Similarity.knnIvfPq(corpus, probesDf, k = 5, nprobe = 1,
+      mSub = 4, subDim = 8, ks = 8, candMult = 2))
+    val exactInList = key(Similarity.knnIvf(corpus, probesDf, k = 5, nprobe = 1))
+    val hit = (pq & exactInList).size.toDouble / exactInList.size
+    withClue(s"residual ADC in-cluster fidelity $hit: ") {
+      hit should be >= 0.9 }
+  }
+
   test("knnIvfPqIndexed: persisted PQ tier answers exactly like the in-query build; marker gates") {
     val rng = new scala.util.Random(17)
     val dim = 32
@@ -256,6 +312,15 @@ class SimilaritySpec extends SparkSpec {
       nprobe = 2, candMult = 2)) shouldBe
       key(Similarity.knnIvfPq(corpusDf, probesDf, k = 5, nprobe = 2,
         mSub = 4, subDim = 8, ks = 4, candMult = 2))
+    // the marker's fingerprint gates codec + geometry, not just
+    // existence: the tier just built serves ONLY its own cut; a caller
+    // wanting a different geometry (or a pre-fingerprint empty marker)
+    // must read "no tier" and rebuild
+    Similarity.pqTierServes(spark, path, 4, 8, 4) shouldBe true
+    Similarity.pqTierServes(spark, path, 8, 4, 4) shouldBe false
+    val mk = new java.io.File(s"$path/${Similarity.PqCompleteMarker}")
+    new java.io.FileOutputStream(mk).close() // truncate: legacy marker
+    Similarity.pqTierServes(spark, path, 4, 8, 4) shouldBe false
   }
 
   test("knnGraph: NN-Descent recovers the exact kNN graph on planted clusters; deterministic; rounds improve recall") {
