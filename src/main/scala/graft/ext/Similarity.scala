@@ -564,6 +564,14 @@ object Similarity {
       val twoHop = uc.select(col("src"), col("dst").as("__mid"))
         .join(uc.select(col("src").as("__mid"), col("dst")), "__mid")
         .select(col("src"), col("dst"))
+      // the distinct() here is a MEASURED keep, not just heap hygiene:
+      // two-hop paths converge (a (src,dst) pair repeats once per
+      // common neighbor, multiplicity up to 2k), and distinct's
+      // map-side partial dedup shrinks the multiset BEFORE the vector
+      // joins + cosine pay per row. An id-deduplicating heap variant
+      // that skipped this exchange benched 26% SLOWER on the graph
+      // family (79.8 s → 100.5 s, sf0.1) because every duplicate then
+      // reached the scoring join.
       val cand = uc.select("src", "dst").unionByName(twoHop)
         .filter(col("src") =!= col("dst"))
         .distinct()
@@ -717,6 +725,10 @@ object Similarity {
     val gSym = g.unionByName(
       g.select(col("__dst").as("__src"), col("__src").as("__dst")))
     for (_ <- 1 to hops) {
+      // distinct() before scoring is a measured keep (same finding as
+      // the knnGraph round body): beam parents converge on shared
+      // neighbors, and deduping candidates map-side is cheaper than
+      // letting each duplicate pay the vector join + cosine
       val expanded = frontier.unionByName(
           frontier.join(gSym, frontier("node") === gSym("__src"))
             .select(col("probe_id"), col("__dst").as("node")))
