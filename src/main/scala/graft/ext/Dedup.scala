@@ -999,4 +999,209 @@ object Dedup {
         shiftrightunsigned(sim, b * width).bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
   }
+
+  // ------------------------------------------------------------------ //
+  //  Persisted near-dup band-bucket tier (the dedup family's LSM        //
+  //  lifecycle — round 13)                                              //
+  // ------------------------------------------------------------------ //
+  //
+  // The batch near-dup queries re-band the WHOLE corpus per run; at
+  // 100 TB the corpus is banded ONCE and every new crawl snapshot is
+  // deduped against the PERSISTED band table — candidate lookup is an
+  // equi-join of the arrivals' bands (tiny) against an indexed,
+  // key-partitionable table, exactly the IVF/graph tier shape: build →
+  // marker-gated serve → numbered delta generations per arrival batch →
+  // auto-compaction folding deltas into the base. A band row is
+  // (doc_id, key) — fixed-width, no text, no signatures — so the tier
+  // is ~16 short rows per document regardless of document size.
+  //
+  // The tier is GENERIC over the banding function (callers pass the
+  // (id, key) frame), so the production xxhash64 pipeline and the
+  // engine-neutral md5 pipeline (which the DuckDB oracle replays)
+  // share the lifecycle code.
+
+  /** Completion marker for the near-dup band tier. Its CONTENT is a
+    * banding fingerprint ([[ndiServes]]) — the lesson the PQ tier
+    * taught: an existence-only marker lets a tier banded with different
+    * parameters (or a different hash family) serve forever, because the
+    * root is keyed by corpus identity, not by how the keys were cut. */
+  val NdiCompleteMarker = "_GRAFT_NDI_COMPLETE"
+
+  /** Per-generation completion marker — written strictly LAST, so a
+    * crashed upsert leaves an invisible generation, never half-written
+    * band files that a query would join against. */
+  val NdiDeltaMarker = "_GRAFT_NDI_DELTA_COMPLETE"
+
+  private def ndiDeltaRoot(path: String) = s"$path/ndi_delta"
+  private def ndiGenPath(path: String, gen: Int) =
+    s"${ndiDeltaRoot(path)}/gen=$gen"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Completed delta generations, ascending — the [[NdiDeltaMarker]]
+    * discipline; a marker-less slot is reclaimed by the next upsert's
+    * overwrite or by [[dropNdiDeltas]]. */
+  private def completedNdiGens(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(ndiDeltaRoot(path))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
+        s"${ndiGenPath(path, g)}/$NdiDeltaMarker")))
+      .sorted
+  }
+
+  /** True iff a complete band tier whose marker carries exactly this
+    * banding fingerprint is present at `path`. */
+  def ndiServes(spark: org.apache.spark.sql.SparkSession, path: String,
+                fingerprint: String): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$NdiCompleteMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(marker) && {
+      val in = fs.open(marker)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      content == fingerprint
+    }
+  }
+
+  /** Persist the base band table: `keyRows` must be (`idCol`, key)
+    * rows from the caller's banding pipeline. A fresh build drops any
+    * live delta generations (they banded against a base this write
+    * replaces), and the fingerprint marker is written strictly last. */
+  def buildNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        keyRows: DataFrame, fingerprint: String,
+                        idCol: String = "doc_id"): Unit = {
+    val fs = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$NdiCompleteMarker"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(ndiDeltaRoot(path)), true)
+    keyRows.select(col(idCol), col("key"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/$NdiCompleteMarker"), true)
+    out.write(fingerprint.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Drop all delta generations (replay idempotence — the
+    * [[Similarity.dropGraphDelta]] twin for the band tier). */
+  def dropNdiDeltas(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(ndiDeltaRoot(path)), true)
+    ()
+  }
+
+  /** Append one arrival batch's band rows as a NEW numbered generation
+    * — banding is per-document, so the merged tier is IDENTICAL however
+    * arrivals are micro-batched (the property the streaming replay's
+    * shared oracle hash-proves). Empty batches are a no-op. */
+  def upsertNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         keyRows: DataFrame, fingerprint: String,
+                         idCol: String = "doc_id"): Unit = {
+    val fs = fsOf(spark, path)
+    require(ndiServes(spark, path, fingerprint),
+      s"upsertNearDupIndex: no serving band tier at $path for this banding")
+    if (keyRows.isEmpty) return
+    val next = completedNdiGens(fs, path).lastOption.getOrElse(0) + 1
+    val gen = ndiGenPath(path, next)
+    keyRows.select(col(idCol), col("key"))
+      .write.mode("overwrite").parquet(s"$gen/bands")
+    fs.create(new org.apache.hadoop.fs.Path(s"$gen/$NdiDeltaMarker"), true).close()
+  }
+
+  /** The full indexed band table: base plus every completed generation.
+    * Unlike the vector tiers there is no per-id supersede rule — a
+    * document's band set is immutable once banded (re-upserting the
+    * same id is the caller's bug, not a tier state). */
+  def nearDupTierBands(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String = "doc_id"): DataFrame = {
+    val fs = fsOf(spark, path)
+    val base = spark.read.parquet(s"$path/bands")
+    completedNdiGens(fs, path)
+      .map(g => spark.read.parquet(s"${ndiGenPath(path, g)}/bands"))
+      .foldLeft(base)(_ unionByName _)
+  }
+
+  /** Probe the tier: which indexed documents share ≥ 1 band key with
+    * each probe? Emits per probe the KEEP-FIRST dedup decision —
+    * `dup_of` = smallest matching indexed id (null when none) and
+    * `n_cand` = how many smaller indexed docs matched. Only ids
+    * SMALLER than the probe count as matches: that is the
+    * min-arrival/min-id survivor rule every dedup query in this engine
+    * uses, and it makes the answer independent of whether the probe
+    * itself (or its batch peers) has been upserted yet. The probe side
+    * is an arrival batch — broadcast-small against the indexed table,
+    * which at deployment scale is bucketed by `key` so the lookup is a
+    * co-located join. countDistinct collapses multi-band matches
+    * without a pre-join distinct. */
+  def queryNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        probeKeys: DataFrame,
+                        idCol: String = "doc_id"): DataFrame = {
+    val tier = nearDupTierBands(spark, path, idCol)
+      .select(col(idCol).as("__cand"), col("key"))
+    broadcast(probeKeys.select(col(idCol), col("key")))
+      .join(tier, "key")
+      .filter(col("__cand") < col(idCol))
+      .groupBy(col(idCol))
+      .agg(min(col("__cand")).as("dup_of"),
+        countDistinct(col("__cand")).as("n_cand"))
+  }
+
+  /** COMPACT: fold every completed generation into the base band table
+    * and drop the generations. Band rows are immutable facts, so unlike
+    * the vector tiers compaction is a rewrite, not a rebuild — and it
+    * is IDEMPOTENT: a crash after the base rewrite but before the
+    * generation drop leaves duplicate band rows, which
+    * [[queryNearDupIndex]]'s countDistinct/min make invisible, and the
+    * next compaction clears. The marker is removed during the rewrite
+    * (no marker = no tier) and re-written with the same fingerprint
+    * strictly last. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          fingerprint: String,
+                          idCol: String = "doc_id"): Unit = {
+    val fs = fsOf(spark, path)
+    require(ndiServes(spark, path, fingerprint),
+      s"compactNearDupIndex: no serving band tier at $path for this banding")
+    if (completedNdiGens(fs, path).isEmpty) return
+    // materialize the union BEFORE the overwrite — Spark refuses to
+    // overwrite a path an active plan still reads (the
+    // compactGraphIndex discipline)
+    val all = nearDupTierBands(spark, path, idCol).localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$NdiCompleteMarker"), false)
+    all.write.mode("overwrite").parquet(s"$path/bands")
+    dropNdiDeltas(spark, path)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(all)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/$NdiCompleteMarker"), true)
+    out.write(fingerprint.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The auto-compaction policy ([[Similarity.maybeCompactGraphIndex]]'s
+    * twin): fire when completed generations reach `maxGens` or the
+    * delta/base band-row ratio reaches `maxRatio`. Returns whether it
+    * fired — the streaming replay pins exactly-once firing. */
+  def maybeCompactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, fingerprint: String,
+                               maxGens: Int = 4, maxRatio: Double = 0.25,
+                               idCol: String = "doc_id"): Boolean = {
+    val fs = fsOf(spark, path)
+    val gens = completedNdiGens(fs, path)
+    val fire = gens.nonEmpty && (gens.sizeIs >= maxGens || {
+      val nDelta = gens.map(g => spark.read
+        .parquet(s"${ndiGenPath(path, g)}/bands").count()).sum
+      val nBase = spark.read.parquet(s"$path/bands").count()
+      nBase == 0 || nDelta.toDouble / nBase >= maxRatio
+    })
+    if (fire) compactNearDupIndex(spark, path, fingerprint, idCol)
+    fire
+  }
+
+  /** Test-only: completed generation numbers at `path`. */
+  private[graft] def ndiGensForTest(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Seq[Int] =
+    completedNdiGens(fsOf(spark, path), path)
 }
