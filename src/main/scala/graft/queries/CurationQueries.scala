@@ -268,7 +268,56 @@ object CurationQueries {
     s"list_transform(range(1, len($t) - ${n - 2}), i -> $cat)"
   }
 
+  /** CORPUS-SHAPE DRIFT between two snapshots — the documents-table
+    * twin of `emb_drift`, on a PURELY INTEGER scalar (n_chars) so every
+    * decision is exact in both engines with no float contract at all:
+    * fixed-width length bins, fixed id windows [0,250) vs [250,500),
+    * per-bin counts + exact-decimal TV/chi² totals. The operator a
+    * crawl pipeline runs to catch a scraper regression (truncated
+    * pages, boilerplate floods) before it poisons a training mix. */
+  private val CorpusDriftBins = 10
+  private val CorpusDriftWidth = 200L
+
+  def corpusDriftQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Drift.histogramDrift(
+      Tables.documents(spark, dir).filter(col("doc_id") < 500L)
+        .select(
+          least(floor(col("n_chars") / lit(CorpusDriftWidth)),
+            lit((CorpusDriftBins - 1).toLong)).cast("int").as("bin"),
+          (col("doc_id") < 250L).as("__ref")),
+      CorpusDriftBins)
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("corpus_drift", corpusDriftQ, Some(s"""
+      WITH c AS (
+        SELECT CAST(least(floor(n_chars / $CorpusDriftWidth),
+                 ${CorpusDriftBins - 1}) AS INT) AS bin,
+               sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS n_cur
+        FROM documents WHERE doc_id < 500 GROUP BY 1),
+      f AS (
+        SELECT r.range AS bin,
+               CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+        FROM range(0, $CorpusDriftBins) r LEFT JOIN c ON c.bin = r.range),
+      t AS (
+        SELECT bin, n_ref, n_cur,
+               n_ref::DOUBLE / (SELECT sum(n_ref) FROM f) AS pr,
+               n_cur::DOUBLE / (SELECT sum(n_cur) FROM f) AS pc
+        FROM f),
+      terms AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(abs(pc - pr) AS DECIMAL(28,12)) AS tv_term,
+               CASE WHEN n_ref = 0 THEN CAST(0 AS DECIMAL(28,12))
+                    ELSE CAST((pc - pr) * (pc - pr) / pr AS DECIMAL(28,12))
+               END AS chi2_term
+        FROM t)
+      SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+             CAST(tv_term AS DOUBLE) AS tv_term,
+             CAST(chi2_term AS DOUBLE) AS chi2_term,
+             CAST(sum(tv_term) OVER () AS DOUBLE) AS tv,
+             CAST(sum(chi2_term) OVER () AS DOUBLE) AS chi2
+      FROM terms ORDER BY bin""")),
     GQuery("text_repetition", repetitionQ, Some(s"""
       WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
       m AS (

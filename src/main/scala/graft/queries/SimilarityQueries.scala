@@ -1473,7 +1473,94 @@ object SimilarityQueries {
 
   private val knnOracle: String = knnOracleWhere("")
 
+  // ------------------------------------------------------------------ //
+  //  Distribution-drift monitoring (round 13)                           //
+  // ------------------------------------------------------------------ //
+
+  /** Fixed snapshot windows for the drift monitor: reference
+    * [0, DriftRefCap) vs current [DriftRefCap, DriftCurCap) — fixed id
+    * windows (the PortableCap convention) so the comparison is stable
+    * across scale factors. */
+  private val DriftRefCap = 250L
+  private val DriftCurCap = 500L
+  private val DriftBins = 8
+  private val DriftLo = -3.0
+  private val DriftWidth = 0.75
+
+  /** One fixed literal projection direction (its own seed, disjoint
+    * from the LSH planes) — the scalar whose histogram the monitor
+    * compares. */
+  private lazy val driftPlane: Seq[Double] =
+    Similarity.srpPlanes(1, 64, seed = 77L).head
+
+  /** EMBEDDING-DISTRIBUTION DRIFT between two corpus snapshots — the
+    * monitoring operator a 100 TB ingestion pipeline runs between crawl
+    * generations: project every vector onto one fixed literal direction
+    * (6-dp rounded — the repo's established cross-engine float
+    * contract), histogram both windows over fixed bin edges, and report
+    * per-bin shift plus two whole-distribution statistics computed with
+    * the exact-decimal sum discipline (terms cast to DECIMAL(28,12)
+    * before summing, so totals are order-independent):
+    *  - `tv` — the L1 histogram distance Σ|p_cur − p_ref|;
+    *  - `chi2` — Σ (p_cur − p_ref)²/p_ref over bins with reference
+    *    mass (empty-reference bins contribute 0 by convention; their
+    *    raw counts are still visible per-bin).
+    * ln-based divergences (PSI/KL) are deliberately NOT used: IEEE
+    * arithmetic (+,−,×,÷) of identical inputs is deterministic across
+    * engines, transcendental libm calls are not. One aggregation pass
+    * + an 8-row spine join — at any corpus size the shuffle carries
+    * `DriftBins` rows per window. */
+  def embDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < DriftCurCap)
+    val s = round(Similarity.dot(
+      transform(col("embedding"), x => x.cast("double")),
+      array(driftPlane.map(lit): _*)), 6)
+    graft.ext.Drift.histogramDrift(
+      e.select(
+        least(greatest(floor((s - lit(DriftLo)) / lit(DriftWidth)), lit(0.0)),
+          lit(DriftBins - 1.0)).cast("int").as("bin"),
+        (col("vec_id") < DriftRefCap).as("__ref")),
+      DriftBins)
+  }
+
+  /** DuckDB twin of [[embDriftQ]]'s projection: the plane is literal
+    * doubles, the binning integer arithmetic over the 6-dp-rounded dot. */
+  private def embDriftOracle: String = {
+    val dotExpr = duckDot("embedding", driftPlane)
+    s"""
+      WITH c AS (
+        SELECT CAST(least(greatest(floor((round($dotExpr, 6) - ($DriftLo))
+                      / $DriftWidth), 0), ${DriftBins - 1}) AS INT) AS bin,
+               sum(CASE WHEN vec_id < $DriftRefCap THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN vec_id >= $DriftRefCap THEN 1 ELSE 0 END) AS n_cur
+        FROM embeddings WHERE vec_id < $DriftCurCap GROUP BY 1),
+      f AS (
+        SELECT r.range AS bin,
+               CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+               CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
+        FROM range(0, $DriftBins) r LEFT JOIN c ON c.bin = r.range),
+      t AS (
+        SELECT bin, n_ref, n_cur,
+               n_ref::DOUBLE / (SELECT sum(n_ref) FROM f) AS pr,
+               n_cur::DOUBLE / (SELECT sum(n_cur) FROM f) AS pc
+        FROM f),
+      terms AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(abs(pc - pr) AS DECIMAL(28,12)) AS tv_term,
+               CASE WHEN n_ref = 0 THEN CAST(0 AS DECIMAL(28,12))
+                    ELSE CAST((pc - pr) * (pc - pr) / pr AS DECIMAL(28,12))
+               END AS chi2_term
+        FROM t)
+      SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+             CAST(tv_term AS DOUBLE) AS tv_term,
+             CAST(chi2_term AS DOUBLE) AS chi2_term,
+             CAST(sum(tv_term) OVER () AS DOUBLE) AS tv,
+             CAST(sum(chi2_term) OVER () AS DOUBLE) AS chi2
+      FROM terms ORDER BY bin"""
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("emb_drift", embDriftQ, Some(embDriftOracle)),
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes
       SELECT vec_id, cluster FROM a2 ORDER BY vec_id""")),
