@@ -189,6 +189,30 @@ object ScaleBench {
               i => pmod(xxhash64(col("text"), i), lit(1000)).cast("float") / 1000f)
               .as("embedding"))
           graft.ext.Similarity.kmeans(vecs, k = 8, iters = 2)
+        }),
+        // persisted near-dup band tier (round 13): the tier over the k×
+        // corpus is built OUTSIDE the timer (once per corpus generation
+        // — the production amortization); the timed op is the PROBE of
+        // a FIXED 100-doc arrival batch against the growing index. The
+        // incremental-dedup claim is that this cost is driven by the
+        // probe side (banding 100 docs + an equi-join whose build side
+        // is the broadcast probe bands), so sec must stay ~flat while
+        // the indexed corpus grows 30× — us_per_doc is reported against
+        // the INDEXED size and should FALL ~k×.
+        "ndi_probe" -> (() => {
+          val fp = "scale:xxh:k3h64b16"
+          val tierPath = s"/tmp/graft-scale/ndi_x$k"
+          def bands(d: DataFrame) = Dedup.bandTable(d)
+            .select(col("doc_id"),
+              concat_ws(":", col("band"), col("bucket")).as("key"))
+          if (!Dedup.ndiServes(spark, tierPath, fp))
+            Dedup.buildNearDupIndex(spark, tierPath, bands(docs), fp)
+          // arrivals: 100 source docs re-keyed ABOVE every indexed id,
+          // so each probe's smaller-id match set is the whole tier
+          val arrivals = docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("text"))
+          Dedup.queryNearDupIndex(spark, tierPath, bands(arrivals))
         }))
       for ((name, op) <- ops if on(name)) {
         val sec = timeOp(op())

@@ -1056,18 +1056,10 @@ object Dedup {
   }
 
   /** True iff a complete band tier whose marker carries exactly this
-    * banding fingerprint is present at `path`. */
+    * banding fingerprint is present at `path` ([[Markers]]). */
   def ndiServes(spark: org.apache.spark.sql.SparkSession, path: String,
-                fingerprint: String): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/$NdiCompleteMarker")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(marker) && {
-      val in = fs.open(marker)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      content == fingerprint
-    }
-  }
+                fingerprint: String): Boolean =
+    Markers.matches(spark, s"$path/$NdiCompleteMarker", fingerprint)
 
   /** Persist the base band table: `keyRows` must be (`idCol`, key)
     * rows from the caller's banding pipeline. A fresh build drops any
@@ -1077,14 +1069,11 @@ object Dedup {
                         keyRows: DataFrame, fingerprint: String,
                         idCol: String = "doc_id"): Unit = {
     val fs = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$NdiCompleteMarker"), false)
+    Markers.delete(spark, s"$path/$NdiCompleteMarker")
     fs.delete(new org.apache.hadoop.fs.Path(ndiDeltaRoot(path)), true)
     keyRows.select(col(idCol), col("key"))
       .write.mode("overwrite").parquet(s"$path/bands")
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      s"$path/$NdiCompleteMarker"), true)
-    out.write(fingerprint.getBytes("UTF-8"))
-    out.close()
+    Markers.write(spark, s"$path/$NdiCompleteMarker", fingerprint)
   }
 
   /** Drop all delta generations (replay idempotence — the
@@ -1170,14 +1159,11 @@ object Dedup {
     // overwrite a path an active plan still reads (the
     // compactGraphIndex discipline)
     val all = nearDupTierBands(spark, path, idCol).localCheckpoint(true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$NdiCompleteMarker"), false)
+    Markers.delete(spark, s"$path/$NdiCompleteMarker")
     all.write.mode("overwrite").parquet(s"$path/bands")
     dropNdiDeltas(spark, path)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(all)
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      s"$path/$NdiCompleteMarker"), true)
-    out.write(fingerprint.getBytes("UTF-8"))
-    out.close()
+    Markers.write(spark, s"$path/$NdiCompleteMarker", fingerprint)
   }
 
   /** The auto-compaction policy ([[Similarity.maybeCompactGraphIndex]]'s

@@ -997,18 +997,11 @@ object Similarity {
     s"ivfadc:$mSub:$subDim:$ks"
 
   /** True iff a complete PQ tier with exactly this codec + geometry is
-    * present at `indexPath`. */
+    * present at `indexPath` ([[Markers]]). */
   def pqTierServes(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                   mSub: Int, subDim: Int, ks: Int): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$PqCompleteMarker")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(marker) && {
-      val in = fs.open(marker)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      content == pqFingerprint(mSub, subDim, ks)
-    }
-  }
+                   mSub: Int, subDim: Int, ks: Int): Boolean =
+    Markers.matches(spark, s"$indexPath/$PqCompleteMarker",
+      pqFingerprint(mSub, subDim, ks))
 
   /** Persist the PQ tier BESIDE a built IVF index (the production
     * composition [[knnIvfPq]] derives in-query): codebooks as plain
@@ -1044,9 +1037,8 @@ object Similarity {
     codes.join(lists.select(col(idCol), col(listCol)), idCol)
       .write.mode("overwrite").partitionBy(listCol)
       .parquet(s"$indexPath/pq_codes")
-    val out = fs.create(marker, true)
-    out.write(pqFingerprint(mSub, subDim, ks).getBytes("UTF-8"))
-    out.close()
+    Markers.write(spark, s"$indexPath/$PqCompleteMarker",
+      pqFingerprint(mSub, subDim, ks))
     spark.read.parquet(s"$indexPath/pq_codebooks")
   }
 

@@ -235,8 +235,12 @@ object Text {
     * need no second pass over the documents. Top `limit` units by
     * (count desc, unit). */
   def bpeSegments(docsDf: DataFrame, merges: Int = 8, limit: Int = 20,
-                  textCol: String = "text"): DataFrame = {
-    val words = bpeTrainLoop(docsDf, merges, textCol)._2
+                  textCol: String = "text"): DataFrame =
+    unitInventory(bpeTrainLoop(docsDf, merges, textCol)._2, limit)
+
+  /** Shared inventory tail of [[bpeSegments]] / [[bpeSegmentsIndexed]]:
+    * subword unit counts over a fully-merged word-vocabulary table. */
+  private def unitInventory(words: DataFrame, limit: Int): DataFrame =
     words
       .select(col("freq"), explode(split(trim(col("syms")), " ")).as("unit"))
       .groupBy("unit")
@@ -244,6 +248,70 @@ object Text {
         count(lit(1)).as("n_types"))
       .orderBy(col("n_occurrences").desc, col("unit"))
       .limit(limit)
+
+  // ------------------------------------------------------------------ //
+  //  Persisted BPE tokenizer tier (round 13)                            //
+  // ------------------------------------------------------------------ //
+
+  /** Completion marker for a persisted BPE model — fingerprint content
+    * per the [[Markers]] discipline (merge count + tokenizer codec). */
+  val BpeCompleteMarker = "_GRAFT_BPE_COMPLETE"
+
+  def bpeFingerprint(merges: Int): String = s"bpe:m$merges:charinit-v1"
+
+  /** True iff a complete BPE model trained with exactly this
+    * configuration is persisted at `path`. */
+  def bpeModelServes(spark: org.apache.spark.sql.SparkSession, path: String,
+                     merges: Int): Boolean =
+    Markers.matches(spark, s"$path/$BpeCompleteMarker", bpeFingerprint(merges))
+
+  /** Train on `docsDf` and PERSIST the tokenizer — the merge table IS
+    * the model (rank-ordered symbol pairs; everything else about
+    * segmentation is derivable from it). Returns the persisted table. */
+  def bpeSaveModel(docsDf: DataFrame, path: String, merges: Int = 8,
+                   textCol: String = "text"): DataFrame = {
+    val spark = docsDf.sparkSession
+    Markers.delete(spark, s"$path/$BpeCompleteMarker")
+    bpeTrain(docsDf, merges, textCol)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    Markers.write(spark, s"$path/$BpeCompleteMarker", bpeFingerprint(merges))
+    spark.read.parquet(s"$path/merges")
+  }
+
+  /** Segment a corpus with a FROZEN persisted model — the production
+    * tokenize step (new text through yesterday's tokenizer), and the
+    * cost asymmetry that justifies persisting it: training pays
+    * `merges` distributed argmax rounds with per-round checkpoints;
+    * applying is ONE narrow projection, because the persisted merges
+    * are driver-side literals (a tokenizer model is KB-sized by nature
+    * — reading it to the driver is the model broadcast, not a corpus
+    * collect) folded into `merges` nested `replace` calls over the
+    * word-vocabulary table. Sequential rank-order replace replays
+    * training's state evolution exactly — training derived merge r+1
+    * FROM the table with merges 1..r applied — so on the training
+    * corpus the output is byte-identical to [[bpeSegments]] and the two
+    * share one oracle (the persisted-tier twin discipline). */
+  def bpeSegmentsIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                         docsDf: DataFrame, merges: Int = 8, limit: Int = 20,
+                         textCol: String = "text"): DataFrame = {
+    require(bpeModelServes(spark, path, merges),
+      s"bpeSegmentsIndexed: no complete BPE model at $path for m=$merges")
+    val model = spark.read.parquet(s"$path/merges")
+      .orderBy("merge_rank")
+      .select("left_sym", "right_sym")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val base = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "), lit("</w> "))
+    val applied = model.foldLeft(base) { case (syms, (l, r)) =>
+      replace(syms, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    unitInventory(
+      docsDf
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"), applied.as("syms")),
+      limit)
   }
 
   /** Bigram-LM fluency scoring (round-11 verdict #6): train an

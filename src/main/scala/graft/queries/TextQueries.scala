@@ -146,6 +146,59 @@ object TextQueries {
   def bpeSegmentsQ(spark: SparkSession, dir: String): DataFrame =
     Text.bpeSegments(Tables.documents(spark, dir), merges = BpeMerges)
 
+  /** Model root for the PERSISTED tokenizer, keyed by corpus file
+    * identity (the indexRoot convention for the documents table). */
+  private def bpeModelRoot(dir: String): String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    s"$tmp/graft_bpe_model/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}_${src.lastModified}_${src.length}"
+  }
+
+  /** Segmentation from the FROZEN persisted tokenizer
+    * ([[Text.bpeSegmentsIndexed]]): trains + persists the merge table
+    * once per corpus generation (marker + fingerprint gated), then
+    * apply is ONE narrow projection — the production tokenize step.
+    * Must serve IDENTICALLY to [[bpeSegmentsQ]]: the shared oracle
+    * hash-proves the frozen model replays training's trajectory. */
+  def bpeSegmentsIndexedQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = bpeModelRoot(dir)
+    if (!Text.bpeModelServes(spark, path, BpeMerges))
+      Text.bpeSaveModel(Tables.documents(spark, dir), path, merges = BpeMerges)
+    Text.bpeSegmentsIndexed(spark, path, Tables.documents(spark, dir),
+      merges = BpeMerges)
+  }
+
+  /** DuckDB unroll of train→apply, shared by `text_bpe_segments` (in-
+    * query trainer) and `text_bpe_frozen` (persisted model) — the two
+    * must hash-match each other through it. */
+  private lazy val bpeSegmentsOracle: String = {
+    def round(wIn: String, pr: String, b: String, wOut: String) = s"""
+      $pr AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+          SELECT freq, unnest(list_transform(range(1, len(l)),
+                   i -> l[i] || ' ' || l[i + 1])) AS pair
+          FROM (SELECT freq, string_split(trim(syms), ' ') AS l FROM $wIn))
+        GROUP BY 1),
+      $b AS (SELECT pair, n FROM $pr ORDER BY n DESC, pair LIMIT 1),
+      $wOut AS (SELECT word, freq,
+                  replace(syms, ' ' || b.pair || ' ',
+                          ' ' || replace(b.pair, ' ', '') || ' ') AS syms
+                FROM $wIn, $b b)"""
+    val rounds = (1 to BpeMerges)
+      .map(r => round(s"w${r - 1}", s"pr$r", s"b$r", s"w$r")).mkString(",")
+    s"""
+      WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
+                             || '</w> ' AS syms
+                  FROM (SELECT unnest($duckToks) AS word FROM documents)
+                  GROUP BY word),
+      $rounds
+      SELECT unit, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM (SELECT freq, unnest(string_split(trim(syms), ' ')) AS unit
+            FROM w$BpeMerges)
+      GROUP BY unit ORDER BY n_occurrences DESC, unit LIMIT 20"""
+  }
+
   /** Trained quality classifier ([[Text.nbQualityClassifier]] — the
     * fastText-style bootstrap: heuristic seed labels → Laplace-smoothed
     * multinomial NB → corpus-scale scoring; see the Scaladoc for the
@@ -655,34 +708,12 @@ object TextQueries {
       FROM ($sel) ORDER BY merge_rank"""
     }),
     // BPE apply: the final merged vocab (w8) segmented — unit counts
-    // weighted by word freq, top-20 with (count desc, unit) order
-    GQuery("text_bpe_segments", bpeSegmentsQ, Some {
-      def round(wIn: String, pr: String, b: String, wOut: String) = s"""
-      $pr AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
-          SELECT freq, unnest(list_transform(range(1, len(l)),
-                   i -> l[i] || ' ' || l[i + 1])) AS pair
-          FROM (SELECT freq, string_split(trim(syms), ' ') AS l FROM $wIn))
-        GROUP BY 1),
-      $b AS (SELECT pair, n FROM $pr ORDER BY n DESC, pair LIMIT 1),
-      $wOut AS (SELECT word, freq,
-                  replace(syms, ' ' || b.pair || ' ',
-                          ' ' || replace(b.pair, ' ', '') || ' ') AS syms
-                FROM $wIn, $b b)"""
-      val rounds = (1 to BpeMerges)
-        .map(r => round(s"w${r - 1}", s"pr$r", s"b$r", s"w$r")).mkString(",")
-      s"""
-      WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
-                         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g')
-                             || '</w> ' AS syms
-                  FROM (SELECT unnest($duckToks) AS word FROM documents)
-                  GROUP BY word),
-      $rounds
-      SELECT unit, CAST(sum(freq) AS BIGINT) AS n_occurrences,
-             CAST(count(*) AS BIGINT) AS n_types
-      FROM (SELECT freq, unnest(string_split(trim(syms), ' ')) AS unit
-            FROM w$BpeMerges)
-      GROUP BY unit ORDER BY n_occurrences DESC, unit LIMIT 20"""
-    }),
+    // weighted by word freq, top-20 with (count desc, unit) order.
+    // SHARED verbatim by text_bpe_frozen: applying the persisted merge
+    // table in rank order replays training's state evolution exactly,
+    // so the frozen-model path must hash-match the in-query trainer.
+    GQuery("text_bpe_segments", bpeSegmentsQ, Some(bpeSegmentsOracle)),
+    GQuery("text_bpe_frozen", bpeSegmentsIndexedQ, Some(bpeSegmentsOracle)),
     // trained quality classifier: exact-integer counts → 6-dp-rounded
     // DECIMAL weights → exact decimal score sums (order-independent)
     GQuery("text_quality_classifier", qualityClassifierQ, Some(s"""

@@ -98,6 +98,31 @@ class TextSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().sortBy(_._1) shouldBe got
   }
 
+  test("persisted BPE model: frozen apply matches in-query on the training corpus AND tokenizes unseen text; marker + fingerprint gate") {
+    val train = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val path = s"target/test_bpe_${System.nanoTime()}"
+    // no model: apply refuses
+    an[IllegalArgumentException] should be thrownBy
+      Text.bpeSegmentsIndexed(spark, path, train, merges = 3)
+    Text.bpeSaveModel(train, path, merges = 3)
+    Text.bpeModelServes(spark, path, 3) shouldBe true
+    // fingerprint: a model trained with a different merge count must
+    // read as absent, never serve (the Markers discipline)
+    Text.bpeModelServes(spark, path, 8) shouldBe false
+    def inv(df: org.apache.spark.sql.DataFrame) = df
+      .select("unit", "n_occurrences", "n_types")
+      .as[(String, Long, Long)].collect().toSeq
+    // on the training corpus the frozen model replays training exactly
+    inv(Text.bpeSegmentsIndexed(spark, path, train, merges = 3)) shouldBe
+      inv(Text.bpeSegments(train, merges = 3))
+    // the production case: UNSEEN text through yesterday's tokenizer —
+    // the learned merges (a+a→aa, a+b→ab, aa+ab→aaab) segment a new
+    // word by the same rank-order application: "aaaba" → aaab + a
+    val unseen = Seq((9L, "aaaba")).toDF("doc_id", "text")
+    inv(Text.bpeSegmentsIndexed(spark, path, unseen, merges = 3)).toSet shouldBe
+      Set(("aaab", 1L, 1L), ("a", 1L, 1L), ("</w>", 1L, 1L))
+  }
+
   test("nbQualityClassifier: planted vocabularies separate; model generalizes past the length cue; deterministic") {
     // positive seed class: 50 content tokens drawn from vocab A (no
     // stopwords → label 1); negative seed class: 8 tokens from vocab B
