@@ -36,7 +36,10 @@ object Verify {
     "tier_ivf_upsert" -> Seq("ann_index_upsert", "knn_ivf_upserted"),
     "tier_ivf_multi" -> Seq("ann_upsert_multi", "knn_ivf_upserted_multi"),
     "tier_graph_main" -> Seq("ann_index_graph", "ann_graph_search",
-      "ann_graph_recall", "ann_graph_beam_sweep", "emb_semdedup_graph"))
+      "ann_graph_recall", "ann_graph_beam_sweep", "emb_semdedup_graph"),
+    // both ensure-build against the SAME persisted model root — the
+    // single-writer contract every shared tier root carries
+    "tier_bpe_model" -> Seq("text_bpe_frozen", "text_bpe_fertility"))
 
   /** Static cost rank for the cheapest-first submission order — families
     * calibrated from BENCH_DETAIL medians (graph builds ≫ stream replays

@@ -294,8 +294,23 @@ object Text {
   def bpeSegmentsIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                          docsDf: DataFrame, merges: Int = 8, limit: Int = 20,
                          textCol: String = "text"): DataFrame = {
+    val applied = frozenSyms(spark, path, merges)
+    unitInventory(
+      docsDf
+        .select(explode(tokens(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("word"), col("freq"), applied.as("syms")),
+      limit)
+  }
+
+  /** Read the persisted model and return the column expression that
+    * segments a `word` column with it — the frozen tokenizer as a
+    * single projection (shared by [[bpeSegmentsIndexed]] and
+    * [[bpeFertility]]). */
+  private def frozenSyms(spark: org.apache.spark.sql.SparkSession,
+                         path: String, merges: Int): org.apache.spark.sql.Column = {
     require(bpeModelServes(spark, path, merges),
-      s"bpeSegmentsIndexed: no complete BPE model at $path for m=$merges")
+      s"no complete BPE model at $path for m=$merges")
     val model = spark.read.parquet(s"$path/merges")
       .orderBy("merge_rank")
       .select("left_sym", "right_sym")
@@ -303,15 +318,36 @@ object Text {
       .map(r => (r.getString(0), r.getString(1)))
     val base = concat(lit(" "),
       regexp_replace(col("word"), "(.)", "$1 "), lit("</w> "))
-    val applied = model.foldLeft(base) { case (syms, (l, r)) =>
+    model.foldLeft(base) { case (syms, (l, r)) =>
       replace(syms, lit(s" $l $r "), lit(s" $l$r "))
     }
-    unitInventory(
-      docsDf
-        .select(explode(tokens(col(textCol))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .select(col("word"), col("freq"), applied.as("syms")),
-      limit)
+  }
+
+  /** TOKENIZER FERTILITY per language — the tokenizer-quality report a
+    * multilingual pipeline reads before committing to a vocabulary:
+    * subword units emitted per word (incl. the `</w>` terminal) under
+    * the FROZEN persisted model, aggregated per the documents table's
+    * language column. A language the merges under-serve shows inflated
+    * fertility = more sequence length spent per word = more compute per
+    * token of meaning. One (lang, word) aggregation (vocabulary-sized
+    * per language), the frozen-model projection, exact integer sums,
+    * one IEEE division rounded at 6 dp. */
+  def bpeFertility(spark: org.apache.spark.sql.SparkSession, path: String,
+                   docsDf: DataFrame, merges: Int = 8,
+                   textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    val applied = frozenSyms(spark, path, merges)
+    docsDf
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .select(col("lang"), col("freq"),
+        size(split(trim(applied), " ")).cast("long").as("__nu"))
+      .groupBy("lang")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("__nu")).as("n_units"))
+      .select(col("lang"), col("n_words"), col("n_units"),
+        round(col("n_units").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy("lang")
   }
 
   /** Bigram-LM fluency scoring (round-11 verdict #6): train an

@@ -168,10 +168,9 @@ object TextQueries {
       merges = BpeMerges)
   }
 
-  /** DuckDB unroll of train→apply, shared by `text_bpe_segments` (in-
-    * query trainer) and `text_bpe_frozen` (persisted model) — the two
-    * must hash-match each other through it. */
-  private lazy val bpeSegmentsOracle: String = {
+  /** DuckDB unroll of the training trajectory (w0 → w[BpeMerges]) —
+    * the shared CTE prefix of every BPE oracle. */
+  private lazy val bpeTrainCtes: String = {
     def round(wIn: String, pr: String, b: String, wOut: String) = s"""
       $pr AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
           SELECT freq, unnest(list_transform(range(1, len(l)),
@@ -191,12 +190,46 @@ object TextQueries {
                              || '</w> ' AS syms
                   FROM (SELECT unnest($duckToks) AS word FROM documents)
                   GROUP BY word),
-      $rounds
+      $rounds"""
+  }
+
+  /** DuckDB unroll of train→apply, shared by `text_bpe_segments` (in-
+    * query trainer) and `text_bpe_frozen` (persisted model) — the two
+    * must hash-match each other through it. */
+  private lazy val bpeSegmentsOracle: String = s"""
+      $bpeTrainCtes
       SELECT unit, CAST(sum(freq) AS BIGINT) AS n_occurrences,
              CAST(count(*) AS BIGINT) AS n_types
       FROM (SELECT freq, unnest(string_split(trim(syms), ' ')) AS unit
             FROM w$BpeMerges)
       GROUP BY unit ORDER BY n_occurrences DESC, unit LIMIT 20"""
+
+  /** Per-language fertility oracle: the trained vocab's per-word unit
+    * counts joined against per-(lang, word) frequencies. */
+  private lazy val bpeFertilityOracle: String = s"""
+      $bpeTrainCtes,
+      u AS (SELECT word,
+                   CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS nu
+            FROM w$BpeMerges),
+      lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+             FROM (SELECT lang, unnest($duckToks) AS word FROM documents)
+             GROUP BY 1, 2)
+      SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+             CAST(sum(freq * nu) AS BIGINT) AS n_units,
+             round(CAST(sum(freq * nu) AS DOUBLE) / sum(freq), 6) AS fertility
+      FROM lw JOIN u USING (word)
+      GROUP BY lang ORDER BY lang"""
+
+  /** Per-language tokenizer fertility from the frozen persisted model
+    * ([[Text.bpeFertility]]) — units emitted per word by language, the
+    * report that exposes which languages the learned merges
+    * under-serve. */
+  def bpeFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = bpeModelRoot(dir)
+    if (!Text.bpeModelServes(spark, path, BpeMerges))
+      Text.bpeSaveModel(Tables.documents(spark, dir), path, merges = BpeMerges)
+    Text.bpeFertility(spark, path, Tables.documents(spark, dir),
+      merges = BpeMerges)
   }
 
   /** Trained quality classifier ([[Text.nbQualityClassifier]] — the
@@ -714,6 +747,7 @@ object TextQueries {
     // so the frozen-model path must hash-match the in-query trainer.
     GQuery("text_bpe_segments", bpeSegmentsQ, Some(bpeSegmentsOracle)),
     GQuery("text_bpe_frozen", bpeSegmentsIndexedQ, Some(bpeSegmentsOracle)),
+    GQuery("text_bpe_fertility", bpeFertilityQ, Some(bpeFertilityOracle)),
     // trained quality classifier: exact-integer counts → 6-dp-rounded
     // DECIMAL weights → exact decimal score sums (order-independent)
     GQuery("text_quality_classifier", qualityClassifierQ, Some(s"""
