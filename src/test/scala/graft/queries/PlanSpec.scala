@@ -522,6 +522,35 @@ class PlanSpec extends SparkSpec {
     p should include("Generate posexplode")
   }
 
+  test("dedup_index_query: probe bands broadcast against the persisted band tier; no cartesian") {
+    val df = DedupQueries.ndiQueryQ(spark, dir)
+    df.collect() // drive AQE to the final plan (and ensure the tier)
+    val p = plan(df)
+    // the serving claim: the arrival batch is the BUILD side (tiny),
+    // the indexed band table streams — at 100 TB the tier is never
+    // shuffled for a probe
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // multi-band matches collapse inside the aggregation (countDistinct
+    // min pair), never via a pre-join distinct of the candidate set
+    p should include("count(distinct")
+  }
+
+  test("text_bpe_frozen: the persisted model replaces training at query time") {
+    val df = TextQueries.bpeSegmentsIndexedQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // training's 8 rounds materialize per-round checkpoints (LogicalRDD
+    // leaves) and per-round argmax jobs; the frozen apply must show
+    // NEITHER — just parquet/corpus scans under one projection chain
+    p should not include "Scan ExistingRDD"
+    p should not include "CartesianProduct"
+    // the model fold is a single projection: every merge is a literal
+    // replace, visible as nested string ops, never a per-round join
+    // against a broadcast best-pair frame
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("dedup_latest: partial-aggregated struct-max, no Window, no per-key sort") {
     val df = DedupQueries.latestPerKey(spark, dir)
     df.collect()
