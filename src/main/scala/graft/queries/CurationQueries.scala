@@ -287,7 +287,48 @@ object CurationQueries {
           (col("doc_id") < 250L).as("__ref")),
       CorpusDriftBins)
 
+  /** SNAPSHOT DIFF — the ingestion report between two crawls of the
+    * same key space: which documents were added, removed, changed
+    * (fingerprint moved), or unchanged. Fixture geometry in closed form
+    * from doc_id: the old snapshot is keys [0, 250) (doc k), the new
+    * snapshot keys [10, 260) re-pulled as doc k+240 — so keys [0, 10)
+    * read `removed`, [250, 260) `added`, and the shared middle is
+    * changed/unchanged by content fingerprint. Scale shape: each
+    * snapshot reduces to a (key, fixed-width md5) table in one narrow
+    * map — text never shuffles — and the diff is ONE co-partitioned
+    * full-outer join on the stable key. */
+  def snapshotDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val fp = Text.fingerprint(Text.tokens(col("text")))
+    val prev = d.filter(col("doc_id") < 250L)
+      .select(col("doc_id").as("key"), fp.as("fp_old"))
+    val next = d.filter(col("doc_id") >= 250L && col("doc_id") < 500L)
+      .select((col("doc_id") - 240L).as("key"), fp.as("fp_new"))
+    prev.join(next, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("fp_new"), col("fp_old")).as("fp"))
+      .orderBy("key")
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("corpus_snapshot_diff", snapshotDiffQ, Some(s"""
+      WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
+                 FROM documents),
+      o AS (SELECT doc_id AS key, fp AS fp_old FROM f WHERE doc_id < 250),
+      n AS (SELECT doc_id - 240 AS key, fp AS fp_new FROM f
+            WHERE doc_id >= 250 AND doc_id < 500)
+      SELECT coalesce(o.key, n.key) AS key,
+             CASE WHEN o.key IS NULL THEN 'added'
+                  WHEN n.key IS NULL THEN 'removed'
+                  WHEN fp_old = fp_new THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             coalesce(fp_new, fp_old) AS fp
+      FROM o FULL OUTER JOIN n ON o.key = n.key
+      ORDER BY key""")),
     GQuery("corpus_drift", corpusDriftQ, Some(s"""
       WITH c AS (
         SELECT CAST(least(floor(n_chars / $CorpusDriftWidth),
