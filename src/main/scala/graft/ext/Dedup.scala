@@ -1086,14 +1086,19 @@ object Dedup {
   /** Append one arrival batch's band rows as a NEW numbered generation
     * — banding is per-document, so the merged tier is IDENTICAL however
     * arrivals are micro-batched (the property the streaming replay's
-    * shared oracle hash-proves). Empty batches are a no-op. */
+    * shared oracle hash-proves). Empty-batch skipping is the CALLER's
+    * job, on the raw batch BEFORE banding: an `isEmpty` probe on
+    * `keyRows` here would execute the whole banding pipeline once for
+    * the probe and again for the write (the streaming replays guard
+    * with `batch.isEmpty`, which is a take(1) on the already-
+    * materialized micro-batch). An empty `keyRows` writes an empty —
+    * harmless but useless — generation. */
   def upsertNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          keyRows: DataFrame, fingerprint: String,
                          idCol: String = "doc_id"): Unit = {
     val fs = fsOf(spark, path)
     require(ndiServes(spark, path, fingerprint),
       s"upsertNearDupIndex: no serving band tier at $path for this banding")
-    if (keyRows.isEmpty) return
     val next = completedNdiGens(fs, path).lastOption.getOrElse(0) + 1
     val gen = ndiGenPath(path, next)
     keyRows.select(col(idCol), col("key"))
@@ -1115,10 +1120,13 @@ object Dedup {
   }
 
   /** Probe the tier: which indexed documents share ≥ 1 band key with
-    * each probe? Emits per probe the KEEP-FIRST dedup decision —
-    * `dup_of` = smallest matching indexed id (null when none) and
-    * `n_cand` = how many smaller indexed docs matched. Only ids
-    * SMALLER than the probe count as matches: that is the
+    * each probe? Emits the KEEP-FIRST dedup decision for every probe
+    * WITH at least one match — `dup_of` = smallest matching indexed id,
+    * `n_cand` = how many smaller indexed docs matched; probes with NO
+    * match are ABSENT from the result (the inner band join never sees
+    * them), so callers wanting one row per probe left-join their probe
+    * list and coalesce (`ndiDecision` in DedupQueries is the pattern).
+    * Only ids SMALLER than the probe count as matches: that is the
     * min-arrival/min-id survivor rule every dedup query in this engine
     * uses, and it makes the answer independent of whether the probe
     * itself (or its batch peers) has been upserted yet. The probe side

@@ -1,9 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Distribution-drift monitoring between two corpus snapshots (round
   * 13) — the check a 100 TB ingestion pipeline runs between crawl
@@ -35,34 +33,55 @@ object Drift {
 
   /** `binned` must carry (`bin` int, `__ref` boolean — true for the
     * reference window). Returns one row per bin in [0, nBins):
-    * (bin, n_ref, n_cur, tv_term, chi2_term, tv, chi2), ordered. */
+    * (bin, n_ref, n_cur, tv_term, chi2_term, tv, chi2), ordered.
+    *
+    * The corpus sees exactly ONE aggregation pass; its ≤ nBins-row
+    * result is collected (the bounded 1-row-serve-collect class — a
+    * histogram is driver-sized by definition) and the statistics are
+    * finished in exact driver-side arithmetic: probabilities as IEEE
+    * divisions of the collected integers, terms rounded to scale 12
+    * HALF_UP — bit-for-bit the `CAST(x AS DECIMAL(28,12))` the oracle
+    * applies — and totals as exact BigDecimal sums.
+    *
+    * An EMPTY window is refused, not averaged over: a first crawl (no
+    * reference) or a dead scraper (no current) makes every p a 0/0 —
+    * the degenerate comparison must flag loudly, because silently
+    * reporting NaN-poisoned totals is precisely the monitoring failure
+    * this operator exists to catch. */
   def histogramDrift(binned: DataFrame, nBins: Int): DataFrame = {
     val spark = binned.sparkSession
+    import spark.implicits._
     val counts = binned
       .groupBy("bin")
       .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
-    val spine = spark.range(0, nBins.toLong)
-      .select(col("id").cast("int").as("bin"))
-    val w = Window.partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
-    val dec0 = lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12))
-    spine.join(counts, Seq("bin"), "left")
-      .select(col("bin"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      .withColumn("__pr", col("n_ref").cast("double") / sum("n_ref").over(w))
-      .withColumn("__pc", col("n_cur").cast("double") / sum("n_cur").over(w))
-      .withColumn("tv_term",
-        abs(col("__pc") - col("__pr")).cast(DecimalType(28, 12)))
-      .withColumn("chi2_term",
-        when(col("n_ref") === 0L, dec0).otherwise(
-          ((col("__pc") - col("__pr")) * (col("__pc") - col("__pr")) /
-            col("__pr")).cast(DecimalType(28, 12))))
-      .select(col("bin").cast("long").as("bin"), col("n_ref"), col("n_cur"),
-        col("tv_term").cast("double").as("tv_term"),
-        col("chi2_term").cast("double").as("chi2_term"),
-        sum(col("tv_term")).over(w).cast("double").as("tv"),
-        sum(col("chi2_term")).over(w).cast("double").as("chi2"))
+      .as[(Int, Long, Long)]
+      .collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val byBin = (0 until nBins).map(b => counts.getOrElse(b, (0L, 0L)))
+    val nRef = byBin.map(_._1).sum
+    val nCur = byBin.map(_._2).sum
+    require(nRef > 0 && nCur > 0,
+      s"histogramDrift: degenerate comparison — reference window has " +
+        s"$nRef rows, current window has $nCur; drift against an empty " +
+        "window is undefined (new corpus? dead scraper?)")
+    def dec(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    val terms = byBin.map { case (r, c) =>
+      val pr = r.toDouble / nRef
+      val pc = c.toDouble / nCur
+      val tv = dec(math.abs(pc - pr))
+      val chi2 = if (r == 0L) java.math.BigDecimal.ZERO.setScale(12)
+        else dec((pc - pr) * (pc - pr) / pr)
+      (tv, chi2)
+    }
+    val tvTotal = terms.map(_._1).reduce(_ add _).doubleValue
+    val chi2Total = terms.map(_._2).reduce(_ add _).doubleValue
+    byBin.zipWithIndex.map { case ((r, c), b) =>
+      (b.toLong, r, c, terms(b)._1.doubleValue, terms(b)._2.doubleValue,
+        tvTotal, chi2Total)
+    }.toDF("bin", "n_ref", "n_cur", "tv_term", "chi2_term", "tv", "chi2")
       .orderBy("bin")
   }
 }

@@ -712,6 +712,15 @@ object Similarity {
     // doubles through the distinct, and keeps frontier rows fixed-width)
     val layer = v.filter(pmod(col("__id"), lit(entryStride)) === 0)
       .select(col("__id").as("node"))
+    // fail-fast, not a scaladoc note: with no id ≡ 0 (mod stride) — a
+    // filtered or re-keyed id space — every walk would silently return
+    // ZERO neighbors and downstream dedup/serving would read "no
+    // neighbors" as truth. The probe is one limit-1 job, noise next to
+    // the walk it guards.
+    require(!layer.isEmpty,
+      s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
+        s"divisible by entryStride=$entryStride; re-key the id space or " +
+        "pass a stride that samples it")
     var ranked = topOf(p.select(col("probe_id")).crossJoin(layer), kk)
     var best = ranked.select("probe_id", "node")
     var frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
@@ -828,7 +837,15 @@ object Similarity {
     * compaction). Per-probe beam searches are independent, so the
     * merged result is IDENTICAL however arrivals are micro-batched —
     * the property the streaming replay's shared oracle hash-proves.
-    * An empty batch is a no-op, mirroring [[upsertIvfIndex]]. */
+    * An empty batch is a no-op, mirroring [[upsertIvfIndex]].
+    *
+    * BOUNDED-BATCH CONTRACT: the walk's hierarchical entry scores each
+    * probe against the coarse sampled layer (n/stride corpus rows), so
+    * upserting a corpus-sized batch in one call costs ~|batch|·n/stride
+    * entry cosines — fine for streaming micro-batches (the intended
+    * caller), quadratic if abused as a bulk re-index. Bulk re-indexing
+    * is [[compactGraphIndex]]'s job (one NN-Descent rebuild), not a
+    * giant upsert. */
   def upsertGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        batch: DataFrame, k: Int = 10, beam: Int = 20,
                        hops: Int = 2, entryStride: Int = GraphEntryStride,

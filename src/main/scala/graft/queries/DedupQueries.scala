@@ -180,13 +180,10 @@ object DedupQueries {
     * tier instead of silently serving keys cut the old way. */
   private val NdiFingerprint = s"ndi:md5lsh:p${PortableLsh.P}:k3:h64:b16"
 
-  /** Tier roots keyed by the corpus file identity — the
-    * SimilarityQueries.indexRoot convention for the documents table. */
-  private def ndiRoot(kind: String, dir: String): String = {
-    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    s"$tmp/$kind/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}_${src.lastModified}_${src.length}"
-  }
+  /** Tier roots keyed by the corpus file identity ([[TierRoots]]) for
+    * the documents table. */
+  private def ndiRoot(kind: String, dir: String): String =
+    TierRoots.of(kind, dir, "documents")
 
   /** Shared result shape: each probe's keep-first dedup decision off
     * the tier — canonical_id = smallest indexed doc sharing ≥ 1 band
@@ -250,7 +247,6 @@ object DedupQueries {
     * oracle hash-proves. */
   def streamNdiReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Tables.documents(spark, dir)
     val path = ndiRoot("graft_ndi_stream", dir)
     if (!Dedup.ndiServes(spark, path, NdiFingerprint))
@@ -268,21 +264,15 @@ object DedupQueries {
     require(arrivals.nonEmpty,
       "streamNdiReplay: empty arrival window — the fixture's id space " +
         "changed shape; re-derive the replay window")
-    val mid = arrivals(arrivals.length / 2)._1
-    val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
-      arrivals.filter(_._1 >= mid).toSeq)
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val q = source.toDF().toDF("doc_id", "text")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    StreamReplayQueries.replayChunks(spark,
+      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+      Seq("doc_id", "text")) { batch =>
+      // empty-batch guard on the RAW micro-batch (cheap take(1)),
+      // never on the banded frame — see upsertNearDupIndex's contract
+      if (!batch.isEmpty)
         Dedup.upsertNearDupIndex(spark, path, portableKeyRows(batch),
           NdiFingerprint)
-        ()
-      }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    }
     ndiDecision(spark, path,
       docs.filter(col("doc_id") >= NdiBase && col("doc_id") < NdiCap))
   }
@@ -297,7 +287,6 @@ object DedupQueries {
     * plus the hash-pinned `n_compactions = 1`. */
   def streamNdiAutocompactReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val docs = Tables.documents(spark, dir)
     val path = ndiRoot("graft_ndi_autocompact", dir)
     Dedup.buildNearDupIndex(spark, path,
@@ -313,27 +302,20 @@ object DedupQueries {
     require(arrivals.nonEmpty,
       "streamNdiAutocompactReplay: empty arrival window — the fixture's " +
         "id space changed shape; re-derive the replay window")
-    val mid = arrivals(arrivals.length / 2)._1
-    val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
-      arrivals.filter(_._1 >= mid).toSeq)
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val q = source.toDF().toDF("doc_id", "text")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+    StreamReplayQueries.replayChunks(spark,
+      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+      Seq("doc_id", "text")) { batch =>
+      if (!batch.isEmpty)
         Dedup.upsertNearDupIndex(spark, path, portableKeyRows(batch),
           NdiFingerprint)
-        // gens-bar only (ratio bar off): 2 micro-batches → deterministic
-        // exactly-once firing, hash-pinned by n_compactions
-        if (Dedup.maybeCompactNearDupIndex(spark, path, NdiFingerprint,
-            maxGens = 2, maxRatio = Double.PositiveInfinity)) {
-          fired.incrementAndGet(); ()
-        }
+      // gens-bar only (ratio bar off): 2 micro-batches → deterministic
+      // exactly-once firing, hash-pinned by n_compactions
+      if (Dedup.maybeCompactNearDupIndex(spark, path, NdiFingerprint,
+          maxGens = 2, maxRatio = Double.PositiveInfinity)) {
+        fired.incrementAndGet(); ()
       }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    }
     ndiDecision(spark, path,
       docs.filter(col("doc_id") >= NdiBase && col("doc_id") < NdiCap))
       .withColumn("n_compactions", lit(fired.get.toLong))

@@ -202,7 +202,6 @@ object SimilarityQueries {
     * answer contract `stream_ann_upsert_replay` pins for IVF). */
   def streamGraphUpsertReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = s"${indexRoot("graft_stream_graph_index", dir)}_k${GraphK}r$GraphRounds"
     val e = Tables.embeddings(spark, dir)
     if (!new java.io.File(s"$path/${Similarity.GraphCompleteMarker}").exists())
@@ -220,21 +219,12 @@ object SimilarityQueries {
     require(arrivals.nonEmpty,
       "streamGraphUpsertReplay: no arrivals above UpsertSplit — the " +
         "fixture's id space changed shape; re-derive the replay window")
-    val mid = arrivals(arrivals.length / 2)._1
-    val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
-      arrivals.filter(_._1 >= mid).toSeq)
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
-    val q = source.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Similarity.upsertGraphIndex(spark, path, batch, k = GraphK,
-          beam = GraphBeam, hops = GraphHops)
-        ()
-      }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    StreamReplayQueries.replayChunks(spark,
+      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+      Seq("vec_id", "embedding")) { batch =>
+      Similarity.upsertGraphIndex(spark, path, batch, k = GraphK,
+        beam = GraphBeam, hops = GraphHops)
+    }
     spark.read.parquet(s"$path/graph_edges").withColumn("tier", lit("base"))
       .unionByName(Similarity.graphDeltaEdges(spark, path)
         .getOrElse(sys.error(
@@ -263,7 +253,6 @@ object SimilarityQueries {
     * tier in place). */
   def streamGraphAutocompactReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = indexRoot("graft_graph_autocompact", dir)
     val root = new org.apache.hadoop.fs.Path(path)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -282,24 +271,16 @@ object SimilarityQueries {
     require(arrivals.nonEmpty,
       "streamGraphAutocompactReplay: no arrivals above UpsertSplit — the " +
         "fixture's id space changed shape; re-derive the replay window")
-    val mid = arrivals(arrivals.length / 2)._1
-    val chunks = Seq(arrivals.filter(_._1 < mid).toSeq,
-      arrivals.filter(_._1 >= mid).toSeq)
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
-    val q = source.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Similarity.upsertGraphIndex(spark, path, batch, k = GraphK,
-          beam = GraphBeam, hops = GraphHops)
-        if (Similarity.maybeCompactGraphIndex(spark, path, maxGens = 2,
-            maxRatio = Double.PositiveInfinity, graphK = GraphK,
-            graphRounds = GraphRounds)) { fired.incrementAndGet(); () }
-      }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    StreamReplayQueries.replayChunks(spark,
+      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+      Seq("vec_id", "embedding")) { batch =>
+      Similarity.upsertGraphIndex(spark, path, batch, k = GraphK,
+        beam = GraphBeam, hops = GraphHops)
+      if (Similarity.maybeCompactGraphIndex(spark, path, maxGens = 2,
+          maxRatio = Double.PositiveInfinity, graphK = GraphK,
+          graphRounds = GraphRounds)) { fired.incrementAndGet(); () }
+    }
     spark.read.parquet(s"$path/graph_edges")
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"),
@@ -794,11 +775,8 @@ object SimilarityQueries {
     * cannot be atomic on every Hadoop filesystem (object stores lack
     * create-if-absent), so we document the contract instead of shipping
     * a lock that only works locally. */
-  private def indexRoot(kind: String, dir: String): String = {
-    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    s"$tmp/$kind/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}_${src.lastModified}_${src.length}"
-  }
+  private def indexRoot(kind: String, dir: String): String =
+    TierRoots.of(kind, dir, "embeddings")
 
   private def ivfIndexPath(dir: String): String =
     indexRoot("graft_ivf_index", dir)
@@ -1014,7 +992,6 @@ object SimilarityQueries {
     * the same build → stream A → stream B lifecycle. */
   def streamAnnUpsertReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = streamIndexPath(dir)
     val e = Tables.embeddings(spark, dir)
     if (!new java.io.File(s"$path/${Similarity.IndexCompleteMarker}").exists())
@@ -1035,20 +1012,12 @@ object SimilarityQueries {
     // the harness into a driver-memory hazard.
     requireBoundedReplay(arrivals.length, 4 * (StreamUpsertCap - UpsertSplit),
       "streamAnnUpsertReplay arrivals")
-    val chunks = Seq(
-      arrivals.filter(_._1 < MultiSplit).toSeq,
-      arrivals.filter(_._1 >= MultiSplit).toSeq)
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
-    val q = source.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Similarity.upsertIvfIndex(spark, path, batch)
-        ()
-      }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    StreamReplayQueries.replayChunks(spark,
+      Seq(arrivals.filter(_._1 < MultiSplit).toSeq,
+        arrivals.filter(_._1 >= MultiSplit).toSeq),
+      Seq("vec_id", "embedding")) { batch =>
+      Similarity.upsertIvfIndex(spark, path, batch)
+    }
     finish(Similarity.knnIvfUpserted(spark, path, probes(spark, dir), K,
       nprobe = NProbeLists))
   }
@@ -1069,7 +1038,6 @@ object SimilarityQueries {
     * different base and break idempotency. */
   def streamAnnAutocompactReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = indexRoot("graft_ivf_autocompact", dir)
     val root = new org.apache.hadoop.fs.Path(path)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1087,24 +1055,17 @@ object SimilarityQueries {
     require(arrivals.nonEmpty,
       "streamAnnAutocompactReplay: empty arrival window — the fixture's " +
         "id space changed shape; re-derive the replay window")
-    val chunks = Seq(
-      arrivals.filter(_._1 < MultiSplit).toSeq,
-      arrivals.filter(_._1 >= MultiSplit).toSeq)
     val fired = new java.util.concurrent.atomic.AtomicInteger(0)
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
-    val q = source.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Similarity.upsertIvfIndex(spark, path, batch)
-        // gens-bar only (ratio bar off): 2 micro-batches → deterministic
-        // exactly-once firing, which the n_compactions column hash-pins
-        if (Similarity.maybeCompactIvfIndex(spark, path, maxGens = 2,
-            maxRatio = Double.PositiveInfinity)) { fired.incrementAndGet(); () }
-      }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    StreamReplayQueries.replayChunks(spark,
+      Seq(arrivals.filter(_._1 < MultiSplit).toSeq,
+        arrivals.filter(_._1 >= MultiSplit).toSeq),
+      Seq("vec_id", "embedding")) { batch =>
+      Similarity.upsertIvfIndex(spark, path, batch)
+      // gens-bar only (ratio bar off): 2 micro-batches → deterministic
+      // exactly-once firing, which the n_compactions column hash-pins
+      if (Similarity.maybeCompactIvfIndex(spark, path, maxGens = 2,
+          maxRatio = Double.PositiveInfinity)) { fired.incrementAndGet(); () }
+    }
     finish(Similarity.knnIvfUpserted(spark, path, probes(spark, dir), K,
       nprobe = NProbeLists))
       .withColumn("n_compactions", lit(fired.get))
@@ -1132,7 +1093,6 @@ object SimilarityQueries {
     * index or a probe answered twice both hash-mismatch. */
   def streamAnnQueryReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val path = ensureIvfIndex(spark, dir)
     val probeRows = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < StreamQueryCap)
@@ -1146,18 +1106,11 @@ object SimilarityQueries {
       .map(_.toSeq).toSeq
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_ann_serve_").toString
-    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
-    val q = source.toDF().toDF("vec_id", "embedding")
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Similarity.knnIvfIndexed(spark, path, batch, K, nprobe = NProbeLists)
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .start()
-    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
-    finally q.stop()
+    StreamReplayQueries.replayChunks(spark, chunks,
+      Seq("vec_id", "embedding")) { batch =>
+      Similarity.knnIvfIndexed(spark, path, batch, K, nprobe = NProbeLists)
+        .write.mode("append").parquet(outDir)
+    }
     finish(spark.read.parquet(outDir))
   }
 

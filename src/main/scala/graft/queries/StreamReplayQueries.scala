@@ -24,6 +24,39 @@ import graft.stream.Pipeline
   */
 object StreamReplayQueries {
 
+  /** Shared driver for every chunked MemoryStream replay: feed `chunks`
+    * as REAL micro-batches (one `processAllAvailable` barrier per
+    * chunk, so cross-batch state/tier effects are genuinely exercised)
+    * through `perBatch`. The replay protocol — batch boundaries,
+    * drain-per-chunk, stop-in-finally — lives HERE once; the six tier
+    * replays had grown six copies of it. An empty chunk produces no
+    * micro-batch (MemoryStream emits no offsets for it), which is the
+    * degenerate edge when a mid-split window holds a single arrival. */
+  private[queries] def replayChunks[T](
+      spark: org.apache.spark.sql.SparkSession,
+      chunks: Seq[Seq[T]], cols: Seq[String])(
+      perBatch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row] => Unit)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val q = source.toDF().toDF(cols: _*)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        perBatch(batch)
+      }
+      .start()
+    try chunks.foreach { c => source.addData(c); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  /** Split a collected arrival window at its median key into the
+    * standard two-chunk replay shape. */
+  private[queries] def midSplit[T](arrivals: Seq[T])(key: T => Long): Seq[Seq[T]] = {
+    val mid = key(arrivals(arrivals.length / 2))
+    Seq(arrivals.filter(t => key(t) < mid), arrivals.filter(t => key(t) >= mid))
+  }
+
   private val ReplayCap = 200L // originals replayed, split over two chunks
   private val TwinCap = 50L    // exact-text twins replayed in a third chunk
   private val CurateCap = 600L // docs through the curation replay (3 chunks)

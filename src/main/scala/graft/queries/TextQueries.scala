@@ -147,12 +147,9 @@ object TextQueries {
     Text.bpeSegments(Tables.documents(spark, dir), merges = BpeMerges)
 
   /** Model root for the PERSISTED tokenizer, keyed by corpus file
-    * identity (the indexRoot convention for the documents table). */
-  private def bpeModelRoot(dir: String): String = {
-    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp").stripSuffix("/")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    s"$tmp/graft_bpe_model/${dir.replaceAll("[^A-Za-z0-9.]+", "_")}_${src.lastModified}_${src.length}"
-  }
+    * identity ([[TierRoots]]). */
+  private def bpeModelRoot(dir: String): String =
+    TierRoots.of("graft_bpe_model", dir, "documents")
 
   /** Segmentation from the FROZEN persisted tokenizer
     * ([[Text.bpeSegmentsIndexed]]): trains + persists the merge table

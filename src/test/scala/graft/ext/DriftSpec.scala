@@ -36,6 +36,15 @@ class DriftSpec extends SparkSpec {
     got.head._5 shouldBe 1.0
   }
 
+  test("an empty window refuses instead of reporting NaN-poisoned totals") {
+    // first crawl: nothing in the reference window
+    an[IllegalArgumentException] should be thrownBy
+      run(Seq((0, false), (1, false)), 2)
+    // dead scraper: nothing in the current window
+    an[IllegalArgumentException] should be thrownBy
+      run(Seq((0, true), (1, true)), 2)
+  }
+
   test("partial shift: exact rational values") {
     // ref: 2 in bin0, 2 in bin1; cur: 3 in bin0, 1 in bin1
     val rows = Seq((0, true), (0, true), (1, true), (1, true),
