@@ -48,17 +48,31 @@ object Drift {
     * the degenerate comparison must flag loudly, because silently
     * reporting NaN-poisoned totals is precisely the monitoring failure
     * this operator exists to catch. */
-  def histogramDrift(binned: DataFrame, nBins: Int): DataFrame = {
-    val spark = binned.sparkSession
+  def histogramDrift(binned: DataFrame, nBins: Int): DataFrame =
+    histogramDriftCounts(
+      binned
+        .groupBy("bin")
+        .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur")),
+      nBins)
+
+  /** The counts-based core: `counts` carries one (bin, n_ref, n_cur)
+    * row per observed bin — the shape a STREAMING monitor accumulates
+    * across micro-batches (counting is associative, so cumulative
+    * per-batch counts and a one-shot aggregation are the same input
+    * here; the `stream_drift_replay` shared oracle hash-pins that). */
+  def histogramDriftCounts(counts: DataFrame, nBins: Int): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
-    val counts = binned
-      .groupBy("bin")
-      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
-        sum(when(!col("__ref"), 1L).otherwise(0L)).as("n_cur"))
+    val byCnt = counts
+      .select(col("bin").cast("int"), col("n_ref").cast("long"),
+        col("n_cur").cast("long"))
       .as[(Int, Long, Long)]
       .collect()
-      .map(t => t._1 -> (t._2, t._3)).toMap
-    val byBin = (0 until nBins).map(b => counts.getOrElse(b, (0L, 0L)))
+      .groupBy(_._1)
+      .map { case (b, rows) =>
+        b -> (rows.map(_._2).sum, rows.map(_._3).sum) }
+    val byBin = (0 until nBins).map(b => byCnt.getOrElse(b, (0L, 0L)))
     val nRef = byBin.map(_._1).sum
     val nCur = byBin.map(_._2).sum
     require(nRef > 0 && nCur > 0,

@@ -278,14 +278,61 @@ object CurationQueries {
   private val CorpusDriftBins = 10
   private val CorpusDriftWidth = 200L
 
+  private def corpusDriftBin: org.apache.spark.sql.Column =
+    least(floor(col("n_chars") / lit(CorpusDriftWidth)),
+      lit((CorpusDriftBins - 1).toLong)).cast("int")
+
   def corpusDriftQ(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Drift.histogramDrift(
       Tables.documents(spark, dir).filter(col("doc_id") < 500L)
-        .select(
-          least(floor(col("n_chars") / lit(CorpusDriftWidth)),
-            lit((CorpusDriftBins - 1).toLong)).cast("int").as("bin"),
-          (col("doc_id") < 250L).as("__ref")),
+        .select(corpusDriftBin.as("bin"), (col("doc_id") < 250L).as("__ref")),
       CorpusDriftBins)
+
+  /** STREAMING drift monitor: the current window's documents arrive as
+    * TWO real micro-batches; each batch's `foreachBatch` appends its
+    * per-bin counts to a run-scoped state table (what a deployed
+    * monitor keeps between triggers — counting is associative, so
+    * per-batch accumulation is exact, never approximate). The final
+    * report folds the accumulated counts against the fixed reference
+    * window and must be IDENTICAL to the one-shot [[corpusDriftQ]] —
+    * the SHARED oracle hash-proves micro-batching cannot change a
+    * drift verdict. Per-batch state is ≤ nBins rows; nothing on the
+    * streaming path grows with the corpus. */
+  def streamDriftReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+    val arrivals = d
+      .filter(col("doc_id") >= 250L && col("doc_id") < 500L)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    SimilarityQueries.requireBoundedReplay(arrivals.length, 1000,
+      "streamDriftReplay arrivals")
+    require(arrivals.nonEmpty,
+      "streamDriftReplay: empty arrival window — the fixture's id space " +
+        "changed shape; re-derive the replay window")
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_drift_state_").toString
+    StreamReplayQueries.replayChunks(spark,
+      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+      Seq("doc_id", "n_chars")) { batch =>
+      batch.select(corpusDriftBin.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(state)
+    }
+    val cur = spark.read.parquet(state)
+      .groupBy("bin").agg(sum("n").as("n_cur"))
+    val ref = d.filter(col("doc_id") < 250L)
+      .select(corpusDriftBin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+    graft.ext.Drift.histogramDriftCounts(
+      ref.join(cur, Seq("bin"), "full_outer")
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+      CorpusDriftBins)
+  }
 
   /** SNAPSHOT DIFF — the ingestion report between two crawls of the
     * same key space: which documents were added, removed, changed
@@ -314,22 +361,9 @@ object CurationQueries {
       .orderBy("key")
   }
 
-  val queries: Seq[GQuery] = Seq(
-    GQuery("corpus_snapshot_diff", snapshotDiffQ, Some(s"""
-      WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
-                 FROM documents),
-      o AS (SELECT doc_id AS key, fp AS fp_old FROM f WHERE doc_id < 250),
-      n AS (SELECT doc_id - 240 AS key, fp AS fp_new FROM f
-            WHERE doc_id >= 250 AND doc_id < 500)
-      SELECT coalesce(o.key, n.key) AS key,
-             CASE WHEN o.key IS NULL THEN 'added'
-                  WHEN n.key IS NULL THEN 'removed'
-                  WHEN fp_old = fp_new THEN 'unchanged'
-                  ELSE 'changed' END AS status,
-             coalesce(fp_new, fp_old) AS fp
-      FROM o FULL OUTER JOIN n ON o.key = n.key
-      ORDER BY key""")),
-    GQuery("corpus_drift", corpusDriftQ, Some(s"""
+  /** Shared by `corpus_drift` (one-shot) and `stream_drift_replay`
+    * (two-micro-batch accumulation) — the two must hash-match. */
+  private lazy val corpusDriftOracle: String = s"""
       WITH c AS (
         SELECT CAST(least(floor(n_chars / $CorpusDriftWidth),
                  ${CorpusDriftBins - 1}) AS INT) AS bin,
@@ -358,7 +392,25 @@ object CurationQueries {
              CAST(chi2_term AS DOUBLE) AS chi2_term,
              CAST(sum(tv_term) OVER () AS DOUBLE) AS tv,
              CAST(sum(chi2_term) OVER () AS DOUBLE) AS chi2
-      FROM terms ORDER BY bin""")),
+      FROM terms ORDER BY bin"""
+
+  val queries: Seq[GQuery] = Seq(
+    GQuery("corpus_snapshot_diff", snapshotDiffQ, Some(s"""
+      WITH f AS (SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
+                 FROM documents),
+      o AS (SELECT doc_id AS key, fp AS fp_old FROM f WHERE doc_id < 250),
+      n AS (SELECT doc_id - 240 AS key, fp AS fp_new FROM f
+            WHERE doc_id >= 250 AND doc_id < 500)
+      SELECT coalesce(o.key, n.key) AS key,
+             CASE WHEN o.key IS NULL THEN 'added'
+                  WHEN n.key IS NULL THEN 'removed'
+                  WHEN fp_old = fp_new THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             coalesce(fp_new, fp_old) AS fp
+      FROM o FULL OUTER JOIN n ON o.key = n.key
+      ORDER BY key""")),
+    GQuery("corpus_drift", corpusDriftQ, Some(corpusDriftOracle)),
+    GQuery("stream_drift_replay", streamDriftReplay, Some(corpusDriftOracle)),
     GQuery("text_repetition", repetitionQ, Some(s"""
       WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
       m AS (
