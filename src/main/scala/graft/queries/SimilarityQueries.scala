@@ -1512,7 +1512,116 @@ object SimilarityQueries {
       FROM terms ORDER BY bin"""
   }
 
+  // ------------------------------------------------------------------ //
+  //  Hybrid retrieval: lexical + vector, reciprocal-rank fusion         //
+  // ------------------------------------------------------------------ //
+
+  /** The standard RRF damping constant (Cormack et al. 2009's k=60). */
+  private val RrfC = 60
+  /** Top-R drawn from each retrieval list before fusion. */
+  private val RrfDepth = 20
+  /** Posting-list df cap: tokens in more than this many documents carry
+    * ~zero idf and would blow the inverted-index join up by their df —
+    * dropping them is the lexical twin of the LSH bucket cap. */
+  private val RrfDfCap = 100L
+
+  /** HYBRID SEARCH — the RAG-era retrieval shape: a LEXICAL ranking
+    * (distinct-token overlap through a df-capped inverted index — the
+    * integer-exact core of BM25-style matching) and a VECTOR ranking
+    * (exact cosine top-R) fused by reciprocal-rank fusion,
+    * score = Σ_lists 1/(C + rank). RRF needs only the RANKS, so the two
+    * lists' incomparable score scales never meet — which is also what
+    * makes it oracle-exact: ranks are integers, each term one IEEE
+    * division, the sum a fixed two-term add.
+    *
+    * Scale shape: the probe batch broadcasts against the inverted index
+    * (posting lists pre-capped, so the join is bounded by
+    * |probe tokens|·dfCap); both retrievals keep top-R per probe on the
+    * [[BoundedTopK]] heap; fusion full-outer-joins two ≤ R-row lists
+    * per probe. The fixture convention doc_id ≡ vec_id joins the two
+    * modalities of one document. */
+  def hybridRrfQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(graft.ext.Text.tokens(col("text")))).as("t"))
+    val kept = tok.join(
+      tok.groupBy("t").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= RrfDfCap).drop("__df"),
+      "t")
+    val ptok = kept.filter(col("doc_id") < NProbes)
+      .select(col("doc_id").as("probe_id"), col("t"))
+    def ranksOf(scored: DataFrame, rankCol: String): DataFrame = scored
+      .groupBy("probe_id")
+      .agg(graft.functions.BoundedTopK.topk(
+        col("__score"), col("cand_id"), RrfDepth).as("__nn"))
+      .select(col("probe_id"),
+        posexplode(col("__nn").getField("id")).as(Seq("__p", "cand_id")))
+      .select(col("probe_id"), col("cand_id"), (col("__p") + 1).as(rankCol))
+    val textRank = ranksOf(
+      kept.join(broadcast(ptok), "t")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id").as("cand_id"))
+        .agg(count(lit(1)).cast("double").as("__score")),
+      "__tr")
+    val vecRank = ranksOf(
+      Similarity.scoreAll(Tables.embeddings(spark, dir), probes(spark, dir))
+        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+          col("cos_sim").as("__score")),
+      "__vr")
+    textRank.join(vecRank, Seq("probe_id", "cand_id"), "full_outer")
+      .select(col("probe_id"), col("cand_id"),
+        (coalesce(lit(1.0) / (col("__tr") + RrfC), lit(0.0)) +
+          coalesce(lit(1.0) / (col("__vr") + RrfC), lit(0.0))).as("__s"))
+      .groupBy("probe_id")
+      .agg(graft.functions.BoundedTopK.topk(
+        col("__s"), col("cand_id"), K).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("cand_id"),
+        round(col("__e.score"), 9).as("rrf_score"))
+      .orderBy(col("probe_id"), col("rrf_score").desc, col("cand_id"))
+  }
+
+  private lazy val hybridRrfOracle: String = {
+    val duckToks =
+      s"regexp_extract_all(lower(text), '${graft.ext.Text.tokenPattern}')"
+    s"""
+      WITH tok AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS t
+                   FROM documents),
+      keep AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= $RrfDfCap),
+      tk AS (SELECT tok.doc_id, tok.t FROM tok JOIN keep USING (t)),
+      ov AS (SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
+                    count(*) AS n
+             FROM tk p JOIN tk c ON p.t = c.t AND c.doc_id <> p.doc_id
+             WHERE p.doc_id < $NProbes GROUP BY 1, 2),
+      tr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY n DESC, cand_id) AS r
+             FROM ov) WHERE r <= $RrfDepth),
+      vr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT p.vec_id AS probe_id, e.vec_id AS cand_id,
+                    row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                        p.embedding::DOUBLE[]) DESC, e.vec_id) AS r
+             FROM embeddings e,
+                  (SELECT * FROM embeddings WHERE vec_id < $NProbes) p
+             WHERE e.vec_id <> p.vec_id) WHERE r <= $RrfDepth),
+      f AS (SELECT coalesce(tr.probe_id, vr.probe_id) AS probe_id,
+                   coalesce(tr.cand_id, vr.cand_id) AS cand_id,
+                   coalesce(1.0 / (tr.r + $RrfC), 0.0)
+                     + coalesce(1.0 / (vr.r + $RrfC), 0.0) AS s
+            FROM tr FULL OUTER JOIN vr
+                 ON tr.probe_id = vr.probe_id AND tr.cand_id = vr.cand_id),
+      g AS (SELECT probe_id, cand_id, s,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY s DESC, cand_id) AS rk FROM f)
+      SELECT probe_id, cand_id, round(s, 9) AS rrf_score
+      FROM g WHERE rk <= $K
+      ORDER BY probe_id, rrf_score DESC, cand_id"""
+  }
+
   val queries: Seq[GQuery] = Seq(
+    GQuery("search_hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
     GQuery("emb_drift", embDriftQ, Some(embDriftOracle)),
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes

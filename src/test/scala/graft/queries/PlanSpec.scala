@@ -522,6 +522,19 @@ class PlanSpec extends SparkSpec {
     p should include("Generate posexplode")
   }
 
+  test("search_hybrid_rrf: both retrievals and the fusion cut on the bounded heap; no corpus cartesian") {
+    val df = SimilarityQueries.hybridRrfQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // text top-R, vector top-R, and the fused top-K all rank on the
+    // heap — a window formulation would sort every candidate row
+    "bounded_top_k".r.findAllIn(p).size should be >= 3
+    p should not include "CartesianProduct"
+    // the only nested loop is the broadcast probe-vector pairing
+    // (scoreAll's knn pattern); the lexical side joins on the token key
+    p should include("BroadcastHashJoin")
+  }
+
   test("dedup_index_query: probe bands broadcast against the persisted band tier; no cartesian") {
     val df = DedupQueries.ndiQueryQ(spark, dir)
     df.collect() // drive AQE to the final plan (and ensure the tier)
