@@ -12,7 +12,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== [1/3] registry-touch + coverage audit (seconds) =="
-sbt -batch "testOnly graft.CoverageAuditSpec" 2>&1 | tail -3
+# FQCN must be exact: testOnly with an unmatched name runs ZERO tests
+# and still exits 0 (observed live — the original graft.CoverageAuditSpec
+# spelling silently skipped this step), so also refuse an empty run.
+audit=$(sbt -batch "testOnly graft.queries.CoverageAuditSpec" 2>&1 | tail -3)
+echo "$audit"
+if echo "$audit" | grep -q "Passed: Total 0"; then
+  echo "SMOKE RED: coverage audit matched no tests (renamed/moved spec?)"
+  exit 1
+fi
 
 echo "== [2/3] Verify dump @ sf0.001 =="
 out=$(mktemp -d /tmp/smoke001.XXXX)
