@@ -89,6 +89,15 @@ object ScaleBench {
       spark.conf.set("spark.sql.files.maxPartitionBytes",
         math.max(bytes / cpus.toInt, 64L << 10).toString)
       val docs = spark.read.parquet(path)
+      // the corpus above was just REGENERATED (overwrite), so any
+      // persisted ndi tier from a prior run now indexes a stale corpus
+      // generation under a constant fingerprint — unlike the query-path
+      // roots (TierRoots keys those by source-file identity), this bench
+      // root is keyed only by scale, so wipe it here and let ndi_probe's
+      // ensure-build pay the honest once-per-generation cost inside this
+      // run (outside the timer, as before)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-scale/ndi_x$k"))
       val nd = k * n
 
       val ops: Seq[(String, () => DataFrame)] = Seq(

@@ -72,6 +72,15 @@ object Drift {
       .groupBy(_._1)
       .map { case (b, rows) =>
         b -> (rows.map(_._2).sum, rows.map(_._3).sum) }
+    // out-of-range bins must fail loudly, not vanish: an unclamped
+    // caller losing mass silently is the exact monitoring failure this
+    // operator exists to catch (the degenerate-window guard below can't
+    // see it — totals over the surviving bins still look healthy)
+    val stray = byCnt.keys.filter(b => b < 0 || b >= nBins)
+    require(stray.isEmpty,
+      s"histogramDrift: bins outside [0, $nBins) in the input counts " +
+        s"(${stray.toSeq.sorted.take(5).mkString(", ")}…) — clamp the " +
+        "binning expression (least/greatest) before handing counts over")
     val byBin = (0 until nBins).map(b => byCnt.getOrElse(b, (0L, 0L)))
     val nRef = byBin.map(_._1).sum
     val nCur = byBin.map(_._2).sum

@@ -600,9 +600,24 @@ object Similarity {
   def semDedupGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
                     threshold: Double = 0.95,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val g = knnGraph(corpus, k, rounds, idCol = idCol, vecCol = vecCol)
-    val close = g
+                    vecCol: String = "embedding"): DataFrame =
+    semDedupGraphOn(
+      knnGraph(corpus, k, rounds, idCol = idCol, vecCol = vecCol),
+      corpus, threshold, idCol)
+
+  /** [[semDedupGraph]] over an ALREADY-BUILT (possibly persisted) kNN
+    * graph — the serving split the search side already has
+    * ([[graphSearchOn]]): the NN-Descent build is paid once per corpus
+    * generation, and the dedup decision is then one bounded-out-degree
+    * filter + aggregate over the edge list. `graph` must carry
+    * (idCol, neighbor_id, cos_sim) — the [[knnGraph]] output shape,
+    * which [[buildGraphIndex]] persists verbatim (cos_sim is an exact
+    * double, parquet round-trips it bit-for-bit, so the persisted and
+    * in-query forms are hash-identical by construction). */
+  def semDedupGraphOn(graph: DataFrame, corpus: DataFrame,
+                      threshold: Double = 0.95,
+                      idCol: String = "vec_id"): DataFrame = {
+    val close = graph
       .filter(col("neighbor_id") < col(idCol))
       .withColumn("__cs", round(col("cos_sim"), 6))
       .filter(col("__cs") >= threshold)
@@ -675,6 +690,12 @@ object Similarity {
     * Shared with the oracle SQL so both engines sample identically. */
   val GraphEntryStride: Int = 4
 
+  /** Entry-layer non-emptiness verdicts by (canonicalized corpus plan,
+    * stride) — see the guard in [[graphSearchOn]]. Bounded: one entry
+    * per distinct corpus a JVM ever searches. */
+  private val checkedEntryLayers =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]
+
   /** [[graphSearch]] over an ALREADY-BUILT (possibly persisted) kNN
     * graph — the serving split: the NN-Descent build is paid once per
     * corpus generation, queries pay only the hops. `graph` must carry
@@ -715,12 +736,21 @@ object Similarity {
     // fail-fast, not a scaladoc note: with no id ≡ 0 (mod stride) — a
     // filtered or re-keyed id space — every walk would silently return
     // ZERO neighbors and downstream dedup/serving would read "no
-    // neighbors" as truth. The probe is one limit-1 job, noise next to
-    // the walk it guards.
-    require(!layer.isEmpty,
-      s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
-        s"divisible by entryStride=$entryStride; re-key the id space or " +
-        "pass a stride that samples it")
+    // neighbors" as truth. The probe is one limit-1 job, but it is an
+    // invariant of the (corpus, stride) pair, not of the call — repeat
+    // searches over the same corpus (upsertGraphIndex runs one per
+    // micro-batch) memoize the verdict instead of re-proving it with a
+    // fresh Spark job each time (canonicalized-plan keying: two reads
+    // of the same files share one probe).
+    val layerKey = (corpus.queryExecution.logical.canonicalized.hashCode,
+      entryStride)
+    if (!checkedEntryLayers.containsKey(layerKey)) {
+      require(!layer.isEmpty,
+        s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
+          s"divisible by entryStride=$entryStride; re-key the id space or " +
+          "pass a stride that samples it")
+      checkedEntryLayers.put(layerKey, java.lang.Boolean.TRUE)
+    }
     var ranked = topOf(p.select(col("probe_id")).crossJoin(layer), kk)
     var best = ranked.select("probe_id", "node")
     var frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")

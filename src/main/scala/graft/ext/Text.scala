@@ -363,24 +363,32 @@ object Text {
     * (w1's count as a bigram head — the conditional's denominator);
     * `V` = |distinct continuations w2|. P(w2|w1) = (c2+1)/(c1+V).
     *
-    * Determinism discipline (the [[nbQualityClassifier]] weight
-    * discipline): each occurrence's nll = ln(c1+V) − ln(c2+1) is
-    * computed from exact integers, rounded to 6 dp, and cast
-    * DECIMAL(18,6) BEFORE the per-doc sum, so the sum is exact decimal
-    * arithmetic — order-independent and bit-identical in both engines;
-    * `ppl` is exp of the ALREADY-6dp-ROUNDED average so both engines
-    * exponentiate the identical double. Docs with < 2 tokens have no
+    * Determinism discipline (round-14 hardening, ADVICE r13 #1): the
+    * old form's `Math.log`/libm-`ln` agreement was a probabilistic
+    * contract — a 1-ulp cross-engine divergence near a 6-dp rounding
+    * boundary could flip the hash gate. Every transcendental is now
+    * [[graft.functions.DetMath]]: ln and exp built from IEEE
+    * `+ − × ÷`/floor and literal constants only, emitted as the SAME
+    * SQL text into both engines — bit-identical by construction, no
+    * libm anywhere in the hashed path. Each bigram's nll =
+    * ln(c1+V) − ln(c2+1) is computed ONCE PER DISTINCT BIGRAM (the
+    * model table, vocab-sized — not per occurrence), rounded to 6 dp,
+    * cast DECIMAL(18,6), and the per-doc sum is exact decimal
+    * arithmetic — order-independent; `ppl` is DetMath-exp of the
+    * ALREADY-6dp-ROUNDED average. Docs with < 2 tokens have no
     * bigrams and drop out (no fluency evidence either way).
     *
     * Scale shape: one corpus-wide bigram-key shuffle builds `c2`
     * (map-side combined); `c1` re-aggregates the count table itself
-    * (vocab-bounded, never a second corpus scan); scoring equi-joins
-    * the exploded bigram stream against the two count tables and ends
-    * in one decimal sum per doc; `V` travels as a 1-row broadcast.
+    * (vocab-bounded, never a second corpus scan); the ln chains run on
+    * the vocab-bounded model table; scoring equi-joins the exploded
+    * bigram stream against the model and ends in one decimal sum per
+    * doc; `V` travels as a 1-row broadcast.
     *
     * Returns (idCol, n_bigrams, avg_nll DOUBLE, ppl DOUBLE), unordered. */
   def lmScore(docsDf: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
+    import graft.functions.DetMath
     val bg = docsDf
       .withColumn("toks", tokens(col(textCol)))
       .select(col(idCol), explode(ngrams(col("toks"))).as("bg"))
@@ -389,20 +397,26 @@ object Text {
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.agg(
       countDistinct(split(col("bg"), " ").getItem(1)).as("v"))
-    val terms = bg
-      .join(c2.select(col("bg"), col("c2"), col("w1")), "bg")
+    val model0 = c2.select(col("bg"), col("c2"), col("w1"))
       .join(c1, "w1")
       .crossJoin(broadcast(v))
-      .select(col(idCol),
-        round(log((col("c1") + col("v")).cast("double")) -
-              log((col("c2") + 1).cast("double")), 6)
+      .withColumn("__x1", (col("c1") + col("v")).cast("double"))
+      .withColumn("__x2", (col("c2") + 1).cast("double"))
+    val model = DetMath.withSteps(
+        DetMath.withSteps(model0, DetMath.lnSteps("__x1", "__ln1")),
+        DetMath.lnSteps("__x2", "__ln2"))
+      .select(col("bg"),
+        round(col("__ln1") - col("__ln2"), 6)
           .cast("decimal(18,6)").as("nll"))
-    val avg6 = round(col("snll").cast("double") / col("n_bigrams"), 6)
-    terms.groupBy(idCol)
+    val perDoc = bg
+      .join(model, "bg")
+      .groupBy(idCol)
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
-      .select(col(idCol), col("n_bigrams"),
-        avg6.as("avg_nll"),
-        round(exp(avg6), 4).as("ppl"))
+      .withColumn("avg_nll",
+        round(col("snll").cast("double") / col("n_bigrams"), 6))
+    DetMath.withSteps(perDoc, DetMath.expSteps("avg_nll", "__pexp"))
+      .select(col(idCol), col("n_bigrams"), col("avg_nll"),
+        round(col("__pexp"), 4).as("ppl"))
   }
 
   /** TRAINED QUALITY CLASSIFIER (the fastText-style bootstrap every LLM

@@ -314,24 +314,35 @@ object CurationQueries {
         "changed shape; re-derive the replay window")
     val state = java.nio.file.Files
       .createTempDirectory("graft_drift_state_").toString
-    StreamReplayQueries.replayChunks(spark,
-      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
-      Seq("doc_id", "n_chars")) { batch =>
-      batch.select(corpusDriftBin.as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as("n"))
-        .write.mode("append").parquet(state)
+    // the state dir is run-scoped: histogramDriftCounts collects its
+    // ≤ nBins input rows and returns a locally-backed frame, so once it
+    // has run nothing references the parquet — delete in finally or
+    // every bench rep leaks a dir into /tmp (the graft_ann_serve_ lesson)
+    try {
+      StreamReplayQueries.replayChunks(spark,
+        StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+        Seq("doc_id", "n_chars")) { batch =>
+        batch.select(corpusDriftBin.as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(state)
+      }
+      val cur = spark.read.parquet(state)
+        .groupBy("bin").agg(sum("n").as("n_cur"))
+      val ref = d.filter(col("doc_id") < 250L)
+        .select(corpusDriftBin.as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_ref"))
+      graft.ext.Drift.histogramDriftCounts(
+        ref.join(cur, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+        CorpusDriftBins)
+    } finally {
+      val root = new org.apache.hadoop.fs.Path(state)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+      ()
     }
-    val cur = spark.read.parquet(state)
-      .groupBy("bin").agg(sum("n").as("n_cur"))
-    val ref = d.filter(col("doc_id") < 250L)
-      .select(corpusDriftBin.as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("n_ref"))
-    graft.ext.Drift.histogramDriftCounts(
-      ref.join(cur, Seq("bin"), "full_outer")
-        .select(col("bin"),
-          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
-      CorpusDriftBins)
   }
 
   /** SNAPSHOT DIFF — the ingestion report between two crawls of the

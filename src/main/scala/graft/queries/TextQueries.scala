@@ -782,11 +782,28 @@ object TextQueries {
       FROM lab l LEFT JOIN s ON s.doc_id = l.doc_id CROSS JOIN prior p
       ORDER BY l.doc_id""")),
     // bigram-LM perplexity: all model stats (c2, c1 = Σc2 by head,
-    // V = distinct continuations) from ONE bigram groupBy; per-term nll
-    // rounded to 6 dp and summed as exact DECIMAL (order-independent);
-    // ppl exponentiates the already-rounded average so both engines
-    // exp() the identical double
-    GQuery("text_lm_score", lmScoreQ, Some(s"""
+    // V = distinct continuations) from ONE bigram groupBy; per-bigram
+    // nll at the MODEL table, rounded to 6 dp and summed as exact
+    // DECIMAL (order-independent). No libm: ln and exp are DetMath step
+    // chains — the IDENTICAL expression strings the engine evaluates,
+    // so both sides produce bit-identical doubles by construction
+    // (ADVICE r13 #1)
+    GQuery("text_lm_score", lmScoreQ, Some {
+      import graft.functions.DetMath
+      val (ln1Ctes, ln1Out) = DetMath.cteChain(
+        s"""SELECT cc.bg, CAST(c1.c1 + vv.v AS DOUBLE) AS __x1,
+                   CAST(cc.c2 + 1 AS DOUBLE) AS __x2
+            FROM c2 cc JOIN c1 ON c1.w1 = split_part(cc.bg, ' ', 1)
+                 CROSS JOIN vv""",
+        DetMath.lnSteps("__x1", "__ln1"), "lma")
+      val (ln2Ctes, ln2Out) = DetMath.cteChain(
+        s"SELECT * FROM $ln1Out", DetMath.lnSteps("__x2", "__ln2"), "lmb")
+      val (expCtes, expOut) = DetMath.cteChain(
+        s"""SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   ROUND(CAST(sum(m.nll) AS DOUBLE) / count(*), 6) AS avg_nll
+            FROM bgs b JOIN mdl m USING (bg) GROUP BY 1""",
+        DetMath.expSteps("avg_nll", "__pexp"), "lmc")
+      s"""
       WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
       bgs AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
                 i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
@@ -795,21 +812,14 @@ object TextQueries {
              FROM c2 GROUP BY 1),
       vv AS (SELECT CAST(count(DISTINCT split_part(bg, ' ', 2)) AS BIGINT) AS v
              FROM c2),
-      terms AS (
-        SELECT b.doc_id,
-               CAST(ROUND(ln(CAST(c1.c1 + vv.v AS DOUBLE)) -
-                          ln(CAST(cc.c2 + 1 AS DOUBLE)), 6)
-                    AS DECIMAL(18,6)) AS nll
-        FROM bgs b JOIN c2 cc USING (bg)
-             JOIN c1 ON c1.w1 = split_part(b.bg, ' ', 1)
-             CROSS JOIN vv),
-      s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   sum(nll) AS snll
-            FROM terms GROUP BY 1)
-      SELECT doc_id, n_bigrams,
-             ROUND(CAST(snll AS DOUBLE) / n_bigrams, 6) AS avg_nll,
-             ROUND(exp(ROUND(CAST(snll AS DOUBLE) / n_bigrams, 6)), 4) AS ppl
-      FROM s ORDER BY doc_id""")),
+      $ln1Ctes,
+      $ln2Ctes,
+      mdl AS (SELECT bg, CAST(ROUND(__ln1 - __ln2, 6) AS DECIMAL(18,6)) AS nll
+              FROM $ln2Out),
+      $expCtes
+      SELECT doc_id, n_bigrams, avg_nll, ROUND(__pexp, 4) AS ppl
+      FROM $expOut ORDER BY doc_id"""
+    }),
     GQuery("text_lang_id", langIdQ, Some {
       val (cols, caseExpr) = duckLangId
       s"""

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[DetMath]] fidelity: the deterministic ln/exp chains must track
+  * libm to well inside the 6-dp rounding grid the queries use. The
+  * cross-ENGINE bit-identity claim needs no test — both engines
+  * evaluate the identical expression text over IEEE primitives — but
+  * the series themselves must actually compute ln/exp, which this pins
+  * against `Math.log`/`Math.exp` over the live input ranges (counts
+  * from 1 to ~10⁹ for ln; nll averages 0–40 for exp), through the REAL
+  * `expr`-parsed evaluation path, not a Scala re-derivation. */
+class DetMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lnSteps tracks Math.log within 1e-8 over count-like inputs") {
+    val xs = (1L to 2000L) ++
+      Seq(4095L, 4096L, 4097L, 65535L, 65536L, 1000000L, 999999937L,
+        (1L << 40) - 1, 1L << 40)
+    val got = DetMath.withSteps(
+        xs.toDF("x").withColumn("__x", col("x").cast("double")),
+        DetMath.lnSteps("__x", "lnx"))
+      .select("x", "lnx").as[(Long, Double)].collect()
+    got.foreach { case (x, lnx) =>
+      withClue(s"x=$x ") { math.abs(lnx - math.log(x.toDouble)) should be < 1e-8 }
+    }
+  }
+
+  test("lnSteps handles non-integer arguments ≥ 1 (BM25 idf shape)") {
+    val xs = Seq(1.0, 1.0000001, 1.5, 2.718281828, 3.5, 7.25, 500.5 / 3.5)
+    val got = DetMath.withSteps(xs.toDF("x"),
+        DetMath.lnSteps("x", "lnx"))
+      .select("x", "lnx").as[(Double, Double)].collect()
+    got.foreach { case (x, lnx) =>
+      withClue(s"x=$x ") { math.abs(lnx - math.log(x)) should be < 1e-8 }
+    }
+  }
+
+  test("expSteps tracks Math.exp within 1e-9 relative over the nll range") {
+    val xs = (0 to 4000).map(_ * 0.01) // 0.00 .. 40.00
+    val got = DetMath.withSteps(xs.toDF("x"),
+        DetMath.expSteps("x", "ex"))
+      .select("x", "ex").as[(Double, Double)].collect()
+    got.foreach { case (x, ex) =>
+      val want = math.exp(x)
+      withClue(s"x=$x ") { math.abs(ex - want) / want should be < 1e-9 }
+    }
+  }
+
+  test("the emitted SQL uses only IEEE primitives — no libm function names") {
+    val all = (DetMath.lnSteps("x", "l") ++ DetMath.expSteps("x", "e"))
+      .map(_._2.toLowerCase)
+    all.foreach { sql =>
+      sql should not include "ln("
+      sql should not include "log"
+      sql should not include "exp("
+      sql should not include "power"
+      sql should not include "sqrt"
+    }
+  }
+}
