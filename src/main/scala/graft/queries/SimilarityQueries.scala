@@ -1597,24 +1597,38 @@ object SimilarityQueries {
       "t")
     val ptok = kept.filter(col("doc_id") < NProbes)
       .select(col("doc_id").as("probe_id"), col("t"))
-    def ranksOf(scored: DataFrame, rankCol: String): DataFrame = scored
+    val textRank = rrfRanksOf(
+      kept.join(broadcast(ptok), "t")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id").as("cand_id"))
+        .agg(count(lit(1)).cast("double").as("__score")),
+      "__tr")
+    rrfFuse(textRank, rrfVecRank(spark, dir))
+  }
+
+  /** Top-[[RrfDepth]] ranks of a (probe_id, cand_id, __score) frame on
+    * the bounded heap (score desc, id tie-break) — shared by every
+    * retrieval arm that feeds the RRF fusion. */
+  private def rrfRanksOf(scored: DataFrame, rankCol: String): DataFrame =
+    scored
       .groupBy("probe_id")
       .agg(graft.functions.BoundedTopK.topk(
         col("__score"), col("cand_id"), RrfDepth).as("__nn"))
       .select(col("probe_id"),
         posexplode(col("__nn").getField("id")).as(Seq("__p", "cand_id")))
       .select(col("probe_id"), col("cand_id"), (col("__p") + 1).as(rankCol))
-    val textRank = ranksOf(
-      kept.join(broadcast(ptok), "t")
-        .filter(col("doc_id") =!= col("probe_id"))
-        .groupBy(col("probe_id"), col("doc_id").as("cand_id"))
-        .agg(count(lit(1)).cast("double").as("__score")),
-      "__tr")
-    val vecRank = ranksOf(
+
+  /** The vector arm: exact cosine top-[[RrfDepth]] per probe. */
+  private def rrfVecRank(spark: SparkSession, dir: String): DataFrame =
+    rrfRanksOf(
       Similarity.scoreAll(Tables.embeddings(spark, dir), probes(spark, dir))
         .select(col("probe_id"), col("neighbor_id").as("cand_id"),
           col("cos_sim").as("__score")),
       "__vr")
+
+  /** Reciprocal-rank fusion of a lexical and a vector rank list:
+    * score = Σ 1/(C + rank), top-[[K]] per probe on the heap. */
+  private def rrfFuse(textRank: DataFrame, vecRank: DataFrame): DataFrame =
     textRank.join(vecRank, Seq("probe_id", "cand_id"), "full_outer")
       .select(col("probe_id"), col("cand_id"),
         (coalesce(lit(1.0) / (col("__tr") + RrfC), lit(0.0)) +
@@ -1626,6 +1640,69 @@ object SimilarityQueries {
       .select(col("probe_id"), col("__e.id").as("cand_id"),
         round(col("__e.score"), 9).as("rrf_score"))
       .orderBy(col("probe_id"), col("rrf_score").desc, col("cand_id"))
+
+  /** BM25 constants (Robertson's k1/b defaults) and the scoring
+    * expressions as SHARED SQL TEXT — evaluated verbatim by both
+    * engines so every IEEE operation happens in the same order on the
+    * same inputs (the [[graft.functions.DetMath]] discipline; idf's ln
+    * is a DetMath chain, so no libm anywhere in the hashed path).
+    * Columns referenced: df/n (token doc-frequency, corpus doc count),
+    * tf/dl/avgdl (term frequency, doc length, mean doc length). Each
+    * term is rounded to 12 dp and summed as DECIMAL(28,12) — exact,
+    * order-independent. */
+  private val Bm25AvgdlSql = "CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val Bm25IdfArgSql =
+    "1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+  private val Bm25TermSql =
+    "ROUND(__idf * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 12)"
+
+  /** HYBRID SEARCH, BM25 LEXICAL ARM (round-13 verdict #2): the first
+    * thing a real user asks of a hybrid retriever — Okapi BM25 over the
+    * same df-capped inverted index, fused with the exact-cosine vector
+    * arm by the same RRF. score(q,d) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75, idf =
+    * ln(1 + (N−df+½)/(df+½)) ≥ 0.
+    *
+    * Determinism: idf is a [[graft.functions.DetMath]] ln chain on the
+    * vocab-bounded df table; tf/dl/avgdl arithmetic is shared SQL text
+    * ([[Bm25TermSql]]); each term rounds to 12 dp and sums as exact
+    * DECIMAL(28,12) per (probe, cand) — order-independent — and ranks
+    * break ties by id. RRF then needs only the integer ranks.
+    *
+    * Scale shape: identical to [[hybridRrfQ]] — posting lists df-capped
+    * (the join is bounded by |probe tokens|·dfCap), idf/df tables are
+    * vocabulary-sized, doc lengths are one narrow aggregate, corpus
+    * stats travel as a 1-row broadcast, and both arms end on the
+    * bounded heap. */
+  def hybridBm25Q(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DetMath
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.ext.Text.tokens(col("text"))).as("t"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+      .withColumn("avgdl", expr(Bm25AvgdlSql))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RrfDfCap)
+    val idf = DetMath.withSteps(
+        dfT.crossJoin(broadcast(stats.select("n")))
+          .withColumn("__x", expr(Bm25IdfArgSql)),
+        DetMath.lnSteps("__x", "__idf"))
+      .select(col("t"), col("__idf"))
+    val ptok = toks.filter(col("doc_id") < NProbes)
+      .select(col("doc_id").as("probe_id"), col("t")).distinct()
+    val bm25 = tf
+      .join(idf, "t")
+      .join(broadcast(ptok), "t")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .withColumn("__term", expr(Bm25TermSql).cast("decimal(28,12)"))
+      .groupBy(col("probe_id"), col("doc_id").as("cand_id"))
+      .agg(sum(col("__term")).cast("double").as("__score"))
+    rrfFuse(rrfRanksOf(bm25, "__tr"), rrfVecRank(spark, dir))
   }
 
   private lazy val hybridRrfOracle: String = {
@@ -1667,8 +1744,69 @@ object SimilarityQueries {
       ORDER BY probe_id, rrf_score DESC, cand_id"""
   }
 
+  /** DuckDB replay of [[hybridBm25Q]]: the shared-SQL-text scoring
+    * expressions plus a DetMath ln CTE chain for idf — every double in
+    * the hashed path computed by the identical expression strings the
+    * engine evaluated. */
+  private lazy val hybridBm25Oracle: String = {
+    import graft.functions.DetMath
+    val duckToks =
+      s"regexp_extract_all(lower(text), '${graft.ext.Text.tokenPattern}')"
+    val (idfCtes, idfOut) = DetMath.cteChain(
+      s"SELECT t, df, $Bm25IdfArgSql AS __x FROM dfq CROSS JOIN stats",
+      DetMath.lnSteps("__x", "__idf"), "bmi")
+    s"""
+      WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+      dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+               FROM tok GROUP BY 1),
+      stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl,
+                       CAST(count(*) AS BIGINT) AS n FROM dlen),
+      stats2 AS (SELECT *, $Bm25AvgdlSql AS avgdl FROM stats),
+      tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+              HAVING count(*) <= $RrfDfCap),
+      $idfCtes,
+      ptok AS (SELECT DISTINCT doc_id AS probe_id, t FROM tok
+               WHERE doc_id < $NProbes),
+      terms AS (SELECT p.probe_id, f.doc_id AS cand_id,
+                       CAST($Bm25TermSql AS DECIMAL(28,12)) AS term
+                FROM tf f JOIN $idfOut i ON i.t = f.t
+                     JOIN ptok p ON p.t = f.t AND f.doc_id <> p.probe_id
+                     JOIN dlen d ON d.doc_id = f.doc_id
+                     CROSS JOIN stats2),
+      bs AS (SELECT probe_id, cand_id, CAST(sum(term) AS DOUBLE) AS sc
+             FROM terms GROUP BY 1, 2),
+      tr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sc DESC, cand_id) AS r
+             FROM bs) WHERE r <= $RrfDepth),
+      vr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT p.vec_id AS probe_id, e.vec_id AS cand_id,
+                    row_number() OVER (PARTITION BY p.vec_id
+                      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                        p.embedding::DOUBLE[]) DESC, e.vec_id) AS r
+             FROM embeddings e,
+                  (SELECT * FROM embeddings WHERE vec_id < $NProbes) p
+             WHERE e.vec_id <> p.vec_id) WHERE r <= $RrfDepth),
+      f AS (SELECT coalesce(tr.probe_id, vr.probe_id) AS probe_id,
+                   coalesce(tr.cand_id, vr.cand_id) AS cand_id,
+                   coalesce(1.0 / (tr.r + $RrfC), 0.0)
+                     + coalesce(1.0 / (vr.r + $RrfC), 0.0) AS s
+            FROM tr FULL OUTER JOIN vr
+                 ON tr.probe_id = vr.probe_id AND tr.cand_id = vr.cand_id),
+      g AS (SELECT probe_id, cand_id, s,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY s DESC, cand_id) AS rk FROM f)
+      SELECT probe_id, cand_id, round(s, 9) AS rrf_score
+      FROM g WHERE rk <= $K
+      ORDER BY probe_id, rrf_score DESC, cand_id"""
+  }
+
   val queries: Seq[GQuery] = Seq(
     GQuery("search_hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
+    GQuery("search_hybrid_bm25", hybridBm25Q, Some(hybridBm25Oracle)),
     GQuery("emb_drift", embDriftQ, Some(embDriftOracle)),
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes

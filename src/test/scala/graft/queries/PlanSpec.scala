@@ -535,6 +535,19 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("search_hybrid_bm25: BM25 arm joins on the token key through the df cap; heap everywhere, no cartesian") {
+    val df = SimilarityQueries.hybridBm25Q(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // BM25 top-R, vector top-R, fused top-K — all on the bounded heap
+    "bounded_top_k".r.findAllIn(p).size should be >= 3
+    p should not include "CartesianProduct"
+    // posting-list lookup is a broadcast equi-join on the token key;
+    // the idf/avgdl scalars ride broadcast nested loops (1-row frames),
+    // never a corpus×corpus pairing
+    p should include("BroadcastHashJoin")
+  }
+
   test("dedup_index_query: probe bands broadcast against the persisted band tier; no cartesian") {
     val df = DedupQueries.ndiQueryQ(spark, dir)
     df.collect() // drive AQE to the final plan (and ensure the tier)
