@@ -116,15 +116,26 @@ object DetMath {
     * inputs) in one chained-CTE per step, named `prefix0..prefixN`,
     * returning (cteText, finalName). Each CTE is
     * `SELECT *, <step> AS <name> FROM <prev>` — the identical
-    * expression strings Spark evaluated, in the identical order. */
+    * expression strings Spark evaluated, in the identical order.
+    *
+    * MATERIALIZED is load-bearing, not a hint: DuckDB inlines
+    * single-reference CTEs, and substituting each step into the next —
+    * where most steps reference their predecessor's column twice (a
+    * CASE's condition and branch, t in both numerator positions) —
+    * grows the expression tree EXPONENTIALLY in chain depth (measured:
+    * the trigram-KN oracle went > 240 s un-materialized, 0.5 s
+    * materialized, at sf0.001). Materialization only changes WHERE the
+    * identical expressions evaluate, never their operation order, so
+    * the bit-identity contract is untouched. */
   def cteChain(innerSql: String, steps: Seq[(String, String)],
                prefix: String): (String, String) = {
     val ctes = new StringBuilder
     var prev = s"${prefix}0"
-    ctes.append(s"$prev AS ($innerSql)")
+    ctes.append(s"$prev AS MATERIALIZED ($innerSql)")
     steps.zipWithIndex.foreach { case ((name, sql), i) =>
       val cur = s"$prefix${i + 1}"
-      ctes.append(s",\n      $cur AS (SELECT *, $sql AS $name FROM $prev)")
+      ctes.append(
+        s",\n      $cur AS MATERIALIZED (SELECT *, $sql AS $name FROM $prev)")
       prev = cur
     }
     (ctes.toString, prev)

@@ -247,6 +247,13 @@ object TextQueries {
   def lmScoreQ(spark: SparkSession, dir: String): DataFrame =
     Text.lmScore(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Trigram Kneser-Ney perplexity per doc ([[Text.lmScoreKn]]) — the
+    * CCNet-style fluency filter one honest step up from the add-k
+    * bigram floor; absolute discounting + continuation-count backoff,
+    * every transcendental a DetMath chain. */
+  def lmScoreKnQ(spark: SparkSession, dir: String): DataFrame =
+    Text.lmScoreKn(Tables.documents(spark, dir)).orderBy("doc_id")
+
   /** Language-ID heuristic (stopword-profile argmax; ties → first profile
     * in order, zero hits → "und"). The corpus labels are synthetic so
     * accuracy is judged by the unit test on real per-language sentences —
@@ -818,6 +825,48 @@ object TextQueries {
               FROM $ln2Out),
       $expCtes
       SELECT doc_id, n_bigrams, avg_nll, ROUND(__pexp, 4) AS ppl
+      FROM $expOut ORDER BY doc_id"""
+    }),
+    // trigram Kneser-Ney: every model statistic from the trigram TYPE
+    // table (N1+ counts are row counts of its re-aggregations); the
+    // interpolated-KN probability is Text.KnPSql — the IDENTICAL shared
+    // SQL text the engine evaluates — and ln/exp are DetMath chains, so
+    // the hashed doubles are bit-identical by construction
+    GQuery("text_lm_score_kn", lmScoreKnQ, Some {
+      import graft.functions.DetMath
+      val (lnCtes, lnOut) = DetMath.cteChain(
+        s"""SELECT c.tg, 1.0 / ${Text.KnPSql} AS __x
+            FROM c3 c JOIN hi USING (w1, w2) JOIN mn USING (w2, w3)
+                 JOIN md USING (w2) JOIN lo USING (w3) CROSS JOIN nb""",
+        DetMath.lnSteps("__x", "__nll"), "kna")
+      val (expCtes, expOut) = DetMath.cteChain(
+        s"""SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                   ROUND(CAST(sum(m.nll) AS DOUBLE) / count(*), 6) AS avg_nll
+            FROM tgs g JOIN mdl m USING (tg) GROUP BY 1""",
+        DetMath.expSteps("avg_nll", "__pexp"), "knb")
+      s"""
+      WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+      tgs AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+              FROM t),
+      c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3,
+                    split_part(tg, ' ', 1) AS w1,
+                    split_part(tg, ' ', 2) AS w2,
+                    split_part(tg, ' ', 3) AS w3
+             FROM tgs GROUP BY 1),
+      hi AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+                    CAST(count(*) AS BIGINT) AS n1p_mid FROM c3 GROUP BY 1, 2),
+      mn AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1p_l23
+             FROM c3 GROUP BY 1, 2),
+      md AS (SELECT w2, CAST(sum(n1p_l23) AS BIGINT) AS n1p_l2d,
+                    CAST(count(*) AS BIGINT) AS n1p_2s FROM mn GROUP BY 1),
+      lo AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1p_r3 FROM mn GROUP BY 1),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM mn),
+      $lnCtes,
+      mdl AS (SELECT tg, CAST(ROUND(__nll, 6) AS DECIMAL(18,6)) AS nll
+              FROM $lnOut),
+      $expCtes
+      SELECT doc_id, n_trigrams, avg_nll, ROUND(__pexp, 4) AS ppl
       FROM $expOut ORDER BY doc_id"""
     }),
     GQuery("text_lang_id", langIdQ, Some {

@@ -183,4 +183,35 @@ class TextSpec extends SparkSpec {
       .select("doc_id", "n_bigrams", "avg_nll", "ppl")
       .as[(Long, Long, Double, Double)].collect().sortBy(_._1) shouldBe out
   }
+
+  test("lmScoreKn: continuation-count backoff ranks what add-k structurally cannot") {
+    // the textbook KN separation: "the" follows MANY distinct words
+    // (high continuation count), "francisco" follows only "san" (low).
+    // Probe docs 3/4 are identical except the final token, and both
+    // final transitions are equally (un)seen — add-k's unseen mass
+    // depends only on the HEAD's count, so it scores them IDENTICALLY;
+    // KN's P_cont backoff knows "the" is a promiscuous continuation and
+    // "francisco" a context-bound one, and ranks doc 3 more fluent.
+    val df = Seq(
+      (1L, "one the two the three the four the five the six the"),
+      (2L, "san francisco bay san francisco fog san francisco hills"),
+      (3L, "zeta gamma the"),
+      (4L, "zeta gamma francisco")).toDF("doc_id", "text")
+    val kn = Text.lmScoreKn(df)
+      .select("doc_id", "avg_nll", "ppl")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    kn(3L)._3 should be < kn(4L)._3
+    kn(3L)._2 should be < kn(4L)._2
+    val addk = Text.lmScore(df)
+      .select("doc_id", "avg_nll", "ppl")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    addk(3L)._3 shouldBe addk(4L)._3
+    // the fluent training block still beats both probes under KN
+    kn(1L)._3 should be < kn(4L)._3
+    // deterministic re-run, bit for bit
+    Text.lmScoreKn(df).select("doc_id", "avg_nll", "ppl")
+      .as[(Long, Double, Double)].collect().sortBy(_._1) shouldBe
+      Text.lmScoreKn(df).select("doc_id", "avg_nll", "ppl")
+        .as[(Long, Double, Double)].collect().sortBy(_._1)
+  }
 }
