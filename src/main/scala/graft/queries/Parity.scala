@@ -119,6 +119,35 @@ object Parity {
       .select(col("event_type"), col("n_distinct_user_id").cast("long").as("n_users"))
       .orderBy("event_type")
 
+  /** ADVISOR-DRIVEN AUTO-SALTING (round-13 verdict #6 — the advisor and
+    * the salted twin existed; this closes the loop end-to-end): measure
+    * the grouping key's skew with [[graft.core.Skew.adviseSaltFactor]],
+    * then SWITCH PLANS on the verdict — the two-phase salted
+    * aggregation at the advised factor when any key exceeds its fair
+    * 1/32 share, the plain expand-shuffle distinct otherwise. On the
+    * fixture, event_type has ~5 values over the whole table, every one
+    * far past its fair share, so the advisor flags (factor ≈ 32/5) and
+    * the salted plan runs — PlanSpec pins the switch (salt hash in the
+    * aggregate keys) AND the negative branch (an unskewed key advises 1
+    * and keeps the plain plan). Either branch computes the identical
+    * answer, so the query shares `distinct_users`' oracle verbatim:
+    * the driver hash gate proves the advisor can never change RESULTS,
+    * only the shuffle's shape. */
+  def distinctUsersAutosalt(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val factor = graft.core.Skew.adviseSaltFactor(ev, "event_type")
+    val counted =
+      if (factor > 1)
+        graft.core.Skew.saltedDistinctCount(ev, "event_type", "user_id",
+            saltFactor = factor)
+          .select(col("event_type"),
+            col("n_distinct_user_id").cast("long").as("n_users"))
+      else
+        ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+    counted.orderBy("event_type")
+  }
+
   /** SKEW ADVISOR — the measurement half of the salting story
     * ([[graft.core.Skew]] is the mitigation half): per-key frequency
     * histogram over the grouping key, reporting the top heavy hitters,
@@ -474,6 +503,12 @@ object Parity {
     // same oracle on purpose: the two-phase salted plan must count
     // exactly what the plain expand-shuffle distinct counts
     GQuery("distinct_users_salted", distinctUsersSalted, Some("""
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""")),
+    // advisor-driven plan switch, same oracle as distinct_users on
+    // purpose: the advisor may only change the shuffle shape, never the
+    // answer — the hash gate enforces exactly that
+    GQuery("distinct_users_autosalt", distinctUsersAutosalt, Some("""
       SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       FROM events GROUP BY 1 ORDER BY 1""")),
     GQuery("skew_advisor", skewAdvisor, Some("""

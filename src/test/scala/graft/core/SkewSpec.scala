@@ -43,4 +43,18 @@ class SkewSpec extends SparkSpec {
     Skew.saltedJoin(fact, dim, "k", saltFactor = 4)
       .count() shouldBe 1000L // still one match per fact row
   }
+
+  test("adviseSaltFactor: hot key advises its leveling factor, uniform key advises 1, empty advises 1") {
+    // ~90% of rows on "hot" → ceil(0.9 · 32) ≈ 29: the advisor flags
+    Skew.adviseSaltFactor(fact, "k") should be >= 28
+    // 64 keys, one row each: max share 1/64 < 1/32 → plain plan is level
+    val uniform = (0 until 64).map(i => (s"u$i", i)).toDF("k", "v")
+    Skew.adviseSaltFactor(uniform, "k") shouldBe 1
+    // empty input must not crash the decision (no keys to level)
+    Skew.adviseSaltFactor(uniform.filter(col("v") < 0), "k") shouldBe 1
+    // the advised factor levels exactly: a key holding the whole table
+    // needs all 32 parts
+    val allOne = (0 until 10).map(i => ("x", i)).toDF("k", "v")
+    Skew.adviseSaltFactor(allOne, "k") shouldBe 32
+  }
 }

@@ -535,6 +535,24 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("distinct_users_autosalt: the advisor flags event_type and the plan switches to the salted twin") {
+    // fixture: ~5 event types over the whole table — every key far past
+    // its fair 1/32 share, so the advisor must choose the two-phase
+    // salted plan: the salt hash (xxhash64 of the distinct column) in
+    // the first aggregate's keys is the smoking gun
+    val p = plan(Parity.distinctUsersAutosalt(spark, dir))
+    p should include("xxhash64")
+    // two-phase: partial per (key, salt), then the per-key re-sum
+    "HashAggregate".r.findAllIn(p).size should be >= 2
+    // the NEGATIVE branch: a near-unique key (event_id, max share
+    // ~1/1000) advises 1 — the plain plan would be kept (SkewSpec pins
+    // the branch logic itself on synthetic frames)
+    import graft.core.{Skew, Tables}
+    val ev = Tables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_id"))
+    Skew.adviseSaltFactor(ev, "event_id") shouldBe 1
+  }
+
   test("search_hybrid_bm25: BM25 arm joins on the token key through the df cap; heap everywhere, no cartesian") {
     val df = SimilarityQueries.hybridBm25Q(spark, dir)
     df.collect()
