@@ -751,9 +751,6 @@ object Similarity {
           "pass a stride that samples it")
       checkedEntryLayers.put(layerKey, java.lang.Boolean.TRUE)
     }
-    var ranked = topOf(p.select(col("probe_id")).crossJoin(layer), kk)
-    var best = ranked.select("probe_id", "node")
-    var frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
     // hop expansion is SYMMETRIZED (out-edges ∪ in-edges): the top-k
     // edge list is directed, and on weakly-clustered data a node's
     // in-neighbors are as navigable as its out-neighbors (NN-Descent
@@ -763,16 +760,35 @@ object Similarity {
     // co-located equi-join.
     val gSym = g.unionByName(
       g.select(col("__dst").as("__src"), col("__src").as("__dst")))
-    for (_ <- 1 to hops) {
-      // distinct() before scoring is a measured keep (same finding as
-      // the knnGraph round body): beam parents converge on shared
-      // neighbors, and deduping candidates map-side is cheaper than
-      // letting each duplicate pay the vector join + cosine
-      val expanded = frontier.unionByName(
+    def expandVia(frontier: DataFrame): DataFrame =
+      frontier.unionByName(
           frontier.join(gSym, frontier("node") === gSym("__src"))
             .select(col("probe_id"), col("__dst").as("node")))
         .distinct()
-      ranked = topOf(expanded, kk)
+    // ENTRY SEED WIDTH = max(k, beam), not beam (round 14, the actual
+    // fix behind r13 verdict #3's low-beam recall ask): a walk seeded
+    // with only `beam` < k entry nodes structurally caps recall@k — the
+    // k result slots are filled from a trajectory that never had k
+    // independent starting regions (measured at sf0.01: beam-4
+    // recall@10 0.64 → 0.88, beam-8 0.78 → 0.88; beam ≥ k is
+    // bit-identical since max(k, beam) = beam). The beam still prunes
+    // every GRAPH hop — the entry stage is a scan, not an expansion, so
+    // seeding it at the result width costs one (kk − beam)·2k̄ extra
+    // candidate fan-in on the first hop and nothing after. The
+    // two-layer stride² entry was prototyped for this and measured
+    // WORSE (0.58 at beam 4): at narrow beams entry QUALITY dominates,
+    // and an exact top-of-the-stride-layer cut beats a coarser scan
+    // plus constrained refinement.
+    var ranked = topOf(p.select(col("probe_id")).crossJoin(layer), kk)
+    var best = ranked.select("probe_id", "node")
+    var frontier = ranked.select("probe_id", "node")
+    for (_ <- 1 to hops) {
+      // distinct() before scoring (inside expandVia) is a measured keep
+      // (same finding as the knnGraph round body): beam parents
+      // converge on shared neighbors, and deduping candidates map-side
+      // is cheaper than letting each duplicate pay the vector join +
+      // cosine
+      ranked = topOf(expandVia(frontier), kk)
       best = best.unionByName(ranked.select("probe_id", "node")).distinct()
       frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
     }

@@ -346,7 +346,11 @@ object SimilarityQueries {
     * the same points). Widths below [[K]] bound the WALK, not the
     * result — the best-seen re-rank still returns K rows (round 13;
     * before it, sub-K beams truncated the result and capped beam-4
-    * recall@10 at 0.4 structurally). */
+    * recall@10 at 0.4 structurally), and the walk is SEEDED at the
+    * result width max(K, beam) (round 14; before it, sub-K beams
+    * started from fewer entry regions than result slots and capped
+    * beam-4 recall@10 at 0.64 — now 0.88/0.88/0.96 at beams 4/8/16,
+    * sf0.01). */
   val GraphBeamSweep: Seq[Int] = Seq(4, 8, 16)
 
   /** GRAPH-SEARCH TUNING CURVE — the [[annNprobeSweep]] analogue for
@@ -602,7 +606,10 @@ object SimilarityQueries {
           FROM gpr p, gent en, vv n
           WHERE n.vec_id = en.node AND en.node <> p.probe_id)
         WHERE rk <= $kk),
-      gf0$sfx AS (SELECT probe_id, node FROM gq0$sfx WHERE rk <= $w),
+      -- entry seeds at the RESULT width max(kTop, w), not the beam
+      -- (round 14): the walk's first hop starts from kk entry nodes;
+      -- the beam prunes every graph hop after (gf1/gf2 below)
+      gf0$sfx AS (SELECT probe_id, node FROM gq0$sfx WHERE rk <= $kk),
       ${hop(s"gf0$sfx", s"gx1$sfx", s"gq1$sfx", s"gf1$sfx", w, kk)},
       ${hop(s"gf1$sfx", s"gx2$sfx", s"gq2$sfx", s"gf2$sfx", w, kk)},
       gbest$sfx AS (SELECT DISTINCT probe_id, node FROM (
