@@ -184,7 +184,7 @@ object Bench {
     // manual re-run bar) the whole run is the quiet run and
     // value_quiet == value; on a contended launch the bench IDLES long
     // enough for the 1-min loadavg to shed its own self-load
-    // (SPARK_GRAFT_QUIET_SETTLE_MS, default 75 s), re-samples, and if
+    // (SPARK_GRAFT_QUIET_SETTLE_MS, default 100 s), re-samples, and if
     // the box has gone quiet re-prices the ENGINE queries with
     // SPARK_GRAFT_QUIET_REPS fresh passes; if after
     // SPARK_GRAFT_QUIET_RETRIES settles the box never went quiet,
@@ -196,9 +196,13 @@ object Bench {
         (Some(engineTotal),
           s"quiet launch: ambient ${fmt2(ambientLoad)} < 1.5")
       else {
+        // r13 verdict #8 bench hygiene: settle longer and take one more
+        // quiet rep by default — value_quiet resting on 2 reps after a
+        // 75 s settle was defensible but thin; 100 s + 3 reps costs ~4
+        // extra minutes only on CONTENDED launches
         val maxRetries = sys.env.getOrElse("SPARK_GRAFT_QUIET_RETRIES", "2").toInt
-        val settleMs = sys.env.getOrElse("SPARK_GRAFT_QUIET_SETTLE_MS", "75000").toLong
-        val qReps = sys.env.getOrElse("SPARK_GRAFT_QUIET_REPS", "2").toInt
+        val settleMs = sys.env.getOrElse("SPARK_GRAFT_QUIET_SETTLE_MS", "100000").toLong
+        val qReps = sys.env.getOrElse("SPARK_GRAFT_QUIET_REPS", "3").toInt
         val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
         while (samples.length < maxRetries &&
                !samples.lastOption.exists(s => s >= 0 && s < 1.5)) {

@@ -306,6 +306,16 @@ object ScaleBench {
         println(f"""{"metric":"scale","op":"lm_score","scale":$k,"docs":$nd,"sec":$lmSec%.3f,"us_per_doc":${lmSec * 1e6 / nd}%.2f}""")
       }
 
+      // trigram Kneser-Ney (round 14): same two-pass shape one order
+      // up — the trigram type table and its N1+ re-aggregations are
+      // vocab-priced (near-constant on this dup-heavy corpus), the
+      // scoring join is stream-priced, so us/doc must fall toward the
+      // model floor like lm_score's.
+      if (on("lm_kn")) {
+        val knSec = timeOp(Text.lmScoreKn(docs))
+        println(f"""{"metric":"scale","op":"lm_kn","scale":$k,"docs":$nd,"sec":$knSec%.3f,"us_per_doc":${knSec * 1e6 / nd}%.2f}""")
+      }
+
       if (on("knn_graph")) {
       val kgSec = timeOpFull({
         val vecs = docs.select(col("doc_id").as("vec_id"),
