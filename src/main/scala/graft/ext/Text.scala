@@ -526,6 +526,19 @@ object Text {
     * as 1-row broadcasts — never a collect.
     *
     * Returns (idCol, label, score DOUBLE, pred INT), unordered. */
+  /** The NB weight / prior ratios as SHARED SQL TEXT (round-14 libm
+    * closure: the weight is now ONE DetMath signed-ln of the cross
+    * ratio (cp+1)(tn+V) / (cn+1)(tp+V) — algebraically the same
+    * log-likelihood ratio as the old two-ln difference, but with no
+    * libm anywhere in the hashed path; products stay ≤ ~1e12, exact in
+    * doubles). Columns: cp/cn per-class token counts, tp/tn class
+    * totals, v vocab size; np/nn doc-label totals. */
+  private[graft] val NbWeightRatioSql: String =
+    "(CAST(cp + 1 AS DOUBLE) * CAST(tn + v AS DOUBLE)) / " +
+      "(CAST(cn + 1 AS DOUBLE) * CAST(tp + v AS DOUBLE))"
+  private[graft] val NbPriorRatioSql: String =
+    "CAST(np + 1 AS DOUBLE) / CAST(nn + 1 AS DOUBLE)"
+
   def nbQualityClassifier(docsDf: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     val lab = docsDf
@@ -545,15 +558,17 @@ object Text {
       sum(when(col("label") === 0, 1L).otherwise(0L)).as("cn"))
     val tot = cc.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
       count(lit(1)).as("v"))
-    val w = cc.crossJoin(broadcast(tot))
+    val w = graft.functions.DetMath.withSteps(
+        cc.crossJoin(broadcast(tot))
+          .withColumn("__r", expr(NbWeightRatioSql)),
+        graft.functions.DetMath.lnSignedSteps("__r", "__w"))
       .select(col("token"),
-        round(log((col("cp") + 1).cast("double") / (col("tp") + col("v")).cast("double")) -
-              log((col("cn") + 1).cast("double") / (col("tn") + col("v")).cast("double")), 6)
-          .cast("decimal(18,6)").as("w"))
-    val prior = lab
-      .agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
-      .select(round(log((col("np") + 1).cast("double") / (col("nn") + 1).cast("double")), 6)
-        .cast("decimal(18,6)").as("b"))
+        round(col("__w"), 6).cast("decimal(18,6)").as("w"))
+    val prior = graft.functions.DetMath.withSteps(
+        lab.agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
+          .withColumn("__r", expr(NbPriorRatioSql)),
+        graft.functions.DetMath.lnSignedSteps("__r", "__b"))
+      .select(round(col("__b"), 6).cast("decimal(18,6)").as("b"))
     val s = tok.join(w, "token").groupBy(idCol)
       .agg(sum(col("w")).as("sw"))
     val zero = lit(0).cast("decimal(18,6)")

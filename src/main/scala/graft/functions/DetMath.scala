@@ -75,6 +75,21 @@ object DetMath {
       outCol -> s"CAST($eSum AS DOUBLE) * $Ln2 + ${p}_lnm")
   }
 
+  /** Steps computing `outCol` = ln(`x`) for ANY positive `x` — the
+    * log-likelihood-RATIO shape (NB weights, priors) where the ratio
+    * may sit on either side of 1: reciprocate into [1, ∞), run
+    * [[lnSteps]], restore the sign. The reciprocal is one IEEE
+    * division and the sign restore one CASE — deterministic like
+    * everything else here. */
+  def lnSignedSteps(x: String, outCol: String): Seq[(String, String)] = {
+    val p = s"__${outCol}"
+    Seq(s"${p}_ax" ->
+        s"CASE WHEN ($x) >= 1.0 THEN CAST(($x) AS DOUBLE) ELSE 1.0 / ($x) END") ++
+      lnSteps(s"${p}_ax", s"${p}_lpos") ++
+      Seq(outCol ->
+        s"CASE WHEN ($x) >= 1.0 THEN ${p}_lpos ELSE 0.0 - ${p}_lpos END")
+  }
+
   /** Steps computing `outCol` = exp(`x`) for an expression `x` in
     * [0, 44) — the nll/idf range. 2^k is assembled by the same
     * binary decomposition (exact power-of-two factors multiply

@@ -337,12 +337,20 @@ object TextQueries {
   def tfidfQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val n = d.count() // corpus size: one cheap parquet-metadata count
-    d.select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+    // idf's ln is a DetMath chain (round-14 libm closure): n/df ≥ 1 is
+    // one IEEE division of identical values in both engines, and the
+    // chain text is identical, so the 6-dp idf is bit-exact across
+    // engines by construction — the integer (df DESC, token) ranking
+    // already made ORDER ulp-proof, now the VALUE is too
+    graft.functions.DetMath.withSteps(
+        d.select(col("doc_id"), explode(col("toks")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+          .withColumn("__x", lit(n.toDouble) / col("df")),
+        graft.functions.DetMath.lnSteps("__x", "__idf"))
       .select(col("token"), col("df"), col("tf"),
-        round(log(lit(n.toDouble) / col("df")), 6).as("idf"))
+        round(col("__idf"), 6).as("idf"))
       .orderBy(col("df").desc, col("token"))
       .limit(20)
   }
@@ -753,8 +761,18 @@ object TextQueries {
     GQuery("text_bpe_frozen", bpeSegmentsIndexedQ, Some(bpeSegmentsOracle)),
     GQuery("text_bpe_fertility", bpeFertilityQ, Some(bpeFertilityOracle)),
     // trained quality classifier: exact-integer counts → 6-dp-rounded
-    // DECIMAL weights → exact decimal score sums (order-independent)
-    GQuery("text_quality_classifier", qualityClassifierQ, Some(s"""
+    // DECIMAL weights → exact decimal score sums (order-independent);
+    // round 14: the weight/prior lns are DetMath signed-ln chains over
+    // the shared cross-ratio SQL text — no libm in the hashed path
+    GQuery("text_quality_classifier", qualityClassifierQ, Some {
+      import graft.functions.DetMath
+      val (wCtes, wOut) = DetMath.cteChain(
+        s"SELECT token, ${Text.NbWeightRatioSql} AS __r FROM cc, tot",
+        DetMath.lnSignedSteps("__r", "__w"), "nbw")
+      val (pCtes, pOut) = DetMath.cteChain(
+        s"SELECT ${Text.NbPriorRatioSql} AS __r FROM pr0",
+        DetMath.lnSignedSteps("__r", "__b"), "nbp")
+      s"""
       WITH lab AS (
         SELECT doc_id, $duckToks AS toks,
                CASE WHEN CAST(len($duckToks) AS BIGINT) >= 40 AND
@@ -772,22 +790,22 @@ object TextQueries {
       tot AS (SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cn) AS BIGINT) AS tn,
                      CAST(count(*) AS BIGINT) AS v
               FROM cc),
-      w AS (SELECT token,
-                   CAST(ROUND(ln(CAST(cp + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE)) -
-                              ln(CAST(cn + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)), 6)
-                        AS DECIMAL(18,6)) AS w
-            FROM cc, tot),
-      prior AS (SELECT CAST(ROUND(ln(CAST(np + 1 AS DOUBLE) / CAST(nn + 1 AS DOUBLE)), 6)
-                            AS DECIMAL(18,6)) AS b
-                FROM (SELECT CAST(sum(label) AS BIGINT) AS np,
-                             CAST(sum(1 - label) AS BIGINT) AS nn
-                      FROM lab)),
+      $wCtes,
+      w AS (SELECT token, CAST(ROUND(__w, 6) AS DECIMAL(18,6)) AS w
+            FROM $wOut),
+      pr0 AS (SELECT CAST(sum(label) AS BIGINT) AS np,
+                     CAST(sum(1 - label) AS BIGINT) AS nn
+              FROM lab),
+      $pCtes,
+      prior AS (SELECT CAST(ROUND(__b, 6) AS DECIMAL(18,6)) AS b
+                FROM $pOut),
       s AS (SELECT t.doc_id, sum(w.w) AS sw FROM tok t JOIN w USING (token) GROUP BY 1)
       SELECT l.doc_id, CAST(l.label AS INT) AS label,
              CAST(coalesce(s.sw, 0) + p.b AS DOUBLE) AS score,
              CAST(CASE WHEN coalesce(s.sw, 0) + p.b >= 0 THEN 1 ELSE 0 END AS INT) AS pred
       FROM lab l LEFT JOIN s ON s.doc_id = l.doc_id CROSS JOIN prior p
-      ORDER BY l.doc_id""")),
+      ORDER BY l.doc_id"""
+    }),
     // bigram-LM perplexity: all model stats (c2, c1 = Σc2 by head,
     // V = distinct continuations) from ONE bigram groupBy; per-bigram
     // nll at the MODEL table, rounded to 6 dp and summed as exact
@@ -880,7 +898,12 @@ object TextQueries {
              $caseExpr AS lang_pred
       FROM h ORDER BY doc_id"""
     }),
-    GQuery("text_tfidf", tfidfQ, Some(s"""
+    GQuery("text_tfidf", tfidfQ, Some {
+      import graft.functions.DetMath
+      val (idfCtes, idfOut) = DetMath.cteChain(
+        "SELECT token, df, tf, nn.n / df AS __x FROM agg, nn",
+        DetMath.lnSteps("__x", "__idf"), "tfi")
+      s"""
       WITH per AS (
         SELECT doc_id, token, count(*) AS cnt
         FROM (SELECT doc_id, unnest($duckToks) AS token FROM documents)
@@ -888,10 +911,12 @@ object TextQueries {
       agg AS (
         SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(cnt) AS BIGINT) AS tf
         FROM per GROUP BY 1),
-      nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
-      SELECT token, df, tf, ROUND(ln(nn.n / df), 6) AS idf
-      FROM agg, nn
-      ORDER BY df DESC, token LIMIT 20""")),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      $idfCtes
+      SELECT token, df, tf, ROUND(__idf, 6) AS idf
+      FROM $idfOut
+      ORDER BY df DESC, token LIMIT 20"""
+    }),
     GQuery("pack_bins", packBinsQ, Some(s"""
       WITH t AS (
         SELECT source, doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens
