@@ -1648,34 +1648,16 @@ object SimilarityQueries {
         round(col("__e.score"), 9).as("rrf_score"))
       .orderBy(col("probe_id"), col("rrf_score").desc, col("cand_id"))
 
-  /** BM25 constants (Robertson's k1/b defaults) and the scoring
-    * expressions as SHARED SQL TEXT — evaluated verbatim by both
-    * engines so every IEEE operation happens in the same order on the
-    * same inputs (the [[graft.functions.DetMath]] discipline; idf's ln
-    * is a DetMath chain, so no libm anywhere in the hashed path).
-    * Columns referenced: df/n (token doc-frequency, corpus doc count),
-    * tf/dl/avgdl (term frequency, doc length, mean doc length). Each
-    * term is rounded to 12 dp and summed as DECIMAL(28,12) — exact,
-    * order-independent. */
-  private val Bm25AvgdlSql = "CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)"
-  private val Bm25IdfArgSql =
-    "1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
-  private val Bm25TermSql =
-    "ROUND(__idf * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
-      "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 12)"
-
   /** HYBRID SEARCH, BM25 LEXICAL ARM (round-13 verdict #2): the first
     * thing a real user asks of a hybrid retriever — Okapi BM25 over the
     * same df-capped inverted index, fused with the exact-cosine vector
     * arm by the same RRF. score(q,d) = Σ_t idf(t) · tf·(k1+1) /
     * (tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75, idf =
-    * ln(1 + (N−df+½)/(df+½)) ≥ 0.
-    *
-    * Determinism: idf is a [[graft.functions.DetMath]] ln chain on the
-    * vocab-bounded df table; tf/dl/avgdl arithmetic is shared SQL text
-    * ([[Bm25TermSql]]); each term rounds to 12 dp and sums as exact
-    * DECIMAL(28,12) per (probe, cand) — order-independent — and ranks
-    * break ties by id. RRF then needs only the integer ranks.
+    * ln(1 + (N−df+½)/(df+½)) ≥ 0. Scoring is [[graft.ext.Lex]]'s ONE
+    * shared implementation (DetMath idf chain, shared-SQL-text
+    * arithmetic, 12-dp DECIMAL(28,12) sums — order-independent, no
+    * libm), also served by the persisted tier queries below, so the
+    * in-query and persisted forms cannot drift.
     *
     * Scale shape: identical to [[hybridRrfQ]] — posting lists df-capped
     * (the join is bounded by |probe tokens|·dfCap), idf/df tables are
@@ -1683,33 +1665,128 @@ object SimilarityQueries {
     * stats travel as a 1-row broadcast, and both arms end on the
     * bounded heap. */
   def hybridBm25Q(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.DetMath
+    import graft.ext.Lex
     val docs = Tables.documents(spark, dir)
-    val toks = docs.select(col("doc_id"),
-      explode(graft.ext.Text.tokens(col("text"))).as("t"))
-    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dlen.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
-      .withColumn("avgdl", expr(Bm25AvgdlSql))
-    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= RrfDfCap)
-    val idf = DetMath.withSteps(
-        dfT.crossJoin(broadcast(stats.select("n")))
-          .withColumn("__x", expr(Bm25IdfArgSql)),
-        DetMath.lnSteps("__x", "__idf"))
-      .select(col("t"), col("__idf"))
-    val ptok = toks.filter(col("doc_id") < NProbes)
-      .select(col("doc_id").as("probe_id"), col("t")).distinct()
-    val bm25 = tf
-      .join(idf, "t")
-      .join(broadcast(ptok), "t")
-      .filter(col("doc_id") =!= col("probe_id"))
-      .join(dlen, "doc_id")
-      .crossJoin(broadcast(stats.select("avgdl")))
-      .withColumn("__term", expr(Bm25TermSql).cast("decimal(28,12)"))
-      .groupBy(col("probe_id"), col("doc_id").as("cand_id"))
-      .agg(sum(col("__term")).cast("double").as("__score"))
-    rrfFuse(rrfRanksOf(bm25, "__tr"), rrfVecRank(spark, dir))
+    val (postings, dlen) = Lex.factTables(docs)
+    val ptok = docs.filter(col("doc_id") < NProbes)
+      .select(col("doc_id").as("probe_id"),
+        explode(graft.ext.Text.tokens(col("text"))).as("t"))
+      .distinct()
+    rrfFuse(
+      rrfRanksOf(Lex.bm25Scores(postings, dlen, ptok, RrfDfCap), "__tr"),
+      rrfVecRank(spark, dir))
+  }
+
+  /** Tier roots for the lexical index, keyed by the documents table's
+    * file identity ([[TierRoots]]). */
+  private def lexRoot(kind: String, dir: String): String =
+    TierRoots.of(kind, dir, "documents")
+
+  /** Tokenizer fingerprint stored inside the lex tier marker — a
+    * re-cut token pattern invalidates every persisted tier. */
+  private val LexFingerprint = s"lex:retok1:${graft.ext.Text.tokenPattern}"
+
+  /** Indexed window [0, LexBase) and arrival window [LexBase, LexCap)
+    * for the upsert lifecycle queries — the near-dup tier's windows. */
+  private val LexBase = 400L
+  private[queries] val LexCap = 500L
+
+  /** Top-[[RrfDepth]] BM25 cut with explicit ranks: (probe_id, rank,
+    * cand_id, score) on the bounded heap, score the exact-decimal sum
+    * surfaced as a 9-dp double. */
+  private def bm25RankCut(scored: DataFrame): DataFrame = scored
+    .groupBy("probe_id")
+    .agg(graft.functions.BoundedTopK.topk(
+      col("__score"), col("cand_id"), RrfDepth).as("__nn"))
+    .select(col("probe_id"), posexplode(col("__nn")).as(Seq("__p", "__e")))
+    .select(col("probe_id"), (col("__p") + 1).cast("long").as("rank"),
+      col("__e.id").as("cand_id"), round(col("__e.score"), 9).as("score"))
+    .orderBy("probe_id", "rank")
+
+  /** BM25 SERVED FROM THE PERSISTED INVERTED-INDEX TIER
+    * ([[graft.ext.Lex]] — round 14, the retrieval family's LSM
+    * lifecycle): the corpus is tokenized ONCE per generation into
+    * marker-gated posting/doc-length fact tables, and query batches
+    * probe the persisted tier — at 100 TB the postings are bucketed by
+    * token and the probe is a co-located join, never a corpus
+    * re-tokenize. Global stats (df, N, avgdl) recompute per query from
+    * the merged tier by vocab-bounded aggregations, which is what makes
+    * the tier upsert-correct by construction. Serves IDENTICALLY to an
+    * in-query build — the oracle replays full-corpus BM25. */
+  def searchBm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val path = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, path, LexFingerprint))
+      Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
+    bm25RankCut(Lex.queryLexIndex(spark, path,
+      Tables.documents(spark, dir).filter(col("doc_id") < NProbes), RrfDfCap))
+  }
+
+  /** The lex tier's full batch lifecycle in one run (the
+    * `dedup_index_upsert` convention): base build over [0, [[LexBase]]),
+    * arrivals [LexBase, [[LexCap]]) upserted as a delta generation, the
+    * arrivals themselves probed against base ∪ delta. Because global
+    * BM25 stats recompute from the merged tier, the served scores must
+    * equal a fresh full build over [0, LexCap) — the oracle replays
+    * exactly that, so the hash gate proves upsert-correctness of the
+    * statistics, not just the postings. */
+  def searchBm25Upsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val docs = Tables.documents(spark, dir)
+    val path = lexRoot("graft_lex_upsert", dir)
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") < LexBase),
+      LexFingerprint)
+    val arrivals = docs.filter(col("doc_id") >= LexBase && col("doc_id") < LexCap)
+    Lex.upsertLexIndex(spark, path, arrivals, LexFingerprint)
+    bm25RankCut(Lex.queryLexIndex(spark, path, arrivals, RrfDfCap))
+  }
+
+  /** STREAMING lexical-tier maintenance WITH auto-compaction in the
+    * loop (the `stream_dedup_index_autocompact_replay` twin): arrivals
+    * land as TWO real micro-batches whose foreachBatch tokenizes the
+    * batch into a numbered completion-marked generation
+    * ([[graft.ext.Lex.upsertLexIndex]]) then runs the gens-bar-2
+    * policy — off after batch 1, firing exactly once after batch 2,
+    * folding both generations into the base (a rewrite: postings are
+    * immutable facts). Tokenization is per-document and stats recompute
+    * at probe time, so the post-fold decisions must be IDENTICAL to
+    * the single-batch [[searchBm25Upsert]] — the SHARED oracle (plus
+    * the hash-pinned `n_compactions = 1`) proves both batch-invariance
+    * and exactly-once firing. */
+  def streamLexAutocompactReplay(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ext.Lex
+    val docs = Tables.documents(spark, dir)
+    val path = lexRoot("graft_lex_autocompact", dir)
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") < LexBase),
+      LexFingerprint)
+    val arrivals = docs
+      .filter(col("doc_id") >= LexBase && col("doc_id") < LexCap)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect()
+      .sortBy(_._1)
+    requireBoundedReplay(arrivals.length, 4 * (LexCap - LexBase).toInt,
+      "streamLexAutocompactReplay arrivals")
+    require(arrivals.nonEmpty,
+      "streamLexAutocompactReplay: empty arrival window — the fixture's " +
+        "id space changed shape; re-derive the replay window")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    StreamReplayQueries.replayChunks(spark,
+      StreamReplayQueries.midSplit(arrivals.toSeq)(_._1),
+      Seq("doc_id", "text")) { batch =>
+      if (!batch.isEmpty) {
+        Lex.upsertLexIndex(spark, path, batch, LexFingerprint)
+        if (Lex.maybeCompactLexIndex(spark, path, LexFingerprint,
+            maxGens = 2, maxRatio = Double.PositiveInfinity)) {
+          fired.incrementAndGet(); ()
+        }
+      }
+    }
+    bm25RankCut(Lex.queryLexIndex(spark, path,
+        docs.filter(col("doc_id") >= LexBase && col("doc_id") < LexCap),
+        RrfDfCap))
+      .withColumn("n_compactions", lit(fired.get))
   }
 
   private lazy val hybridRrfOracle: String = {
@@ -1751,39 +1828,61 @@ object SimilarityQueries {
       ORDER BY probe_id, rrf_score DESC, cand_id"""
   }
 
-  /** DuckDB replay of [[hybridBm25Q]]: the shared-SQL-text scoring
-    * expressions plus a DetMath ln CTE chain for idf — every double in
-    * the hashed path computed by the identical expression strings the
-    * engine evaluated. */
-  private lazy val hybridBm25Oracle: String = {
+  /** The BM25 oracle CTE block through `bs` (per-pair scores) —
+    * tokenize `corpusPred`-filtered documents into postings/doc-length
+    * facts, global stats, DetMath-ln idf chain, shared-SQL-text terms,
+    * exact DECIMAL(28,12) sums. Shared by the hybrid fusion oracle and
+    * the persisted-tier oracles (which replay a fresh full build over
+    * the tier's window — the serve-equals-rebuild contract). */
+  private def bm25OracleCtes(corpusPred: String, probePred: String): String = {
     import graft.functions.DetMath
+    import graft.ext.Lex
     val duckToks =
       s"regexp_extract_all(lower(text), '${graft.ext.Text.tokenPattern}')"
     val (idfCtes, idfOut) = DetMath.cteChain(
-      s"SELECT t, df, $Bm25IdfArgSql AS __x FROM dfq CROSS JOIN stats",
+      s"SELECT t, df, ${Lex.Bm25IdfArgSql} AS __x FROM dfq CROSS JOIN stats",
       DetMath.lnSteps("__x", "__idf"), "bmi")
-    s"""
-      WITH tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest($duckToks) AS t FROM documents
+               WHERE $corpusPred),
       dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
                FROM tok GROUP BY 1),
       stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl,
                        CAST(count(*) AS BIGINT) AS n FROM dlen),
-      stats2 AS (SELECT *, $Bm25AvgdlSql AS avgdl FROM stats),
+      stats2 AS (SELECT *, ${Lex.Bm25AvgdlSql} AS avgdl FROM stats),
       tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
              FROM tok GROUP BY 1, 2),
       dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
               HAVING count(*) <= $RrfDfCap),
       $idfCtes,
       ptok AS (SELECT DISTINCT doc_id AS probe_id, t FROM tok
-               WHERE doc_id < $NProbes),
+               WHERE $probePred),
       terms AS (SELECT p.probe_id, f.doc_id AS cand_id,
-                       CAST($Bm25TermSql AS DECIMAL(28,12)) AS term
+                       CAST(${Lex.Bm25TermSql} AS DECIMAL(28,12)) AS term
                 FROM tf f JOIN $idfOut i ON i.t = f.t
                      JOIN ptok p ON p.t = f.t AND f.doc_id <> p.probe_id
                      JOIN dlen d ON d.doc_id = f.doc_id
                      CROSS JOIN stats2),
       bs AS (SELECT probe_id, cand_id, CAST(sum(term) AS DOUBLE) AS sc
-             FROM terms GROUP BY 1, 2),
+             FROM terms GROUP BY 1, 2)"""
+  }
+
+  /** The persisted-tier serve oracle: BM25 top-[[RrfDepth]] with ranks
+    * over a fresh full build of the tier's corpus window. */
+  private def bm25RankOracle(corpusPred: String, probePred: String,
+                             extraCols: String = ""): String = s"""
+      WITH ${bm25OracleCtes(corpusPred, probePred)},
+      r AS (SELECT probe_id, cand_id, sc,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY sc DESC, cand_id) AS rank FROM bs)
+      SELECT probe_id, rank, cand_id, ROUND(sc, 9) AS score$extraCols
+      FROM r WHERE rank <= $RrfDepth
+      ORDER BY probe_id, rank"""
+
+  /** DuckDB replay of [[hybridBm25Q]]: the shared BM25 block fused
+    * with the vector ranking by RRF. */
+  private lazy val hybridBm25Oracle: String = {
+    s"""
+      WITH ${bm25OracleCtes("TRUE", s"doc_id < $NProbes")},
       tr AS (SELECT probe_id, cand_id, r FROM (
              SELECT probe_id, cand_id,
                     row_number() OVER (PARTITION BY probe_id
@@ -1814,6 +1913,20 @@ object SimilarityQueries {
   val queries: Seq[GQuery] = Seq(
     GQuery("search_hybrid_rrf", hybridRrfQ, Some(hybridRrfOracle)),
     GQuery("search_hybrid_bm25", hybridBm25Q, Some(hybridBm25Oracle)),
+    // persisted lex tier: serve-equals-rebuild is the contract every
+    // oracle here replays (a fresh full BM25 build over the tier's
+    // corpus window)
+    GQuery("search_bm25_indexed", searchBm25Indexed,
+      Some(bm25RankOracle("TRUE", s"doc_id < $NProbes"))),
+    GQuery("search_bm25_upsert", searchBm25Upsert,
+      Some(bm25RankOracle(s"doc_id < $LexCap",
+        s"doc_id >= $LexBase AND doc_id < $LexCap"))),
+    // shared with search_bm25_upsert (batch-invariance) plus the
+    // exactly-once compaction pin
+    GQuery("stream_lex_autocompact_replay", streamLexAutocompactReplay,
+      Some(bm25RankOracle(s"doc_id < $LexCap",
+        s"doc_id >= $LexBase AND doc_id < $LexCap",
+        ", CAST(1 AS INT) AS n_compactions"))),
     GQuery("emb_drift", embDriftQ, Some(embDriftOracle)),
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted lexical (BM25) tier: lifecycle discipline (marker +
+  * fingerprint, crash-safe generations, compaction) and scoring
+  * sanity. The value-level BM25 contract is carried by the oracle
+  * gates (`search_bm25_*`); here we pin the tier mechanics the oracle
+  * can't see. */
+class LexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta common common"),
+    (2L, "alpha beta epsilon zeta common common"),
+    (3L, "eta theta iota kappa common common"),
+    (4L, "alpha beta gamma delta common common")).toDF("doc_id", "text")
+
+  private val fp = "lex:test:v1"
+
+  test("lifecycle: fingerprint gate, crash-safe generations, fold-and-retire compaction") {
+    val path = s"target/test_lex_${System.nanoTime()}"
+    // no tier: serves=false, upsert refuses
+    Lex.lexServes(spark, path, fp) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Lex.upsertLexIndex(spark, path, docs.limit(1), fp)
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
+    Lex.lexServes(spark, path, fp) shouldBe true
+    // fingerprint gates tokenizer identity, not existence
+    Lex.lexServes(spark, path, "lex:test:v2") shouldBe false
+
+    // probe doc 10 shares alpha/beta with docs 1,2 — both candidates,
+    // scored; "common" is shared too but caps out at dfCap=1
+    def hits(dfCap: Long): Map[Long, Set[Long]] =
+      Lex.queryLexIndex(spark, path,
+          Seq((10L, "alpha beta common")).toDF("doc_id", "text"), dfCap)
+        .select("probe_id", "cand_id")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    hits(10L) shouldBe Map(10L -> Set(1L, 2L))
+    // df cap 1 drops alpha/beta (df=2) AND common — no candidates
+    hits(1L) shouldBe Map.empty
+
+    // upsert gen 1: doc 3 joins the index — it shares "common"
+    // (df 3 ≤ 10, uncapped) with the probe, so it becomes a candidate
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
+    Lex.lexGensForTest(spark, path) shouldBe Seq(1)
+    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L))
+
+    // a CRASHED generation (files, no marker) is invisible...
+    val (p4, d4) = Lex.factTables(docs.filter(col("doc_id") === 4L))
+    p4.write.mode("overwrite").parquet(s"$path/lex_delta/gen=2/postings")
+    d4.write.mode("overwrite").parquet(s"$path/lex_delta/gen=2/dlen")
+    Lex.lexGensForTest(spark, path) shouldBe Seq(1)
+    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L))
+    // ...and reclaimed by the next upsert
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 4L), fp)
+    Lex.lexGensForTest(spark, path) shouldBe Seq(1, 2)
+    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
+
+    // compaction folds and retires; decisions identical
+    Lex.compactLexIndex(spark, path, fp)
+    Lex.lexGensForTest(spark, path) shouldBe Seq.empty
+    Lex.lexServes(spark, path, fp) shouldBe true
+    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
+    // no-op compaction doesn't crash
+    Lex.compactLexIndex(spark, path, fp)
+    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
+  }
+
+  test("upsert changes GLOBAL stats, not just postings: served scores equal a fresh full build") {
+    val base = docs.filter(col("doc_id") <= 2L)
+    val delta = docs.filter(col("doc_id") === 3L)
+    val probe = Seq((10L, "alpha beta eta")).toDF("doc_id", "text")
+    def served(build: org.apache.spark.sql.DataFrame,
+               up: Option[org.apache.spark.sql.DataFrame]): Seq[(Long, Long, Double)] = {
+      val path = s"target/test_lex_stats_${System.nanoTime()}"
+      Lex.buildLexIndex(spark, path, build, fp)
+      up.foreach(Lex.upsertLexIndex(spark, path, _, fp))
+      Lex.queryLexIndex(spark, path, probe, 10L)
+        .select("probe_id", "cand_id", "__score")
+        .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+    }
+    val upserted = served(base, Some(delta))
+    val rebuilt = served(docs.filter(col("doc_id") <= 3L), None)
+    // bit-identical scores: N, df, avgdl all recomputed from the
+    // merged tier — the serve-equals-rebuild contract
+    upserted shouldBe rebuilt
+    upserted.map(_._2) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("maybeCompact: holds under both bars, fires on the gens bar") {
+    val path = s"target/test_lex_policy_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
+    Lex.maybeCompactLexIndex(spark, path, fp, maxGens = 1) shouldBe false
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
+    Lex.maybeCompactLexIndex(spark, path, fp, maxGens = 2,
+      maxRatio = Double.PositiveInfinity) shouldBe false
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 4L), fp)
+    Lex.maybeCompactLexIndex(spark, path, fp, maxGens = 2,
+      maxRatio = Double.PositiveInfinity) shouldBe true
+    Lex.lexGensForTest(spark, path) shouldBe Seq.empty
+  }
+
+  test("crash mid-compact reads as no tier, never doubled postings") {
+    val path = s"target/test_lex_crash_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
+    // simulate the compact crash window: marker deleted, base rewritten
+    // with the fold, process dies BEFORE the generation drop + marker
+    val (postings, dlen) = Lex.lexTierTables(spark, path)
+    val allP = postings.localCheckpoint(true)
+    val allD = dlen.localCheckpoint(true)
+    Markers.delete(spark, s"$path/${Lex.LexCompleteMarker}")
+    allP.write.mode("overwrite").parquet(s"$path/postings")
+    allD.write.mode("overwrite").parquet(s"$path/dlen")
+    // no marker: the tier refuses to serve (a marker-less merged read
+    // WOULD double-count doc 3's postings — base now holds them AND
+    // gen 1 is still live)
+    Lex.lexServes(spark, path, fp) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Lex.upsertLexIndex(spark, path, docs.limit(1), fp)
+    // recovery = rebuild, which drops the stale generations first
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 3L), fp)
+    Lex.lexGensForTest(spark, path) shouldBe Seq.empty
+    Lex.lexServes(spark, path, fp) shouldBe true
+  }
+}
