@@ -35,8 +35,16 @@ object Verify {
       "ann_index_pq", "stream_ann_query_replay"),
     "tier_ivf_upsert" -> Seq("ann_index_upsert", "knn_ivf_upserted"),
     "tier_ivf_multi" -> Seq("ann_upsert_multi", "knn_ivf_upserted_multi"),
-    "tier_graph_main" -> Seq("ann_index_graph", "ann_graph_search",
-      "ann_graph_recall", "ann_graph_beam_sweep", "emb_semdedup_graph"),
+    // graph + lex SERVING tiers share one group: search_hybrid_indexed
+    // reads BOTH roots, so every reader/builder of either root
+    // serializes here (a query may appear in only ONE group — units
+    // would dump it twice otherwise)
+    "tier_graph_lex_main" -> Seq("ann_index_graph", "ann_graph_search",
+      "ann_graph_recall", "ann_graph_beam_sweep", "emb_semdedup_graph",
+      "search_bm25_indexed", "search_hybrid_indexed"),
+    // both ensure-build the SAME [0, UpsertSplit) base graph root
+    // (round 14 amortization) — concurrent first builds would race
+    "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),
     // both ensure-build against the SAME persisted model root — the
     // single-writer contract every shared tier root carries
     "tier_bpe_model" -> Seq("text_bpe_frozen", "text_bpe_fertility"))

@@ -1741,6 +1741,38 @@ object SimilarityQueries {
     bm25RankCut(Lex.queryLexIndex(spark, path, arrivals, RrfDfCap))
   }
 
+  /** HYBRID RETRIEVAL ENTIRELY FROM PERSISTED TIERS (round 14 — the
+    * RAG serving composition): the BM25 arm reads the [[graft.ext.Lex]]
+    * posting tier, the vector arm walks the [[ensureGraphTier]]
+    * NN-Descent graph tier ([[Similarity.graphSearchIndexed]] at
+    * k = [[RrfDepth]] — same trajectory as the k=10 serve, since the
+    * per-stage width is max(k, beam) = beam either way; only the final
+    * cut widens), fused by the same RRF. NO query-time corpus pass
+    * anywhere: both arms are index lookups — the shape a deployed
+    * retrieval endpoint actually runs, with both index families' build
+    * costs amortized to once per corpus generation. The oracle replays
+    * fresh full builds of BOTH models (BM25 block + graph trajectory
+    * CTEs), so the hash proves serve-equals-rebuild across the whole
+    * composition. */
+  def searchHybridIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val lexPath = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, lexPath, LexFingerprint))
+      Lex.buildLexIndex(spark, lexPath, Tables.documents(spark, dir),
+        LexFingerprint)
+    val graphPath = ensureGraphTier(spark, dir)
+    val textRank = rrfRanksOf(
+      Lex.queryLexIndex(spark, lexPath,
+        Tables.documents(spark, dir).filter(col("doc_id") < NProbes),
+        RrfDfCap), "__tr")
+    val vecRank = rrfRanksOf(
+      Similarity.graphSearchIndexed(spark, graphPath, probes(spark, dir),
+          k = RrfDepth, beam = GraphBeam, hops = GraphHops)
+        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+          col("cos_sim").as("__score")), "__vr")
+    rrfFuse(textRank, vecRank)
+  }
+
   /** STREAMING lexical-tier maintenance WITH auto-compaction in the
     * loop (the `stream_dedup_index_autocompact_replay` twin): arrivals
     * land as TWO real micro-batches whose foreachBatch tokenizes the
@@ -1927,6 +1959,36 @@ object SimilarityQueries {
       Some(bm25RankOracle(s"doc_id < $LexCap",
         s"doc_id >= $LexBase AND doc_id < $LexCap",
         ", CAST(1 AS INT) AS n_compactions"))),
+    // both arms from persisted tiers; the oracle rebuilds both models
+    // fresh — serve-equals-rebuild across the whole composition
+    GQuery("search_hybrid_indexed", searchHybridIndexed, Some(s"""
+      ${graphTempPrefix("full", "embeddings")}
+      WITH $graphSearchCtes,
+      ${bm25OracleCtes("TRUE", s"doc_id < $NProbes")},
+      tr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sc DESC, cand_id) AS r
+             FROM bs) WHERE r <= $RrfDepth),
+      vr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT f.probe_id, f.node AS cand_id,
+                    row_number() OVER (PARTITION BY f.probe_id
+                      ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS r
+             FROM gbest f JOIN vv n ON n.vec_id = f.node
+                  JOIN gpr p ON p.probe_id = f.probe_id)
+             WHERE r <= $RrfDepth),
+      fz AS (SELECT coalesce(tr.probe_id, vr.probe_id) AS probe_id,
+                    coalesce(tr.cand_id, vr.cand_id) AS cand_id,
+                    coalesce(1.0 / (tr.r + $RrfC), 0.0)
+                      + coalesce(1.0 / (vr.r + $RrfC), 0.0) AS s
+             FROM tr FULL OUTER JOIN vr
+                  ON tr.probe_id = vr.probe_id AND tr.cand_id = vr.cand_id),
+      gz AS (SELECT probe_id, cand_id, s,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY s DESC, cand_id) AS rk FROM fz)
+      SELECT probe_id, cand_id, round(s, 9) AS rrf_score
+      FROM gz WHERE rk <= $K
+      ORDER BY probe_id, rrf_score DESC, cand_id""")),
     GQuery("emb_drift", embDriftQ, Some(embDriftOracle)),
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes
