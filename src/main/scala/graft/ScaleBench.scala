@@ -98,6 +98,8 @@ object ScaleBench {
       // run (outside the timer, as before)
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"/tmp/graft-scale/ndi_x$k"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-scale/lex_x$k"))
       val nd = k * n
 
       val ops: Seq[(String, () => DataFrame)] = Seq(
@@ -222,6 +224,24 @@ object ScaleBench {
             .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
               col("text"))
           Dedup.queryNearDupIndex(spark, tierPath, bands(arrivals))
+        }),
+        // persisted BM25 posting tier (round 14): the lex_probe twin of
+        // ndi_probe — index the k× corpus once outside the timer, time
+        // the BM25 probe of a FIXED 100-doc query batch. Probe cost =
+        // probe tokenize (fixed) + the df-capped posting equi-join
+        // (bounded by |probe tokens|·dfCap) + the vocab-priced df/stats
+        // aggregations — the only k-scaling piece is the vocab re-agg,
+        // so sec grows far sub-linearly and us_per_doc (vs indexed
+        // size) must fall ~k×.
+        "lex_probe" -> (() => {
+          val fp = "scale:lex:retok1"
+          val tierPath = s"/tmp/graft-scale/lex_x$k"
+          if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
+            graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)
+          val arrivals = docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("text"))
+          graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals, 100L)
         }))
       for ((name, op) <- ops if on(name)) {
         val sec = timeOp(op())

@@ -553,6 +553,21 @@ class PlanSpec extends SparkSpec {
     Skew.adviseSaltFactor(ev, "event_id") shouldBe 1
   }
 
+  test("search_hybrid_indexed: both arms are tier lookups — no corpus tokenize, heap cuts, no cartesian") {
+    val df = SimilarityQueries.searchHybridIndexed(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // BM25 top-R, graph best-seen cut, vector top-R, fused top-K — all
+    // heap; the only per-probe sort is the graph serve's final window
+    "bounded_top_k".r.findAllIn(p).size should be >= 3
+    p should not include "CartesianProduct"
+    // the lexical arm reads the persisted posting tier — the plan must
+    // scan the tier's parquet, not re-run the corpus tokenizer (probe
+    // tokenization is the only regexp, on the broadcast-small side)
+    p should include("graft_lex_index")
+    p should include("graph_edges")
+  }
+
   test("search_hybrid_bm25: BM25 arm joins on the token key through the df cap; heap everywhere, no cartesian") {
     val df = SimilarityQueries.hybridBm25Q(spark, dir)
     df.collect()
