@@ -371,7 +371,7 @@ object Text {
     * `+ − × ÷`/floor and literal constants only, emitted as the SAME
     * SQL text into both engines — bit-identical by construction, no
     * libm anywhere in the hashed path. Each bigram's nll =
-    * ln(c1+V) − ln(c2+1) is computed ONCE PER DISTINCT BIGRAM (the
+    * ln((c1+V)/(c2+1)) is computed ONCE PER DISTINCT BIGRAM (the
     * model table, vocab-sized — not per occurrence), rounded to 6 dp,
     * cast DECIMAL(18,6), and the per-doc sum is exact decimal
     * arithmetic — order-independent; `ppl` is DetMath-exp of the
@@ -386,6 +386,12 @@ object Text {
     * doc; `V` travels as a 1-row broadcast.
     *
     * Returns (idCol, n_bigrams, avg_nll DOUBLE, ppl DOUBLE), unordered. */
+  /** The add-k conditional's nll ratio (c1+V)/(c2+1) as shared SQL
+    * text — both engines evaluate the identical division of identical
+    * integers. */
+  private[graft] val LmRatioSql: String =
+    "CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)"
+
   def lmScore(docsDf: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     import graft.functions.DetMath
@@ -397,17 +403,17 @@ object Text {
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.agg(
       countDistinct(split(col("bg"), " ").getItem(1)).as("v"))
+    // ONE ln chain on the ratio, not two on the parts: nll =
+    // ln((c1+V)/(c2+1)) with c1 ≥ c2 and V ≥ 1, so the ratio is ≥ 1 and
+    // a single [[DetMath.lnSteps]] covers it — half the chain cost on
+    // the vocab-sized model table, still zero libm
     val model0 = c2.select(col("bg"), col("c2"), col("w1"))
       .join(c1, "w1")
       .crossJoin(broadcast(v))
-      .withColumn("__x1", (col("c1") + col("v")).cast("double"))
-      .withColumn("__x2", (col("c2") + 1).cast("double"))
-    val model = DetMath.withSteps(
-        DetMath.withSteps(model0, DetMath.lnSteps("__x1", "__ln1")),
-        DetMath.lnSteps("__x2", "__ln2"))
+      .withColumn("__x", expr(LmRatioSql))
+    val model = DetMath.withSteps(model0, DetMath.lnSteps("__x", "__nll"))
       .select(col("bg"),
-        round(col("__ln1") - col("__ln2"), 6)
-          .cast("decimal(18,6)").as("nll"))
+        round(col("__nll"), 6).cast("decimal(18,6)").as("nll"))
     val perDoc = bg
       .join(model, "bg")
       .groupBy(idCol)

@@ -815,14 +815,12 @@ object TextQueries {
     // (ADVICE r13 #1)
     GQuery("text_lm_score", lmScoreQ, Some {
       import graft.functions.DetMath
-      val (ln1Ctes, ln1Out) = DetMath.cteChain(
-        s"""SELECT cc.bg, CAST(c1.c1 + vv.v AS DOUBLE) AS __x1,
-                   CAST(cc.c2 + 1 AS DOUBLE) AS __x2
-            FROM c2 cc JOIN c1 ON c1.w1 = split_part(cc.bg, ' ', 1)
+      val (lnCtes, lnOut) = DetMath.cteChain(
+        s"""SELECT cc.bg, ${Text.LmRatioSql} AS __x
+            FROM (SELECT bg, c2 FROM c2) cc
+                 JOIN c1 ON c1.w1 = split_part(cc.bg, ' ', 1)
                  CROSS JOIN vv""",
-        DetMath.lnSteps("__x1", "__ln1"), "lma")
-      val (ln2Ctes, ln2Out) = DetMath.cteChain(
-        s"SELECT * FROM $ln1Out", DetMath.lnSteps("__x2", "__ln2"), "lmb")
+        DetMath.lnSteps("__x", "__nll"), "lma")
       val (expCtes, expOut) = DetMath.cteChain(
         s"""SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                    ROUND(CAST(sum(m.nll) AS DOUBLE) / count(*), 6) AS avg_nll
@@ -837,10 +835,9 @@ object TextQueries {
              FROM c2 GROUP BY 1),
       vv AS (SELECT CAST(count(DISTINCT split_part(bg, ' ', 2)) AS BIGINT) AS v
              FROM c2),
-      $ln1Ctes,
-      $ln2Ctes,
-      mdl AS (SELECT bg, CAST(ROUND(__ln1 - __ln2, 6) AS DECIMAL(18,6)) AS nll
-              FROM $ln2Out),
+      $lnCtes,
+      mdl AS (SELECT bg, CAST(ROUND(__nll, 6) AS DECIMAL(18,6)) AS nll
+              FROM $lnOut),
       $expCtes
       SELECT doc_id, n_bigrams, avg_nll, ROUND(__pexp, 4) AS ppl
       FROM $expOut ORDER BY doc_id"""
