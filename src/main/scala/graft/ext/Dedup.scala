@@ -1034,26 +1034,14 @@ object Dedup {
 
   private def ndiDeltaRoot(path: String) = s"$path/ndi_delta"
   private def ndiGenPath(path: String, gen: Int) =
-    s"${ndiDeltaRoot(path)}/gen=$gen"
+    DeltaGens.genPath(ndiDeltaRoot(path), gen)
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** Completed delta generations, ascending — the [[NdiDeltaMarker]]
-    * discipline; a marker-less slot is reclaimed by the next upsert's
-    * overwrite or by [[dropNdiDeltas]]. */
-  private def completedNdiGens(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String): Seq[Int] = {
-    val root = new org.apache.hadoop.fs.Path(ndiDeltaRoot(path))
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
-      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
-        s"${ndiGenPath(path, g)}/$NdiDeltaMarker")))
-      .sorted
-  }
+  /** Completed delta generations, ascending — the [[DeltaGens]]
+    * marker discipline; a marker-less slot is reclaimed by the next
+    * upsert's overwrite or by [[dropNdiDeltas]]. */
+  private def completedNdiGens(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Seq[Int] =
+    DeltaGens.completed(spark, ndiDeltaRoot(path), NdiDeltaMarker)
 
   /** True iff a complete band tier whose marker carries exactly this
     * banding fingerprint is present at `path` ([[Markers]]). */
@@ -1068,9 +1056,8 @@ object Dedup {
   def buildNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         keyRows: DataFrame, fingerprint: String,
                         idCol: String = "doc_id"): Unit = {
-    val fs = fsOf(spark, path)
     Markers.delete(spark, s"$path/$NdiCompleteMarker")
-    fs.delete(new org.apache.hadoop.fs.Path(ndiDeltaRoot(path)), true)
+    DeltaGens.drop(spark, ndiDeltaRoot(path))
     keyRows.select(col(idCol), col("key"))
       .write.mode("overwrite").parquet(s"$path/bands")
     Markers.write(spark, s"$path/$NdiCompleteMarker", fingerprint)
@@ -1078,10 +1065,8 @@ object Dedup {
 
   /** Drop all delta generations (replay idempotence — the
     * [[Similarity.dropGraphDelta]] twin for the band tier). */
-  def dropNdiDeltas(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(ndiDeltaRoot(path)), true)
-    ()
-  }
+  def dropNdiDeltas(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    DeltaGens.drop(spark, ndiDeltaRoot(path))
 
   /** Append one arrival batch's band rows as a NEW numbered generation
     * — banding is per-document, so the merged tier is IDENTICAL however
@@ -1096,14 +1081,13 @@ object Dedup {
   def upsertNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          keyRows: DataFrame, fingerprint: String,
                          idCol: String = "doc_id"): Unit = {
-    val fs = fsOf(spark, path)
     require(ndiServes(spark, path, fingerprint),
       s"upsertNearDupIndex: no serving band tier at $path for this banding")
-    val next = completedNdiGens(fs, path).lastOption.getOrElse(0) + 1
-    val gen = ndiGenPath(path, next)
+    val gen = ndiGenPath(path,
+      DeltaGens.next(spark, ndiDeltaRoot(path), NdiDeltaMarker))
     keyRows.select(col(idCol), col("key"))
       .write.mode("overwrite").parquet(s"$gen/bands")
-    fs.create(new org.apache.hadoop.fs.Path(s"$gen/$NdiDeltaMarker"), true).close()
+    DeltaGens.markComplete(spark, gen, NdiDeltaMarker)
   }
 
   /** The full indexed band table: base plus every completed generation.
@@ -1112,9 +1096,8 @@ object Dedup {
     * same id is the caller's bug, not a tier state). */
   def nearDupTierBands(spark: org.apache.spark.sql.SparkSession, path: String,
                        idCol: String = "doc_id"): DataFrame = {
-    val fs = fsOf(spark, path)
     val base = spark.read.parquet(s"$path/bands")
-    completedNdiGens(fs, path)
+    completedNdiGens(spark, path)
       .map(g => spark.read.parquet(s"${ndiGenPath(path, g)}/bands"))
       .foldLeft(base)(_ unionByName _)
   }
@@ -1159,10 +1142,9 @@ object Dedup {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                           fingerprint: String,
                           idCol: String = "doc_id"): Unit = {
-    val fs = fsOf(spark, path)
     require(ndiServes(spark, path, fingerprint),
       s"compactNearDupIndex: no serving band tier at $path for this banding")
-    if (completedNdiGens(fs, path).isEmpty) return
+    if (completedNdiGens(spark, path).isEmpty) return
     // materialize the union BEFORE the overwrite — Spark refuses to
     // overwrite a path an active plan still reads (the
     // compactGraphIndex discipline)
@@ -1182,14 +1164,13 @@ object Dedup {
                                path: String, fingerprint: String,
                                maxGens: Int = 4, maxRatio: Double = 0.25,
                                idCol: String = "doc_id"): Boolean = {
-    val fs = fsOf(spark, path)
-    val gens = completedNdiGens(fs, path)
-    val fire = gens.nonEmpty && (gens.sizeIs >= maxGens || {
+    val gens = completedNdiGens(spark, path)
+    val fire = DeltaGens.shouldCompact(gens, maxGens, maxRatio) {
       val nDelta = gens.map(g => spark.read
         .parquet(s"${ndiGenPath(path, g)}/bands").count()).sum
       val nBase = spark.read.parquet(s"$path/bands").count()
-      nBase == 0 || nDelta.toDouble / nBase >= maxRatio
-    })
+      if (nBase == 0) Double.MaxValue else nDelta.toDouble / nBase
+    }
     if (fire) compactNearDupIndex(spark, path, fingerprint, idCol)
     fire
   }
@@ -1197,5 +1178,5 @@ object Dedup {
   /** Test-only: completed generation numbers at `path`. */
   private[graft] def ndiGensForTest(spark: org.apache.spark.sql.SparkSession,
                                     path: String): Seq[Int] =
-    completedNdiGens(fsOf(spark, path), path)
+    completedNdiGens(spark, path)
 }

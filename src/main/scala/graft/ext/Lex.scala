@@ -97,23 +97,12 @@ object Lex {
   val LexDeltaMarker = "_GRAFT_LEX_DELTA_COMPLETE"
 
   private def deltaRoot(path: String) = s"$path/lex_delta"
-  private def genPath(path: String, gen: Int) = s"${deltaRoot(path)}/gen=$gen"
+  private def genPath(path: String, gen: Int) =
+    DeltaGens.genPath(deltaRoot(path), gen)
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def completedGens(fs: org.apache.hadoop.fs.FileSystem,
-                            path: String): Seq[Int] = {
-    val root = new org.apache.hadoop.fs.Path(deltaRoot(path))
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
-      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
-        s"${genPath(path, g)}/$LexDeltaMarker")))
-      .sorted
-  }
+  private def completedGens(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[Int] =
+    DeltaGens.completed(spark, deltaRoot(path), LexDeltaMarker)
 
   def lexServes(spark: org.apache.spark.sql.SparkSession, path: String,
                 fingerprint: String): Boolean =
@@ -124,9 +113,8 @@ object Lex {
   def buildLexIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     docs: DataFrame, fingerprint: String,
                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val fs = fsOf(spark, path)
     Markers.delete(spark, s"$path/$LexCompleteMarker")
-    fs.delete(new org.apache.hadoop.fs.Path(deltaRoot(path)), true)
+    DeltaGens.drop(spark, deltaRoot(path))
     val (postings, dlen) = factTables(docs, idCol, textCol)
     postings.write.mode("overwrite").parquet(s"$path/postings")
     dlen.write.mode("overwrite").parquet(s"$path/dlen")
@@ -134,10 +122,8 @@ object Lex {
   }
 
   /** Drop all delta generations (replay idempotence). */
-  def dropLexDeltas(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    fsOf(spark, path).delete(new org.apache.hadoop.fs.Path(deltaRoot(path)), true)
-    ()
-  }
+  def dropLexDeltas(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    DeltaGens.drop(spark, deltaRoot(path))
 
   /** Append one arrival batch as a new numbered generation —
     * tokenization is per-document, and global stats are recomputed at
@@ -146,22 +132,20 @@ object Lex {
   def upsertLexIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, fingerprint: String,
                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val fs = fsOf(spark, path)
     require(lexServes(spark, path, fingerprint),
       s"upsertLexIndex: no serving lexical tier at $path for this tokenizer")
-    val next = completedGens(fs, path).lastOption.getOrElse(0) + 1
-    val gen = genPath(path, next)
+    val gen = genPath(path,
+      DeltaGens.next(spark, deltaRoot(path), LexDeltaMarker))
     val (postings, dlen) = factTables(batch, idCol, textCol)
     postings.write.mode("overwrite").parquet(s"$gen/postings")
     dlen.write.mode("overwrite").parquet(s"$gen/dlen")
-    fs.create(new org.apache.hadoop.fs.Path(s"$gen/$LexDeltaMarker"), true).close()
+    DeltaGens.markComplete(spark, gen, LexDeltaMarker)
   }
 
   /** The merged fact tables: base plus every completed generation. */
   def lexTierTables(spark: org.apache.spark.sql.SparkSession, path: String):
       (DataFrame, DataFrame) = {
-    val fs = fsOf(spark, path)
-    val gens = completedGens(fs, path)
+    val gens = completedGens(spark, path)
     (gens.map(g => spark.read.parquet(s"${genPath(path, g)}/postings"))
        .foldLeft(spark.read.parquet(s"$path/postings"))(_ unionByName _),
       gens.map(g => spark.read.parquet(s"${genPath(path, g)}/dlen"))
@@ -192,10 +176,9 @@ object Lex {
     * doubled postings. */
   def compactLexIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       fingerprint: String): Unit = {
-    val fs = fsOf(spark, path)
     require(lexServes(spark, path, fingerprint),
       s"compactLexIndex: no serving lexical tier at $path for this tokenizer")
-    if (completedGens(fs, path).isEmpty) return
+    if (completedGens(spark, path).isEmpty) return
     val (postings, dlen) = lexTierTables(spark, path)
     val allP = postings.localCheckpoint(true)
     val allD = dlen.localCheckpoint(true)
@@ -214,14 +197,13 @@ object Lex {
   def maybeCompactLexIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, fingerprint: String,
                            maxGens: Int = 4, maxRatio: Double = 0.25): Boolean = {
-    val fs = fsOf(spark, path)
-    val gens = completedGens(fs, path)
-    val fire = gens.nonEmpty && (gens.sizeIs >= maxGens || {
+    val gens = completedGens(spark, path)
+    val fire = DeltaGens.shouldCompact(gens, maxGens, maxRatio) {
       val nDelta = gens.map(g => spark.read
         .parquet(s"${genPath(path, g)}/postings").count()).sum
       val nBase = spark.read.parquet(s"$path/postings").count()
-      nBase == 0 || nDelta.toDouble / nBase >= maxRatio
-    })
+      if (nBase == 0) Double.MaxValue else nDelta.toDouble / nBase
+    }
     if (fire) compactLexIndex(spark, path, fingerprint)
     fire
   }
@@ -229,5 +211,5 @@ object Lex {
   /** Test-only: completed generation numbers at `path`. */
   private[graft] def lexGensForTest(spark: org.apache.spark.sql.SparkSession,
                                     path: String): Seq[Int] =
-    completedGens(fsOf(spark, path), path)
+    completedGens(spark, path)
 }

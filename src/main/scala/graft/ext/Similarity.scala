@@ -690,11 +690,18 @@ object Similarity {
     * Shared with the oracle SQL so both engines sample identically. */
   val GraphEntryStride: Int = 4
 
-  /** Entry-layer non-emptiness verdicts by (canonicalized corpus plan,
-    * stride) — see the guard in [[graphSearchOn]]. Bounded: one entry
-    * per distinct corpus a JVM ever searches. */
-  private val checkedEntryLayers =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), java.lang.Boolean]
+  /** Entry-layer non-emptiness verdicts by (canonicalized corpus PLAN,
+    * stride) — see the guard in [[graphSearchOn]]. The key is the plan
+    * itself (structural equality), NOT its 32-bit hashCode: a hash
+    * collision on an Int key would silently skip the very fail-fast
+    * this exists to enforce (review finding, round 14). Bounded: one
+    * entry per distinct corpus plan a JVM ever searches. Residual
+    * caveat, documented not defended: rewriting the files behind an
+    * already-checked path within one JVM reuses the stale verdict —
+    * the guard is per-plan, not per-data. */
+  private val checkedEntryLayers = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+    java.lang.Boolean]
 
   /** [[graphSearch]] over an ALREADY-BUILT (possibly persisted) kNN
     * graph — the serving split: the NN-Descent build is paid once per
@@ -742,8 +749,7 @@ object Similarity {
     // micro-batch) memoize the verdict instead of re-proving it with a
     // fresh Spark job each time (canonicalized-plan keying: two reads
     // of the same files share one probe).
-    val layerKey = (corpus.queryExecution.logical.canonicalized.hashCode,
-      entryStride)
+    val layerKey = (corpus.queryExecution.logical.canonicalized, entryStride)
     if (!checkedEntryLayers.containsKey(layerKey)) {
       require(!layer.isEmpty,
         s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
@@ -857,17 +863,9 @@ object Similarity {
     * [[DeltaCompleteMarker]] discipline: a marker-less (crashed) attempt
     * is invisible and its slot is reclaimed by the next upsert's
     * overwrite or by [[dropGraphDelta]]. */
-  private def completedGraphDeltaGens(fs: org.apache.hadoop.fs.FileSystem,
-                                      indexPath: String): Seq[Int] = {
-    val root = new org.apache.hadoop.fs.Path(graphDeltaRoot(indexPath))
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toIntOption)
-      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(
-        s"${graphDeltaGenPath(indexPath, g)}/$DeltaCompleteMarker")))
-      .sorted
-  }
+  private def completedGraphDeltaGens(spark: org.apache.spark.sql.SparkSession,
+                                      indexPath: String): Seq[Int] =
+    DeltaGens.completed(spark, graphDeltaRoot(indexPath), DeltaCompleteMarker)
 
   /** Append one batch of arrivals to a persisted [[buildGraphIndex]]
     * tier — the graph family's streaming-arrival path, the same
@@ -901,7 +899,7 @@ object Similarity {
     require(fs.exists(marker),
       s"upsertGraphIndex: no complete graph tier at $indexPath")
     if (batch.select(col(idCol)).isEmpty) return
-    val next = completedGraphDeltaGens(fs, indexPath).lastOption.getOrElse(0) + 1
+    val next = DeltaGens.next(spark, graphDeltaRoot(indexPath), DeltaCompleteMarker)
     val gen = graphDeltaGenPath(indexPath, next)
     batch.select(col(idCol), col(vecCol))
       .write.mode("overwrite").parquet(s"$gen/vectors")
@@ -924,7 +922,7 @@ object Similarity {
                       idCol: String = "vec_id"): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = completedGraphDeltaGens(fs, indexPath)
+    val gens = completedGraphDeltaGens(spark, indexPath)
     if (gens.isEmpty) None
     else if (gens.sizeIs == 1)
       Some(spark.read.parquet(s"${graphDeltaGenPath(indexPath, gens.head)}/edges"))
@@ -945,7 +943,7 @@ object Similarity {
                                 vecCol: String): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = completedGraphDeltaGens(fs, indexPath)
+    val gens = completedGraphDeltaGens(spark, indexPath)
     if (gens.isEmpty) None
     else if (gens.sizeIs == 1)
       Some(spark.read.parquet(s"${graphDeltaGenPath(indexPath, gens.head)}/vectors")
@@ -1005,15 +1003,13 @@ object Similarity {
                              graphK: Int = 10, graphRounds: Int = 2,
                              nPlanes: Int = 4, dim: Int = 64,
                              idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = completedGraphDeltaGens(fs, indexPath)
-    val fire = gens.nonEmpty && (gens.sizeIs >= maxGens || {
+    val gens = completedGraphDeltaGens(spark, indexPath)
+    val fire = DeltaGens.shouldCompact(gens, maxGens, maxRatio) {
       val nDelta = gens.map(g => spark.read
         .parquet(s"${graphDeltaGenPath(indexPath, g)}/vectors").count()).sum
       val nBase = spark.read.parquet(s"$indexPath/vectors").count()
-      nBase == 0 || nDelta.toDouble / nBase >= maxRatio
-    })
+      if (nBase == 0) Double.MaxValue else nDelta.toDouble / nBase
+    }
     if (fire)
       compactGraphIndex(spark, indexPath, graphK, graphRounds, nPlanes,
         dim, idCol, vecCol)
