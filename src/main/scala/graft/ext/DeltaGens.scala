@@ -67,7 +67,19 @@ private[ext] object DeltaGens {
     * band, posting, IVF and graph tiers: fire at `maxGens` completed
     * generations, or when the delta/base size ratio (computed LAZILY —
     * an infinite `maxRatio` can never fire, so the per-generation
-    * count jobs are skipped entirely) reaches `maxRatio`. */
+    * count jobs are skipped entirely) reaches `maxRatio`.
+    *
+    * INTENDED semantics of `maxRatio = ∞` (round-15 ADVICE note): the
+    * ratio arm is OFF — only the gens bar can fire. This deliberately
+    * differs from the three pre-consolidation copies in one edge case:
+    * an EMPTY base with live generations used to fire the ratio arm
+    * (their `nBase == 0 ||` short-circuit ran before the ratio
+    * compare) even at infinite `maxRatio`. The replay harnesses that
+    * pass ∞ do so precisely to pin EXACTLY-ONCE gens-bar firing, so
+    * "∞ = gens-bar only" is the contract, not an accident; callers
+    * that want empty-base urgency encode it in their lazy ratio
+    * (all four tiers return Double.MaxValue there), which fires at
+    * every FINITE `maxRatio`. */
   def shouldCompact(gens: Seq[Int], maxGens: Int, maxRatio: Double)
                    (ratio: => Double): Boolean =
     gens.nonEmpty && (gens.sizeIs >= maxGens ||

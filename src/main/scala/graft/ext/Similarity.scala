@@ -694,14 +694,26 @@ object Similarity {
     * stride) — see the guard in [[graphSearchOn]]. The key is the plan
     * itself (structural equality), NOT its 32-bit hashCode: a hash
     * collision on an Int key would silently skip the very fail-fast
-    * this exists to enforce (review finding, round 14). Bounded: one
-    * entry per distinct corpus plan a JVM ever searches. Residual
-    * caveat, documented not defended: rewriting the files behind an
-    * already-checked path within one JVM reuses the stale verdict —
-    * the guard is per-plan, not per-data. */
-  private val checkedEntryLayers = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
-    java.lang.Boolean]
+    * this exists to enforce (review finding, round 14). Path-keying
+    * was considered and rejected (round-15 ADVICE follow-up): two
+    * plans over the SAME files with different filters have different
+    * entry layers, so a file-identity key would wrongly share
+    * verdicts. Instead the memo is a SIZE-BOUNDED LRU (64 plans): a
+    * long-lived JVM searching many distinct corpora no longer pins
+    * every canonicalized plan — and, for LocalRelation-backed corpora,
+    * their row data — forever; eviction merely costs one re-probe.
+    * Residual caveat, documented not defended: rewriting the files
+    * behind a still-cached path within one JVM reuses the stale
+    * verdict — the guard is per-plan, not per-data. */
+  private val checkedEntryLayers = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+        java.lang.Boolean](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+            java.lang.Boolean]): Boolean = size() > 64
+    })
 
   /** [[graphSearch]] over an ALREADY-BUILT (possibly persisted) kNN
     * graph — the serving split: the NN-Descent build is paid once per

@@ -32,9 +32,15 @@ package graft.functions
   * is the entire point. */
 object DetMath {
 
-  /** ln 2, correctly rounded to double — as a literal both engines
-    * parse to the same bits. */
-  val Ln2 = "0.6931471805599453"
+  /** ln 2, correctly rounded to double — in E-NOTATION, which BOTH
+    * engines' parsers type as DOUBLE (round-15 ADVICE fix: the plain
+    * decimal form parsed as DECIMAL in Spark, so `k * Ln2` with a
+    * BIGINT `k` was an exact decimal product rounded ONCE, while
+    * DuckDB's DOUBLE floor computed fl(k · fl(Ln2)) — a 1-ulp
+    * divergence reachable at k ∈ {33, 35, 51}, exactly the hash-gate
+    * hazard class this object exists to eliminate). E-notation keeps
+    * every use a plain double multiply/divide in both engines. */
+  val Ln2 = "6.931471805599453E-1"
 
   private def dbl(d: Double): String = {
     val s = java.lang.Double.toString(d)
@@ -91,9 +97,20 @@ object DetMath {
   }
 
   /** Steps computing `outCol` = exp(`x`) for an expression `x` in
-    * [0, 44) — the nll/idf range. 2^k is assembled by the same
-    * binary decomposition (exact power-of-two factors multiply
-    * exactly); k itself comes from one exact FLOOR. */
+    * [0, 64·ln2 ≈ 44.36) — the nll/idf range. 2^k is assembled by the
+    * same binary decomposition (exact power-of-two factors multiply
+    * exactly); k itself comes from one exact FLOOR. Two cross-engine
+    * disciplines (round-15 ADVICE):
+    *  - `k` is explicitly CAST to DOUBLE before the k·ln2 product —
+    *    Spark's FLOOR yields BIGINT where DuckDB's yields DOUBLE, and
+    *    with [[Ln2]] in E-notation both engines now compute the SAME
+    *    single double multiply fl(k · Ln2) (the old decimal-typed Ln2
+    *    made Spark round an exact decimal product once instead — 1 ulp
+    *    off DuckDB at k ∈ {33, 35, 51});
+    *  - the domain is GUARDED, not documented: k > 63 exceeds the 2^k
+    *    ladder and would be silently wrong by 2^(k−63), so the output
+    *    is NULL there — a loud downstream failure instead of a silent
+    *    factor-of-2^m error. */
   def expSteps(x: String, outCol: String): Seq[(String, String)] = {
     val p = s"__${outCol}"
     val c = (1 to 12).map(k =>
@@ -102,7 +119,7 @@ object DetMath {
       s"($ck + ${p}_r * ($acc))")
     val levels = Seq(32, 16, 8, 4, 2, 1)
     val decomp = levels.zipWithIndex.flatMap { case (j, i) =>
-      val prev = if (i == 0) s"${p}_k" else s"${p}_k${i - 1}"
+      val prev = if (i == 0) s"${p}_kd" else s"${p}_k${i - 1}"
       val pw = dbl(math.pow(2, j))
       Seq(
         s"${p}_p$i" -> s"CASE WHEN $prev >= ${j}.0 THEN $pw ELSE 1.0 END",
@@ -110,9 +127,11 @@ object DetMath {
     }
     val p2 = levels.indices.map(i => s"${p}_p$i").mkString(" * ")
     Seq(
-      s"${p}_k" -> s"FLOOR(($x) / $Ln2 + 0.5)") ++ decomp ++ Seq(
-      s"${p}_r" -> s"($x) - ${p}_k * $Ln2",
-      outCol -> s"($p2) * (1.0 + ${p}_r * ($horner))")
+      s"${p}_k" -> s"FLOOR(($x) / $Ln2 + 0.5)",
+      s"${p}_kd" -> s"CAST(${p}_k AS DOUBLE)") ++ decomp ++ Seq(
+      s"${p}_r" -> s"($x) - ${p}_kd * $Ln2",
+      outCol -> (s"CASE WHEN ${p}_kd > 63.0 THEN CAST(NULL AS DOUBLE) " +
+        s"ELSE ($p2) * (1.0 + ${p}_r * ($horner)) END"))
   }
 
   /** Fold a step chain into a DataFrame (the Spark half — the oracle

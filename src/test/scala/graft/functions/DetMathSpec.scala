@@ -49,6 +49,51 @@ class DetMathSpec extends SparkSpec {
     }
   }
 
+  test("expSteps is bit-identical to the all-double reference over k = 0..63") {
+    // The reference mirrors what DuckDB computes — FLOOR yielding DOUBLE,
+    // every constant a double, every op a single IEEE primitive in the
+    // chain's exact order. After the round-15 E-notation/CAST fix the
+    // Spark chain must produce the SAME BITS (the old decimal-typed Ln2
+    // made Spark's k·ln2 an exact decimal product rounded once — 1 ulp
+    // off this reference at k ∈ {33, 35, 51}).
+    val Ln2 = 0.6931471805599453
+    val fact = (1 to 12).map(k => 1.0 / (1L to k).foldLeft(1.0)(_ * _.toDouble))
+    def ref(x: Double): Double = {
+      val k = math.floor(x / Ln2 + 0.5)
+      var p2 = 1.0
+      var kk = k
+      for (j <- Seq(32, 16, 8, 4, 2, 1)) {
+        // the SQL multiplies all six level factors left-to-right; factors
+        // are exact powers of two so grouping cannot change the bits
+        if (kk >= j) { p2 *= java.lang.Math.scalb(1.0, j); kk -= j }
+      }
+      val r = x - k * Ln2
+      val horner = fact.reverse.tail.foldLeft(fact.last)((acc, c) => c + r * acc)
+      p2 * (1.0 + r * horner)
+    }
+    // inputs that land on every k in 0..63, including the advisor's
+    // divergence cases and off-center remainders
+    val xs = (0 to 63).flatMap(k => Seq(k * Ln2, k * Ln2 + 0.31, k * Ln2 - 0.29))
+      .filter(x => x >= 0.0 && x < 64 * Ln2 - 0.35)
+    val got = DetMath.withSteps(xs.toDF("x"), DetMath.expSteps("x", "ex"))
+      .select("x", "ex").as[(Double, Double)].collect()
+    got.foreach { case (x, ex) =>
+      withClue(s"x=$x k=${math.floor(x / Ln2 + 0.5)} ") {
+        java.lang.Double.doubleToLongBits(ex) shouldBe
+          java.lang.Double.doubleToLongBits(ref(x))
+      }
+    }
+  }
+
+  test("expSteps yields NULL past the 2^63 ladder instead of a silent 2^m error") {
+    val got = DetMath.withSteps(
+        Seq(44.0, 44.5, 60.0).toDF("x"), DetMath.expSteps("x", "ex"))
+      .select("x", "ex").as[(Double, Option[Double])].collect().toMap
+    assert(got(44.0).isDefined)   // k = 63, still on the ladder
+    assert(got(44.5).isEmpty)     // k = 64 — guarded
+    assert(got(60.0).isEmpty)
+  }
+
   test("the emitted SQL uses only IEEE primitives — no libm function names") {
     val all = (DetMath.lnSteps("x", "l") ++ DetMath.expSteps("x", "e"))
       .map(_._2.toLowerCase)
