@@ -1792,6 +1792,63 @@ object SimilarityQueries {
     rrfFuse(textRank, vecRank)
   }
 
+  /** RETRIEVAL-RECALL EVALUATOR for the hybrid family (round-15
+    * verdict #2 — `ann_recall`'s twin for the serving composition, and
+    * the query that makes a silently empty retrieval arm impossible to
+    * miss): replays [[searchHybridIndexed]]'s exact shape — both arms
+    * pure persisted-tier lookups, RRF fusion, top-[[K]] — grades it
+    * per probe against the exact-cosine ground truth, and REPORTS THE
+    * ARMS: how many fused candidates the lexical arm proposed
+    * (`lex_hits`) and how many are reachable ONLY through it
+    * (`lex_only_hits` — in the lexical top-R, absent from the vector
+    * arm's). Round 14's vacuous BM25 gate is exactly the failure
+    * `sum(lex_only_hits) > 0` (SearchSpec) now pins against — an arm
+    * that contributes nothing reads as zeros here, loudly, while the
+    * serve hashes still pass. All counts are integers and recall is
+    * one IEEE division, so the whole evaluation is hash-gated. */
+  def searchRecallQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val lexPath = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, lexPath, LexFingerprint))
+      Lex.buildLexIndex(spark, lexPath, Tables.documents(spark, dir),
+        LexFingerprint)
+    val graphPath = ensureGraphTier(spark, dir)
+    val textRank = rrfRanksOf(
+      Lex.queryLexIndex(spark, lexPath,
+        Tables.documents(spark, dir).filter(col("doc_id") < NProbes),
+        MaxDfPct), "__tr")
+    val vecRank = rrfRanksOf(
+      Similarity.graphSearchIndexed(spark, graphPath, probes(spark, dir),
+          k = RrfDepth, beam = GraphBeam, hops = GraphHops)
+        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+          col("cos_sim").as("__score")), "__vr")
+    val fused = rrfFuse(textRank, vecRank).select("probe_id", "cand_id")
+    val exact = Similarity.knnTopKAgg(Tables.embeddings(spark, dir),
+        probes(spark, dir), K)
+      .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+        lit(1L).as("__ex"))
+    val lx = textRank.select(col("probe_id"), col("cand_id"), lit(1L).as("__lx"))
+    val vx = vecRank.select(col("probe_id"), col("cand_id"), lit(1L).as("__vx"))
+    val agg = fused
+      .join(exact, Seq("probe_id", "cand_id"), "left")
+      .join(lx, Seq("probe_id", "cand_id"), "left")
+      .join(vx, Seq("probe_id", "cand_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("__ex"), lit(0L))).as("n_hit"),
+        sum(coalesce(col("__lx"), lit(0L))).as("lex_hits"),
+        sum(when(col("__lx").isNotNull && col("__vx").isNull, 1L)
+          .otherwise(0L)).as("lex_only_hits"))
+    // left join onto the probe list — a total miss reports its zeros
+    probes(spark, dir).select(col("vec_id").as("probe_id"))
+      .join(agg, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"),
+        coalesce(col("lex_hits"), lit(0L)).as("lex_hits"),
+        coalesce(col("lex_only_hits"), lit(0L)).as("lex_only_hits"))
+      .orderBy("probe_id")
+  }
+
   /** STREAMING lexical-tier maintenance WITH auto-compaction in the
     * loop (the `stream_dedup_index_autocompact_replay` twin): arrivals
     * land as TWO real micro-batches whose foreachBatch tokenizes the
@@ -2009,6 +2066,56 @@ object SimilarityQueries {
       SELECT probe_id, cand_id, round(s, 9) AS rrf_score
       FROM gz WHERE rk <= $K
       ORDER BY probe_id, rrf_score DESC, cand_id""")),
+    // the hybrid family's recall evaluator: fused-vs-exact recall@K
+    // plus per-arm hit counts — the oracle replays the full serving
+    // composition (both model rebuilds) AND the exact ground truth
+    GQuery("search_recall", searchRecallQ, Some(s"""
+      ${graphTempPrefix("full", "embeddings", withXact = true)}
+      WITH $graphSearchCtes,
+      ${bm25OracleCtes("TRUE", s"doc_id < $NProbes")},
+      tr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sc DESC, cand_id) AS r
+             FROM bs) WHERE r <= $RrfDepth),
+      vr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT f.probe_id, f.node AS cand_id,
+                    row_number() OVER (PARTITION BY f.probe_id
+                      ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS r
+             FROM gbest f JOIN vv n ON n.vec_id = f.node
+                  JOIN gpr p ON p.probe_id = f.probe_id)
+             WHERE r <= $RrfDepth),
+      fz AS (SELECT coalesce(tr.probe_id, vr.probe_id) AS probe_id,
+                    coalesce(tr.cand_id, vr.cand_id) AS cand_id,
+                    coalesce(1.0 / (tr.r + $RrfC), 0.0)
+                      + coalesce(1.0 / (vr.r + $RrfC), 0.0) AS s
+             FROM tr FULL OUTER JOIN vr
+                  ON tr.probe_id = vr.probe_id AND tr.cand_id = vr.cand_id),
+      gz AS (SELECT probe_id, cand_id, s,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY s DESC, cand_id) AS rk FROM fz),
+      fused AS (SELECT probe_id, cand_id FROM gz WHERE rk <= $K),
+      xact AS (SELECT * FROM graft_xact_full),
+      agg AS (SELECT f.probe_id,
+                     count(x.neighbor_id) AS n_hit,
+                     count(t.cand_id) AS lex_hits,
+                     count(CASE WHEN t.cand_id IS NOT NULL
+                                 AND v.cand_id IS NULL THEN 1 END) AS lex_only
+              FROM fused f
+              LEFT JOIN xact x ON x.probe_id = f.probe_id
+                              AND x.neighbor_id = f.cand_id
+              LEFT JOIN tr t ON t.probe_id = f.probe_id
+                            AND t.cand_id = f.cand_id
+              LEFT JOIN vr v ON v.probe_id = f.probe_id
+                            AND v.cand_id = f.cand_id
+              GROUP BY 1)
+      SELECT p.probe_id,
+             CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(a.n_hit, 0) AS DOUBLE) / $K AS recall_at_k,
+             CAST(coalesce(a.lex_hits, 0) AS BIGINT) AS lex_hits,
+             CAST(coalesce(a.lex_only, 0) AS BIGINT) AS lex_only_hits
+      FROM gpr p LEFT JOIN agg a ON a.probe_id = p.probe_id
+      ORDER BY p.probe_id""")),
     GQuery("emb_drift", embDriftQ, Some(embDriftOracle)),
     GQuery("emb_kmeans", kmeansQ, Some(s"""
       WITH $kmeansCtes
