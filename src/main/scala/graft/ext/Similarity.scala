@@ -513,13 +513,34 @@ object Similarity {
     *    [[BoundedTopK]] (ties → smaller id) — no sampling, fixed
     *    `rounds`, so both engines walk the identical trajectory.
     *
-    * Scale shape per round: edge lists are (id, id) pairs — n·k rows,
-    * fixed width; the two-hop self-join shuffles on the join id; the
-    * scoring join shuffles candidates to vectors twice (src, dst).
-    * Nothing grows with document/vector width except the one scoring
-    * stage, and candidate volume is bounded by the graph's own degree,
-    * not the corpus. Returns (idCol, neighbor_id, cos_sim) — the
-    * directed kNN graph after `rounds` refinement rounds. */
+    * Round 15 applies the paper's own INCREMENTAL-SEARCH optimization
+    * (its §2.3 "new/old" split, made exact): from round 2 on, only
+    * two-hop pairs with at least one CHANGED hop are generated — a
+    * pair whose both hops survived from the previous round was already
+    * a candidate then, and either made the graph (so it rides along in
+    * u) or lost to k entries that are all still present, so it loses
+    * again; omitting it is BIT-IDENTICAL by that argument, not a
+    * heuristic (the oracle replays the unpruned rounds and the hashes
+    * must agree). Cosine is symmetric, so the graph carries its edge
+    * SCORES across rounds — surviving edges and their reverses never
+    * touch the vector tables again; only fresh two-hop pairs pay the
+    * two vector joins + cosine, and the final projection emits the
+    * carried scores instead of re-scoring the whole edge list. A round
+    * that produces ZERO changed edges is a fixed point (every later
+    * candidate set is all-old), so remaining rounds are skipped — the
+    * early-termination ask of r14 verdict #5, restricted to the
+    * provably-identical case.
+    *
+    * Scale shape per round: edge lists are (id, id, score) rows — n·k,
+    * fixed width; the two-hop self-join shuffles on the join id with
+    * the changed-hop filter fused into its output (pruned rows never
+    * reach the next exchange); the scoring join shuffles only fresh
+    * candidates to vectors twice (src, dst). Nothing grows with
+    * document/vector width except that one scoring stage, and
+    * candidate volume is bounded by the graph's own CHANGE rate, not
+    * even its degree, as rounds converge. Returns (idCol, neighbor_id,
+    * cos_sim) — the directed kNN graph after `rounds` refinement
+    * rounds. */
   def knnGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
                nPlanes: Int = 4, maxBucketSize: Int = 1000, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -553,39 +574,77 @@ object Similarity {
         explode(array(col("__id") + 1, col("__id") + 2)).as("dst"))
       .join(ids.select(col("__id").as("dst")), Seq("dst"), "left_semi")
       .select("src", "dst")
-    var g = bucketInit.unionByName(ring).distinct()
-    for (_ <- 1 to rounds) {
-      val u = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
+    // score fresh (src, dst) pairs with exact double cosine and keep
+    // top-k per src ALONGSIDE already-scored rows — the one scoring
+    // stage every round funnels through
+    def topkScored(freshPairs: DataFrame, scored: Option[DataFrame]): DataFrame = {
+      val freshScored = freshPairs
+        .join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
+        .join(v.select(col("__id").as("dst"), col("__v").as("__dv")), "dst")
+        .select(col("src"), col("dst"), cosine(col("__sv"), col("__dv")).as("__s"))
+      scored.map(_.unionByName(freshScored)).getOrElse(freshScored)
+        .groupBy("src")
+        .agg(BoundedTopK.topk(col("__s"), col("dst"), k).as("__nn"))
+        .select(col("src"), explode(col("__nn")).as("__e"))
+        .select(col("src"), col("__e.id").as("dst"), col("__e.score").as("__s"))
+    }
+    // round 1 exactly as before — everything is "new" vs the unscored
+    // init graph, so every candidate pays the scoring join once
+    val g0 = bucketInit.unionByName(ring).distinct()
+    val u1 = g0.unionByName(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
       // lineage truncation per round: u is referenced twice below and g
       // references the prior round — the CC discipline (analysis cost
       // grows multiplicatively otherwise); edge lists are n·2k rows
-      val uc = u.localCheckpoint(true)
-      val twoHop = uc.select(col("src"), col("dst").as("__mid"))
-        .join(uc.select(col("src").as("__mid"), col("dst")), "__mid")
-        .select(col("src"), col("dst"))
-      // the distinct() here is a MEASURED keep, not just heap hygiene:
-      // two-hop paths converge (a (src,dst) pair repeats once per
-      // common neighbor, multiplicity up to 2k), and distinct's
-      // map-side partial dedup shrinks the multiset BEFORE the vector
-      // joins + cosine pay per row. An id-deduplicating heap variant
-      // that skipped this exchange benched 26% SLOWER on the graph
-      // family (79.8 s → 100.5 s, sf0.1) because every duplicate then
-      // reached the scoring join.
-      val cand = uc.select("src", "dst").unionByName(twoHop)
-        .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val twoHop1 = u1.select(col("src"), col("dst").as("__mid"))
+      .join(u1.select(col("src").as("__mid"), col("dst")), "__mid")
+      .select(col("src"), col("dst"))
+    // the distinct() here is a MEASURED keep, not just heap hygiene:
+    // two-hop paths converge (a (src,dst) pair repeats once per
+    // common neighbor, multiplicity up to 2k), and distinct's
+    // map-side partial dedup shrinks the multiset BEFORE the vector
+    // joins + cosine pay per row. An id-deduplicating heap variant
+    // that skipped this exchange benched 26% SLOWER on the graph
+    // family (79.8 s → 100.5 s, sf0.1) because every duplicate then
+    // reached the scoring join.
+    var g = topkScored(
+      u1.unionByName(twoHop1).filter(col("src") =!= col("dst")).distinct(),
+      scored = None)
+    var prevU = u1 // (src, dst) of the last symmetrized candidate graph
+    var converged = false
+    for (_ <- 2 to rounds if !converged) {
+      val u = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst"),
+          col("__s")))
         .distinct()
-      g = cand
-        .join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
-        .join(v.select(col("__id").as("dst"), col("__v").as("__dv")), "dst")
-        .groupBy("src")
-        .agg(BoundedTopK.topk(cosine(col("__sv"), col("__dv")), col("dst"), k).as("__nn"))
-        .select(col("src"), explode(col("__nn").getField("id")).as("dst"))
+        // flag CHANGED edges vs the previous round's symmetrized graph;
+        // checkpoint carries edges + scores + flags, n·2k fixed-width
+        .join(prevU.select(col("src"), col("dst"), lit(true).as("__old")),
+          Seq("src", "dst"), "left")
+        .withColumn("__new", col("__old").isNull).drop("__old")
+        .localCheckpoint(true)
+      if (u.filter(col("__new")).isEmpty) converged = true
+      else {
+        // two-hop pairs through AT LEAST ONE changed hop — the filter
+        // fuses into the join output, so all-old pairs never reach the
+        // distinct exchange or the scoring join
+        val twoHop = u.select(col("src"), col("dst").as("__mid"),
+            col("__new").as("__n1"))
+          .join(u.select(col("src").as("__mid"), col("dst"),
+            col("__new").as("__n2")), "__mid")
+          .filter(col("__n1") || col("__n2"))
+          .select(col("src"), col("dst"))
+        val fresh = twoHop
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+          // pairs already in u ride along with their carried scores
+          .join(u.select("src", "dst"), Seq("src", "dst"), "left_anti")
+        g = topkScored(fresh, scored = Some(u.select("src", "dst", "__s")))
+        prevU = u.select("src", "dst")
+      }
     }
-    g.join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
-      .join(v.select(col("__id").as("dst"), col("__v").as("__dv")), "dst")
-      .select(col("src").as(idCol), col("dst").as("neighbor_id"),
-        cosine(col("__sv"), col("__dv")).as("cos_sim"))
+    g.select(col("src").as(idCol), col("dst").as("neighbor_id"),
+      col("__s").as("cos_sim"))
   }
 
   /** GRAPH-BASED SemDedup — [[semDedup]]'s scale-path twin built on
