@@ -91,19 +91,18 @@ object Lex {
   def bm25Scores(postings: DataFrame, dlen: DataFrame, probeTok: DataFrame,
                  maxDfPct: Int, idCol: String = "doc_id",
                  dfStats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    import graft.functions.DetMath
     val (dfT, stats0) = dfStats.getOrElse(statTables(postings, dlen))
     val stats = stats0.withColumn("avgdl", expr(Bm25AvgdlSql))
     val ptok = probeTok.select(col("probe_id"), col("t"))
     // idf only for tokens the probes actually use (bounded by the probe
-    // batch's vocabulary) that survive the relative cut — the DetMath
-    // chain then runs on a probe-bounded frame, not the whole vocab
-    val idf = DetMath.withSteps(
-        dfT.join(broadcast(ptok.select("t").distinct()), "t")
-          .crossJoin(broadcast(stats.select("n")))
-          .filter(expr(s"df * 100 <= $maxDfPct * n"))
-          .withColumn("__x", expr(Bm25IdfArgSql)),
-        DetMath.lnSteps("__x", "__idf"))
+    // batch's vocabulary) that survive the relative cut; the ln is the
+    // native DetMath expression — the bit-identical twin of the chain
+    // the oracle evaluates
+    val idf = dfT.join(broadcast(ptok.select("t").distinct()), "t")
+      .crossJoin(broadcast(stats.select("n")))
+      .filter(expr(s"df * 100 <= $maxDfPct * n"))
+      .withColumn("__x", expr(Bm25IdfArgSql))
+      .withColumn("__idf", graft.functions.DetMathExpr.detLn(col("__x")))
       .select(col("t"), col("__idf"))
     postings
       .join(broadcast(ptok), "t")

@@ -394,7 +394,7 @@ object Text {
 
   def lmScore(docsDf: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    import graft.functions.DetMath
+    import graft.functions.DetMathExpr
     val bg = docsDf
       .withColumn("toks", tokens(col(textCol)))
       .select(col(idCol), explode(ngrams(col("toks"))).as("bg"))
@@ -403,15 +403,16 @@ object Text {
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.agg(
       countDistinct(split(col("bg"), " ").getItem(1)).as("v"))
-    // ONE ln chain on the ratio, not two on the parts: nll =
-    // ln((c1+V)/(c2+1)) with c1 ≥ c2 and V ≥ 1, so the ratio is ≥ 1 and
-    // a single [[DetMath.lnSteps]] covers it — half the chain cost on
-    // the vocab-sized model table, still zero libm
+    // ONE ln on the ratio, not two on the parts: nll =
+    // ln((c1+V)/(c2+1)) with c1 ≥ c2 and V ≥ 1, so a single
+    // [[graft.functions.DetMathExpr.detLn]] covers it (the native twin
+    // of the oracle's step chain — bit-identical, still zero libm)
     val model0 = c2.select(col("bg"), col("c2"), col("w1"))
       .join(c1, "w1")
       .crossJoin(broadcast(v))
       .withColumn("__x", expr(LmRatioSql))
-    val model = DetMath.withSteps(model0, DetMath.lnSteps("__x", "__nll"))
+    val model = model0
+      .withColumn("__nll", DetMathExpr.detLn(col("__x")))
       .select(col("bg"),
         round(col("__nll"), 6).cast("decimal(18,6)").as("nll"))
     val perDoc = bg
@@ -420,7 +421,7 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("snll"))
       .withColumn("avg_nll",
         round(col("snll").cast("double") / col("n_bigrams"), 6))
-    DetMath.withSteps(perDoc, DetMath.expSteps("avg_nll", "__pexp"))
+    perDoc.withColumn("__pexp", DetMathExpr.detExp(col("avg_nll")))
       .select(col(idCol), col("n_bigrams"), col("avg_nll"),
         round(col("__pexp"), 4).as("ppl"))
   }
@@ -472,7 +473,7 @@ object Text {
     * Returns (idCol, n_trigrams, avg_nll DOUBLE, ppl DOUBLE), unordered. */
   def lmScoreKn(docsDf: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    import graft.functions.DetMath
+    import graft.functions.DetMathExpr
     val tg = docsDf
       .withColumn("toks", tokens(col(textCol)))
       .select(col(idCol), explode(ngrams(col("toks"), 3)).as("tg"))
@@ -494,7 +495,8 @@ object Text {
       .join(low, Seq("w3"))
       .crossJoin(broadcast(nbt))
       .withColumn("__x", expr(s"1.0 / $KnPSql"))
-    val model = DetMath.withSteps(model0, DetMath.lnSteps("__x", "__nll"))
+    val model = model0
+      .withColumn("__nll", DetMathExpr.detLn(col("__x")))
       .select(col("tg"),
         round(col("__nll"), 6).cast("decimal(18,6)").as("nll"))
     val perDoc = tg
@@ -503,7 +505,7 @@ object Text {
       .agg(count(lit(1)).as("n_trigrams"), sum(col("nll")).as("snll"))
       .withColumn("avg_nll",
         round(col("snll").cast("double") / col("n_trigrams"), 6))
-    DetMath.withSteps(perDoc, DetMath.expSteps("avg_nll", "__pexp"))
+    perDoc.withColumn("__pexp", DetMathExpr.detExp(col("avg_nll")))
       .select(col(idCol), col("n_trigrams"), col("avg_nll"),
         round(col("__pexp"), 4).as("ppl"))
   }
@@ -564,16 +566,15 @@ object Text {
       sum(when(col("label") === 0, 1L).otherwise(0L)).as("cn"))
     val tot = cc.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
       count(lit(1)).as("v"))
-    val w = graft.functions.DetMath.withSteps(
-        cc.crossJoin(broadcast(tot))
-          .withColumn("__r", expr(NbWeightRatioSql)),
-        graft.functions.DetMath.lnSignedSteps("__r", "__w"))
+    val w = cc.crossJoin(broadcast(tot))
+      .withColumn("__r", expr(NbWeightRatioSql))
+      .withColumn("__w", graft.functions.DetMathExpr.detLnSigned(col("__r")))
       .select(col("token"),
         round(col("__w"), 6).cast("decimal(18,6)").as("w"))
-    val prior = graft.functions.DetMath.withSteps(
-        lab.agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
-          .withColumn("__r", expr(NbPriorRatioSql)),
-        graft.functions.DetMath.lnSignedSteps("__r", "__b"))
+    val prior = lab
+      .agg(sum(col("label")).as("np"), sum(lit(1) - col("label")).as("nn"))
+      .withColumn("__r", expr(NbPriorRatioSql))
+      .withColumn("__b", graft.functions.DetMathExpr.detLnSigned(col("__r")))
       .select(round(col("__b"), 6).cast("decimal(18,6)").as("b"))
     val s = tok.join(w, "token").groupBy(idCol)
       .agg(sum(col("w")).as("sw"))

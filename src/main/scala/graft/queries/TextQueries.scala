@@ -337,18 +337,18 @@ object TextQueries {
   def tfidfQ(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val n = d.count() // corpus size: one cheap parquet-metadata count
-    // idf's ln is a DetMath chain (round-14 libm closure): n/df ≥ 1 is
-    // one IEEE division of identical values in both engines, and the
-    // chain text is identical, so the 6-dp idf is bit-exact across
-    // engines by construction — the integer (df DESC, token) ranking
+    // idf's ln is deterministic DetMath (round-14 libm closure): n/df
+    // ≥ 1 is one IEEE division of identical values in both engines;
+    // the engine evaluates the native expression twin of the chain the
+    // oracle runs (bit-identical — DetMathSpec), so the 6-dp idf is
+    // bit-exact across engines — the integer (df DESC, token) ranking
     // already made ORDER ulp-proof, now the VALUE is too
-    graft.functions.DetMath.withSteps(
-        d.select(col("doc_id"), explode(col("toks")).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-          .groupBy("token")
-          .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
-          .withColumn("__x", lit(n.toDouble) / col("df")),
-        graft.functions.DetMath.lnSteps("__x", "__idf"))
+    d.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("tf"))
+      .withColumn("__x", lit(n.toDouble) / col("df"))
+      .withColumn("__idf", graft.functions.DetMathExpr.detLn(col("__x")))
       .select(col("token"), col("df"), col("tf"),
         round(col("__idf"), 6).as("idf"))
       .orderBy(col("df").desc, col("token"))

@@ -94,6 +94,47 @@ class DetMathSpec extends SparkSpec {
     assert(got(60.0).isEmpty)
   }
 
+  test("native expressions are BIT-IDENTICAL to the SQL chains over the live ranges") {
+    // The engine evaluates DetLn/DetLnSigned/DetExp (one plan node, one
+    // codegen'd call) while the oracle evaluates the step chains — the
+    // two must agree to the bit or the hash gates flip. Dense grids over
+    // every live input range, compared via doubleToLongBits.
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+
+    val lnXs = ((1L to 3000L).map(_.toDouble) ++
+      (0 to 4000).map(i => 1.0 + i * 0.003123) ++
+      Seq(1.0, 1.0000001, 2.718281828, 500.5 / 3.5, 1e6, 999999937.0,
+        math.pow(2, 40) - 1, math.pow(2, 40))).distinct
+    val ln = DetMath.withSteps(lnXs.toDF("x"), DetMath.lnSteps("x", "chain"))
+      .withColumn("native", DetMathExpr.detLn(col("x")))
+      .select("x", "chain", "native").as[(Double, Double, Double)].collect()
+    ln.foreach { case (x, c, n) =>
+      withClue(s"ln x=$x ") { bits(n) shouldBe bits(c) }
+    }
+
+    val lsXs = ((1 to 4000).map(i => i * 0.000793) ++
+      (1 to 2000).map(i => 1.0 + i * 0.7) ++
+      Seq(0.001, 0.5, 0.9999999, 1.0, 1.0000001, 3.0)).distinct.filter(_ > 0)
+    val ls = DetMath.withSteps(lsXs.toDF("x"), DetMath.lnSignedSteps("x", "chain"))
+      .withColumn("native", DetMathExpr.detLnSigned(col("x")))
+      .select("x", "chain", "native").as[(Double, Double, Double)].collect()
+    ls.foreach { case (x, c, n) =>
+      withClue(s"lnSigned x=$x ") { bits(n) shouldBe bits(c) }
+    }
+
+    val exXs = ((0 to 4430).map(_ * 0.01) ++ Seq(44.5, 60.0)).distinct
+    val ex = DetMath.withSteps(exXs.toDF("x"), DetMath.expSteps("x", "chain"))
+      .withColumn("native", DetMathExpr.detExp(col("x")))
+      .select("x", "chain", "native")
+      .as[(Double, Option[Double], Option[Double])].collect()
+    ex.foreach { case (x, c, n) =>
+      withClue(s"exp x=$x ") {
+        n.isDefined shouldBe c.isDefined // the k > 63 NULL guard agrees
+        n.foreach(nv => bits(nv) shouldBe bits(c.get))
+      }
+    }
+  }
+
   test("the emitted SQL uses only IEEE primitives — no libm function names") {
     val all = (DetMath.lnSteps("x", "l") ++ DetMath.expSteps("x", "e"))
       .map(_._2.toLowerCase)
