@@ -240,7 +240,7 @@ object ScaleBench {
         // sec" was an artifact of the absolute df cap emptying the
         // admitted set as the corpus grew.
         "lex_probe" -> (() => {
-          val fp = "scale:lex:v2:retok1"
+          val fp = "scale:lex:v3:retok1"
           val tierPath = s"/tmp/graft-scale/lex_x$k"
           if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
             graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)

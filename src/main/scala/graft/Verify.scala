@@ -41,7 +41,11 @@ object Verify {
     // would dump it twice otherwise)
     "tier_graph_lex_main" -> Seq("ann_index_graph", "ann_graph_search",
       "ann_graph_recall", "ann_graph_beam_sweep", "emb_semdedup_graph",
-      "search_bm25_indexed", "search_hybrid_indexed"),
+      "search_bm25_indexed", "search_hybrid_indexed",
+      // round 15: the recall evaluator ensure-builds BOTH shared roots
+      // (its omission raced two concurrent lex-tier builds into doubled
+      // part files — caught by the 2× scores it produced)
+      "search_recall"),
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),

@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *
   * Scoring is [[bm25Scores]] — ONE implementation shared by the
   * in-query hybrid arm and the tier serve, so the persisted and
-  * in-query forms cannot drift. Determinism: idf is a
-  * [[graft.functions.DetMath]] ln chain, the tf/dl/avgdl arithmetic is
-  * shared SQL text, each term rounds to 12 dp and sums as exact
-  * DECIMAL(28,12) — order-independent, no libm. */
+  * in-query forms cannot drift. Determinism: idf is deterministic
+  * DetMath (native expression twin of the oracle's ln chain), the
+  * tf/dl/avgdl arithmetic is shared SQL text, each term quantizes to
+  * 12-dp fixed-point micro-units and sums as exact BIGINT —
+  * order-independent, no libm. */
 object Lex {
 
   /** BM25 constants (Robertson's k1=1.2, b=0.75 as exact literals) and
@@ -40,13 +41,30 @@ object Lex {
     * by both engines so every IEEE operation happens in the same order
     * on the same inputs. Columns: df/n (token doc-frequency, corpus
     * doc count), tf/dl/avgdl (term frequency, doc length, mean doc
-    * length). */
+    * length).
+    *
+    * Terms are quantized to 12-dp FIXED-POINT MICRO-UNITS — one
+    * exact-literal multiply and one floor (half-up for the positive
+    * range), summed as exact BIGINT — instead of ROUND(x, 12) +
+    * DECIMAL(28,12): same order-independence and cross-engine
+    * bit-identity (floor and the 1.0E12 multiply are single IEEE ops
+    * on identical inputs; integer sums are exact in any order), but
+    * Spark implements ROUND-on-double and beyond-long decimals via a
+    * per-row BigDecimal allocation — measured 2× the whole probe cost
+    * at 9M scored pairs (9.6 s → ~4.5 s, ScaleBench lex_probe 1×).
+    * The micro-unit sum stays exact up to 2^63 ≈ 9.2·10^18 — the same
+    * overflow class the 28-digit decimal had. [[Bm25ScoreOf]] is the
+    * shared descale text. */
   val Bm25AvgdlSql = "CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)"
   val Bm25IdfArgSql =
     "1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
   val Bm25TermSql =
-    "ROUND(__idf * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
-      "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 12)"
+    "CAST(FLOOR((__idf * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) " +
+      "* 1.0E12 + 0.5) AS BIGINT)"
+  /** Descale a summed micro-unit column back to a double score. */
+  def Bm25ScoreOf(sumSql: String): String =
+    s"CAST($sumSql AS DOUBLE) / 1.0E12"
 
   /** Tokenize a (idCol, textCol) frame into the tier's two fact
     * tables: postings (idCol, t, tf) and dlen (idCol, dl). */
@@ -85,9 +103,14 @@ object Lex {
     * postings scan meets the BROADCAST PROBE TOKENS FIRST — the only
     * join that prunes corpus-sized data — then the (probe-pruned,
     * vocab-bounded, broadcast) idf table, then doc lengths, then the
-    * 1-row stats. Candidates never include the probe itself. Returns
-    * (probe_id, cand_id, __score DOUBLE) — the exact-decimal per-pair
-    * sum surfaced as a double. */
+    * 1-row stats. When `postings` already CARRIES a `dl` column (the
+    * persisted tier denormalizes it at write time — the Lucene
+    * per-doc-norm layout), the doc-length join disappears entirely and
+    * the probe plan's ONLY exchange is the final (probe, cand)
+    * aggregation: everything upstream is broadcast-joined map-side.
+    * Candidates never include the probe itself. Returns (probe_id,
+    * cand_id, __score DOUBLE) — the exact-decimal per-pair sum
+    * surfaced as a double. */
   def bm25Scores(postings: DataFrame, dlen: DataFrame, probeTok: DataFrame,
                  maxDfPct: Int, idCol: String = "doc_id",
                  dfStats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
@@ -104,15 +127,20 @@ object Lex {
       .withColumn("__x", expr(Bm25IdfArgSql))
       .withColumn("__idf", graft.functions.DetMathExpr.detLn(col("__x")))
       .select(col("t"), col("__idf"))
-    postings
+    val pruned = postings
       .join(broadcast(ptok), "t")
       .filter(col(idCol) =!= col("probe_id"))
       .join(broadcast(idf), "t")
-      .join(dlen, idCol)
+    val withDl =
+      if (postings.columns.contains("dl")) pruned
+      else pruned.join(dlen, idCol)
+    withDl
       .crossJoin(broadcast(stats.select("avgdl")))
-      .withColumn("__term", expr(Bm25TermSql).cast("decimal(28,12)"))
+      .withColumn("__term", expr(Bm25TermSql))
       .groupBy(col("probe_id"), col(idCol).as("cand_id"))
-      .agg(sum(col("__term")).cast("double").as("__score"))
+      .agg(sum(col("__term")).as("__micro"))
+      .select(col("probe_id"), col("cand_id"),
+        expr(Bm25ScoreOf("__micro")).as("__score"))
   }
 
   // ------------------------------------------------------------------ //
@@ -141,13 +169,21 @@ object Lex {
 
   /** Write one generation's four tables (facts + statistics) under
     * `dir`. The facts are materialized once (localCheckpoint) so the
-    * df/stats aggregations don't re-tokenize the documents. */
+    * df/stats aggregations don't re-tokenize the documents. The
+    * persisted postings DENORMALIZE the doc length (`dl`) into every
+    * row — the Lucene per-doc-norm layout, +8 bytes/row paid once per
+    * generation so probe plans never shuffle corpus-sized data to a
+    * doc-length join (measured: the lex_probe ScaleBench join was the
+    * dominant probe cost once the max-df cut admitted real posting
+    * lists). */
   private def writeGenTables(dir: String, postings: DataFrame,
                              dlen: DataFrame): Unit = {
     val p = postings.localCheckpoint(true)
     val d = dlen.localCheckpoint(true)
     val (dfT, stats) = statTables(p, d)
-    p.write.mode("overwrite").parquet(s"$dir/postings")
+    val idc = p.columns.head // factTables puts idCol first
+    p.drop("dl").join(d.select(col(idc), col("dl")), idc)
+      .write.mode("overwrite").parquet(s"$dir/postings")
     d.write.mode("overwrite").parquet(s"$dir/dlen")
     dfT.write.mode("overwrite").parquet(s"$dir/df")
     stats.write.mode("overwrite").parquet(s"$dir/stats")

@@ -1666,10 +1666,11 @@ object SimilarityQueries {
     * arm by the same RRF. score(q,d) = Σ_t idf(t) · tf·(k1+1) /
     * (tf + k1·(1−b+b·dl/avgdl)) with k1=1.2, b=0.75, idf =
     * ln(1 + (N−df+½)/(df+½)) ≥ 0. Scoring is [[graft.ext.Lex]]'s ONE
-    * shared implementation (DetMath idf chain, shared-SQL-text
-    * arithmetic, 12-dp DECIMAL(28,12) sums — order-independent, no
-    * libm), also served by the persisted tier queries below, so the
-    * in-query and persisted forms cannot drift.
+    * shared implementation (deterministic DetMath idf, shared-SQL-text
+    * arithmetic, 12-dp fixed-point BIGINT micro-unit sums —
+    * order-independent, no libm), also served by the persisted tier
+    * queries below, so the in-query and persisted forms cannot
+    * drift.
     *
     * Scale shape: identical to [[hybridRrfQ]] — posting lists max-df
     * cut (the join is bounded by |probe tokens| × the longest admitted
@@ -1700,10 +1701,11 @@ object SimilarityQueries {
     TierRoots.of(kind, dir, "documents")
 
   /** Tokenizer fingerprint stored inside the lex tier marker — a
-    * re-cut token pattern invalidates every persisted tier. `v2` =
-    * the round-15 layout with per-generation df/stats tables: a tier
+    * re-cut token pattern invalidates every persisted tier. `v3` =
+    * the round-15 layout with per-generation df/stats tables and dl
+    * denormalized into the postings: a tier
     * cut by the round-14 code lacks them and must read as "no tier". */
-  private val LexFingerprint = s"lex:v2:retok1:${graft.ext.Text.tokenPattern}"
+  private val LexFingerprint = s"lex:v3:retok1:${graft.ext.Text.tokenPattern}"
 
   /** Indexed window [0, LexBase) and arrival window [LexBase, LexCap)
     * for the upsert lifecycle queries — the near-dup tier's windows. */
@@ -1966,12 +1968,12 @@ object SimilarityQueries {
       ptok AS (SELECT DISTINCT doc_id AS probe_id, t FROM tok
                WHERE $probePred),
       terms AS (SELECT p.probe_id, f.doc_id AS cand_id,
-                       CAST(${Lex.Bm25TermSql} AS DECIMAL(28,12)) AS term
+                       ${Lex.Bm25TermSql} AS term
                 FROM tf f JOIN $idfOut i ON i.t = f.t
                      JOIN ptok p ON p.t = f.t AND f.doc_id <> p.probe_id
                      JOIN dlen d ON d.doc_id = f.doc_id
                      CROSS JOIN stats2),
-      bs AS (SELECT probe_id, cand_id, CAST(sum(term) AS DOUBLE) AS sc
+      bs AS (SELECT probe_id, cand_id, ${Lex.Bm25ScoreOf("sum(term)")} AS sc
              FROM terms GROUP BY 1, 2)"""
   }
 

@@ -599,6 +599,11 @@ class PlanSpec extends SparkSpec {
     pFinal should include("/df]")
     pFinal should include("/stats]")
     "/postings]".r.findAllIn(pFinal).size shouldBe 1
+    // doc length is DENORMALIZED into the persisted postings (the
+    // Lucene per-doc-norm layout): the probe plan must not join — or
+    // even scan — the dlen table, so its only exchange is the final
+    // (probe, cand) aggregation
+    pFinal should not include "/dlen]"
     // r14 verdict #4: the postings scan's FIRST join — the only join
     // that prunes corpus-sized data — is against the probe tokens
     // (documents-derived), not idf/dlen. Asserted on the optimized
