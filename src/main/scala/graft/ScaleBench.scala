@@ -240,7 +240,7 @@ object ScaleBench {
         // sec" was an artifact of the absolute df cap emptying the
         // admitted set as the corpus grew.
         "lex_probe" -> (() => {
-          val fp = "scale:lex:v3:retok1"
+          val fp = s"scale:lex:v4:m${graft.ext.Lex.LexPrunedM}:retok1"
           val tierPath = s"/tmp/graft-scale/lex_x$k"
           if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
             graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)
@@ -248,6 +248,28 @@ object ScaleBench {
             .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
               col("text"))
           graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals,
+            graft.queries.SimilarityQueries.MaxDfPct)
+        }),
+        // the two-phase impact-prefix serve (round 15): candidates from
+        // the persisted top-M impact prefixes (≤ M·|probe tokens| per
+        // probe — BOUNDED regardless of corpus size), then exact BM25
+        // on just those pairs. What the curve shows (measured 1×/10×/
+        // 30×: 2.4/8.6/22.9 s vs exact 3.0/15.6/35.9): the scored-pair
+        // aggregation cost — the exact serve's growth term — is
+        // corpus-independent here, a ~1.6× win at 30×; the residual
+        // growth is the one probe-pruned postings SCAN both serves
+        // share, which token-bucketed posting storage (the deployment
+        // layout named in Lex's scaladoc) turns into prefix-file reads
+        // the scan never opens.
+        "lex_probe_pruned" -> (() => {
+          val fp = s"scale:lex:v4:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val tierPath = s"/tmp/graft-scale/lex_x$k"
+          if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
+            graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)
+          val arrivals = docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("text"))
+          graft.ext.Lex.queryLexIndexPruned(spark, tierPath, arrivals,
             graft.queries.SimilarityQueries.MaxDfPct)
         }))
       for ((name, op) <- ops if on(name)) {

@@ -42,10 +42,11 @@ object Verify {
     "tier_graph_lex_main" -> Seq("ann_index_graph", "ann_graph_search",
       "ann_graph_recall", "ann_graph_beam_sweep", "emb_semdedup_graph",
       "search_bm25_indexed", "search_hybrid_indexed",
-      // round 15: the recall evaluator ensure-builds BOTH shared roots
-      // (its omission raced two concurrent lex-tier builds into doubled
-      // part files — caught by the 2× scores it produced)
-      "search_recall"),
+      // round 15: the recall evaluators and the pruned serve all
+      // ensure-build the SAME lex root (search_recall's omission raced
+      // two concurrent lex-tier builds into doubled part files —
+      // caught by the 2× scores it produced)
+      "search_recall", "search_bm25_pruned", "search_pruned_recall"),
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),

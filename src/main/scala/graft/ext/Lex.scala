@@ -66,6 +66,34 @@ object Lex {
   def Bm25ScoreOf(sumSql: String): String =
     s"CAST($sumSql AS DOUBLE) / 1.0E12"
 
+  /** IMPACT-ORDERED CANDIDATE GENERATION (round 15 — the
+    * early-termination scale path the max-df cut comments point at):
+    * posting-list length under a corpus-relative stopword cut is
+    * linear in the corpus, so an exact probe pays Θ(admitted postings
+    * per probe token). Real engines bound that with impact ordering
+    * (Anh & Moffat 2006) / static index pruning (Carmel et al. 2001):
+    * order each posting list by the QUERY-INDEPENDENT part of the BM25
+    * term — everything but idf, which is constant within a list — and
+    * draw CANDIDATES from a bounded prefix, then score those
+    * candidates exactly. (Prefix-only PARTIAL scoring was measured
+    * first and rejected: a candidate scored only on the tokens whose
+    * prefix it entered ranks by an arbitrary fraction of its true
+    * score — recall@10 was 0.0 on the flat-vocabulary fixture.)
+    * [[Bm25ImpactSql]] is that static impact, quantized to integer
+    * millionths (one exact-literal multiply + one floor — the same
+    * fixed-point discipline as the term sum) so both engines rank
+    * posting prefixes identically; ties break on smaller doc id. The
+    * prefix bound is [[LexPrunedM]]. Pruning is PER-GENERATION (each
+    * segment keeps its own top-M, like per-segment Lucene):
+    * deterministic for any batching, at the honest cost that the
+    * candidate set is APPROXIMATE — `search_pruned_recall` measures
+    * exactly how approximate against the exact serve. */
+  val LexPrunedM = 32
+  val Bm25ImpactSql =
+    "CAST(FLOOR(((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) " +
+      "* 1.0E6 + 0.5) AS BIGINT)"
+
   /** Tokenize a (idCol, textCol) frame into the tier's two fact
     * tables: postings (idCol, t, tf) and dlen (idCol, dl). */
   def factTables(docs: DataFrame, idCol: String = "doc_id",
@@ -108,12 +136,15 @@ object Lex {
     * per-doc-norm layout), the doc-length join disappears entirely and
     * the probe plan's ONLY exchange is the final (probe, cand)
     * aggregation: everything upstream is broadcast-joined map-side.
-    * Candidates never include the probe itself. Returns (probe_id,
-    * cand_id, __score DOUBLE) — the exact-decimal per-pair sum
-    * surfaced as a double. */
+    * Candidates never include the probe itself; when `candidates`
+    * (probe_id, idCol) is given, scoring restricts to those pairs —
+    * the impact-prefix serving path, where the pair set is bounded by
+    * M·|probe tokens| per probe. Returns (probe_id, cand_id, __score
+    * DOUBLE) — the exact-decimal per-pair sum surfaced as a double. */
   def bm25Scores(postings: DataFrame, dlen: DataFrame, probeTok: DataFrame,
                  maxDfPct: Int, idCol: String = "doc_id",
-                 dfStats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                 dfStats: Option[(DataFrame, DataFrame)] = None,
+                 candidates: Option[DataFrame] = None): DataFrame = {
     val (dfT, stats0) = dfStats.getOrElse(statTables(postings, dlen))
     val stats = stats0.withColumn("avgdl", expr(Bm25AvgdlSql))
     val ptok = probeTok.select(col("probe_id"), col("t"))
@@ -127,10 +158,13 @@ object Lex {
       .withColumn("__x", expr(Bm25IdfArgSql))
       .withColumn("__idf", graft.functions.DetMathExpr.detLn(col("__x")))
       .select(col("t"), col("__idf"))
-    val pruned = postings
+    val pruned0 = postings
       .join(broadcast(ptok), "t")
       .filter(col(idCol) =!= col("probe_id"))
       .join(broadcast(idf), "t")
+    val pruned = candidates
+      .map(c => pruned0.join(broadcast(c), Seq("probe_id", idCol)))
+      .getOrElse(pruned0)
     val withDl =
       if (postings.columns.contains("dl")) pruned
       else pruned.join(dlen, idCol)
@@ -182,13 +216,28 @@ object Lex {
     val d = dlen.localCheckpoint(true)
     val (dfT, stats) = statTables(p, d)
     val idc = p.columns.head // factTables puts idCol first
-    p.drop("dl").join(d.select(col(idc), col("dl")), idc)
-      .write.mode("overwrite").parquet(s"$dir/postings")
+    val joined = p.drop("dl").join(d.select(col(idc), col("dl")), idc)
+      .localCheckpoint(true)
+    joined.write.mode("overwrite").parquet(s"$dir/postings")
+    // impact-ordered top-[[LexPrunedM]] prefix of every posting list —
+    // the one per-token sort, paid at WRITE time once per generation
+    // (this generation's avgdl: pruning is per-segment, so it never
+    // depends on what other generations exist)
+    val avgdlF = stats.withColumn("avgdl", expr(Bm25AvgdlSql)).select("avgdl")
+    joined.crossJoin(broadcast(avgdlF))
+      .withColumn("__imp", expr(Bm25ImpactSql))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("t").orderBy(col("__imp").desc, col(idc))))
+      .filter(col("__rk") <= LexPrunedM)
+      .select(joined.columns.map(col): _*)
+      .write.mode("overwrite").parquet(s"$dir/postings_pruned")
     d.write.mode("overwrite").parquet(s"$dir/dlen")
     dfT.write.mode("overwrite").parquet(s"$dir/df")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(p)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
   }
 
   /** Persist the base tier. Drops live deltas (they tokenized against
@@ -267,6 +316,34 @@ object Lex {
       .distinct()
     bm25Scores(postings, dlen, ptok, maxDfPct, idCol,
       dfStats = Some(lexTierStats(spark, path)))
+  }
+
+  /** [[queryLexIndex]]'s APPROXIMATE twin — the two-phase
+    * impact-prefix serve: CANDIDATES are every doc appearing in the
+    * top-[[LexPrunedM]] impact prefix of any probe token's posting
+    * list (per generation — ≤ M·|probe tokens|·gens pairs per probe,
+    * BOUNDED regardless of corpus size), then those candidates are
+    * scored EXACTLY — full per-pair BM25 over all shared admitted
+    * tokens with the full tier's statistics, so a served score equals
+    * the exact serve's and only the candidate set approximates.
+    * `search_pruned_recall` grades that approximation. */
+  def queryLexIndexPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+                          probeDocs: DataFrame, maxDfPct: Int,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gens = completedGens(spark, path)
+    val prefix = gens
+      .map(g => spark.read.parquet(s"${genPath(path, g)}/postings_pruned"))
+      .foldLeft(spark.read.parquet(s"$path/postings_pruned"))(_ unionByName _)
+    val ptok = probeDocs
+      .select(col(idCol).as("probe_id"), explode(Text.tokens(col(textCol))).as("t"))
+      .distinct()
+    val cands = prefix.join(broadcast(ptok), "t")
+      .filter(col(idCol) =!= col("probe_id"))
+      .select(col("probe_id"), col(idCol))
+      .distinct()
+    val (postings, dlen) = lexTierTables(spark, path)
+    bm25Scores(postings, dlen, ptok, maxDfPct, idCol,
+      dfStats = Some(lexTierStats(spark, path)), candidates = Some(cands))
   }
 
   /** COMPACT: fold generations into the base tables and drop them.

@@ -1701,11 +1701,12 @@ object SimilarityQueries {
     TierRoots.of(kind, dir, "documents")
 
   /** Tokenizer fingerprint stored inside the lex tier marker — a
-    * re-cut token pattern invalidates every persisted tier. `v3` =
+    * re-cut token pattern invalidates every persisted tier. `v4` =
     * the round-15 layout with per-generation df/stats tables and dl
     * denormalized into the postings: a tier
     * cut by the round-14 code lacks them and must read as "no tier". */
-  private val LexFingerprint = s"lex:v3:retok1:${graft.ext.Text.tokenPattern}"
+  private val LexFingerprint =
+    s"lex:v4:m${graft.ext.Lex.LexPrunedM}:retok1:${graft.ext.Text.tokenPattern}"
 
   /** Indexed window [0, LexBase) and arrival window [LexBase, LexCap)
     * for the upsert lifecycle queries — the near-dup tier's windows. */
@@ -1741,6 +1742,51 @@ object SimilarityQueries {
       Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
     bm25RankCut(Lex.queryLexIndex(spark, path,
       Tables.documents(spark, dir).filter(col("doc_id") < NProbes), MaxDfPct))
+  }
+
+  /** BM25 SERVED FROM THE IMPACT-ORDERED PRUNED PREFIXES (round 15 —
+    * the early-termination scale path): candidates come from the
+    * persisted top-[[graft.ext.Lex.LexPrunedM]] impact prefix of each
+    * posting list (per generation — per-segment pruning, the Lucene
+    * shape), so probe cost is BOUNDED per (probe token, generation)
+    * regardless of corpus size, where the exact serve is linear in
+    * admitted postings. Scoring statistics stay the FULL tier's
+    * (standard static-pruning setup — Carmel et al. 2001), so scores
+    * of surviving candidates are IDENTICAL to the exact serve's and
+    * only the candidate set is approximate; `search_pruned_recall`
+    * grades that approximation against the exact top-K. */
+  def searchBm25Pruned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val path = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, path, LexFingerprint))
+      Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
+    bm25RankCut(Lex.queryLexIndexPruned(spark, path,
+      Tables.documents(spark, dir).filter(col("doc_id") < NProbes), MaxDfPct))
+  }
+
+  /** Recall@[[K]] of the pruned serve against the exact BM25 serve —
+    * the evaluator that prices [[searchBm25Pruned]]'s approximation
+    * (`ann_recall`'s lexical twin): per probe, how many of the exact
+    * top-K survive serving from the bounded impact prefixes. Integer
+    * counts + one IEEE division — fully hash-gated. */
+  def searchPrunedRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val path = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, path, LexFingerprint))
+      Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
+    val probeDocs = Tables.documents(spark, dir).filter(col("doc_id") < NProbes)
+    val full = bm25RankCut(Lex.queryLexIndex(spark, path, probeDocs, MaxDfPct))
+      .filter(col("rank") <= K).select("probe_id", "cand_id")
+    val pruned = bm25RankCut(Lex.queryLexIndexPruned(spark, path, probeDocs, MaxDfPct))
+      .filter(col("rank") <= K).select("probe_id", "cand_id")
+    val hits = full.join(pruned, Seq("probe_id", "cand_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    probeDocs.select(col("doc_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"))
+      .orderBy("probe_id")
   }
 
   /** The lex tier's full batch lifecycle in one run (the
@@ -1977,6 +2023,31 @@ object SimilarityQueries {
              FROM terms GROUP BY 1, 2)"""
   }
 
+  /** Extends [[bm25OracleCtes]] with the two-phase impact-prefix
+    * replay through `pbs`: per-token static impact (the shared
+    * fixed-point [[graft.ext.Lex.Bm25ImpactSql]] text), the
+    * top-[[graft.ext.Lex.LexPrunedM]] prefix per posting list (ties to
+    * smaller doc id), CANDIDATES = probes' prefix hits, and their
+    * EXACT full-token BM25 scores — `pbs` is `bs` restricted to the
+    * candidate pairs, exactly the engine's two-phase serve. */
+  private def bm25PrunedOracleCtes(corpusPred: String, probePred: String): String = {
+    import graft.ext.Lex
+    s"""${bm25OracleCtes(corpusPred, probePred)},
+      impq AS (SELECT f.doc_id, f.t, ${Lex.Bm25ImpactSql} AS imp
+               FROM tf f JOIN dlen d ON d.doc_id = f.doc_id CROSS JOIN stats2),
+      prq AS (SELECT doc_id, t FROM (
+              SELECT doc_id, t,
+                     row_number() OVER (PARTITION BY t
+                       ORDER BY imp DESC, doc_id) AS prk
+              FROM impq) WHERE prk <= ${Lex.LexPrunedM}),
+      cands AS (SELECT DISTINCT p.probe_id, f.doc_id AS cand_id
+                FROM prq f JOIN ptok p ON p.t = f.t
+                WHERE f.doc_id <> p.probe_id),
+      pbs AS (SELECT bs.probe_id, bs.cand_id, bs.sc
+              FROM bs JOIN cands ON cands.probe_id = bs.probe_id
+                                AND cands.cand_id = bs.cand_id)"""
+  }
+
   /** The persisted-tier serve oracle: BM25 top-[[RrfDepth]] with ranks
     * over a fresh full build of the tier's corpus window. */
   private def bm25RankOracle(corpusPred: String, probePred: String,
@@ -2032,6 +2103,40 @@ object SimilarityQueries {
     GQuery("search_bm25_upsert", searchBm25Upsert,
       Some(bm25RankOracle(s"doc_id < $LexCap",
         s"doc_id >= $LexBase AND doc_id < $LexCap"))),
+    // impact-ordered pruned serve + its recall evaluator: the oracle
+    // replays the static-impact prefix cut and BM25 over only those
+    // prefixes with full-corpus statistics
+    GQuery("search_bm25_pruned", searchBm25Pruned, Some(s"""
+      WITH ${bm25PrunedOracleCtes("TRUE", s"doc_id < $NProbes")},
+      r AS (SELECT probe_id, cand_id, sc,
+                   row_number() OVER (PARTITION BY probe_id
+                     ORDER BY sc DESC, cand_id) AS rank FROM pbs)
+      SELECT probe_id, rank, cand_id, ROUND(sc, 9) AS score
+      FROM r WHERE rank <= $RrfDepth
+      ORDER BY probe_id, rank""")),
+    GQuery("search_pruned_recall", searchPrunedRecall, Some(s"""
+      WITH ${bm25PrunedOracleCtes("TRUE", s"doc_id < $NProbes")},
+      fr AS (SELECT probe_id, cand_id FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sc DESC, cand_id) AS rk FROM bs)
+             WHERE rk <= $K),
+      pr2 AS (SELECT probe_id, cand_id FROM (
+              SELECT probe_id, cand_id,
+                     row_number() OVER (PARTITION BY probe_id
+                       ORDER BY sc DESC, cand_id) AS rk FROM pbs)
+              WHERE rk <= $K),
+      h AS (SELECT fr.probe_id, count(*) AS n
+            FROM fr JOIN pr2 ON pr2.probe_id = fr.probe_id
+                            AND pr2.cand_id = fr.cand_id
+            GROUP BY 1)
+      SELECT d.probe_id,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n, 0) AS DOUBLE) / $K AS recall_at_k
+      FROM (SELECT doc_id AS probe_id FROM documents
+            WHERE doc_id < $NProbes) d
+      LEFT JOIN h ON h.probe_id = d.probe_id
+      ORDER BY d.probe_id""")),
     // shared with search_bm25_upsert (batch-invariance) plus the
     // exactly-once compaction pin
     GQuery("stream_lex_autocompact_replay", streamLexAutocompactReplay,

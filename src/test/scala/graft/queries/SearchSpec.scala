@@ -29,6 +29,30 @@ class SearchSpec extends SparkSpec {
     res.select(countDistinct(col("score"))).as[Long].head() should be > 1L
   }
 
+  test("pruned serve: candidates bounded, scores exact, recall neither vacuous nor free") {
+    val pruned = SimilarityQueries.searchBm25Pruned(spark, dir)
+      .select("probe_id", "cand_id", "score")
+      .as[(Long, Long, Double)].collect()
+    pruned.map(_._1).toSet shouldBe (0L until 5L).toSet
+    // two-phase contract: a pruned-serve score IS the exact serve's
+    // score for the same pair — only the candidate SET approximates
+    val exact = SimilarityQueries.searchBm25Indexed(spark, dir)
+      .select("probe_id", "cand_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, c, s) => (p, c) -> s }.toMap
+    pruned.foreach { case (p, c, s) =>
+      exact.get((p, c)).foreach(es => withClue(s"pair ($p,$c) ") {
+        s shouldBe es
+      })
+    }
+    val rec = SimilarityQueries.searchPrunedRecall(spark, dir)
+      .select("recall_at_k").as[Double].collect()
+    // non-vacuous (the prefix-only-scoring bug read 0.0 here) and not
+    // degenerate-complete (M actually prunes at fixture scale)
+    rec.sum should be > 0.0
+    assert(rec.exists(_ < 1.0))
+  }
+
   test("hybrid fusion carries lexical-only candidates (the arm contributes)") {
     val rec = SimilarityQueries.searchRecallQ(spark, dir)
       .select("probe_id", "n_hit", "lex_hits", "lex_only_hits")
