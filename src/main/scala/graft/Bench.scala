@@ -110,9 +110,11 @@ object Bench {
     val launchRetries =
       sys.env.getOrElse("SPARK_GRAFT_LAUNCH_RETRIES", "6").toInt
     val launchSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // a NEGATIVE loadavg means the platform doesn't report it — that
+    // is "unknown", not "contended": settling on it would burn the
+    // whole retry budget learning nothing (r15 review)
     while (launchSamples.length < launchRetries &&
-           !(launchSamples.lastOption.getOrElse(rawAmbient) >= 0 &&
-             launchSamples.lastOption.getOrElse(rawAmbient) < 1.5)) {
+           launchSamples.lastOption.getOrElse(rawAmbient) >= 1.5) {
       Thread.sleep(launchSettleMs)
       launchSamples += osBean.getSystemLoadAverage
     }
@@ -221,7 +223,8 @@ object Bench {
           if (launchSamples.isEmpty)
             s"quiet launch: ambient ${fmt2(ambientLoad)} < 1.5"
           else
-            s"quiet launch after pre-run settle: $launchSettleJson < 1.5")
+            s"quiet launch after pre-run settle: last sample " +
+              s"${fmt2(ambientLoad)} < 1.5 (samples $launchSettleJson)")
       else {
         // r13 verdict #8 bench hygiene: settle longer and take one more
         // quiet rep by default — value_quiet resting on 2 reps after a

@@ -272,15 +272,23 @@ object Lex {
     DeltaGens.markComplete(spark, gen, LexDeltaMarker)
   }
 
-  /** The merged fact tables: base plus every completed generation. */
+  /** The merged fact tables: base plus every completed generation.
+    * SNAPSHOT DISCIPLINE (round-15 review): a query must list the
+    * completed generations ONCE and thread that list through every
+    * table it reads — listing per table would let a concurrently
+    * completing upsert split one probe across two tier states (stats
+    * counting documents whose postings are never scanned). */
   def lexTierTables(spark: org.apache.spark.sql.SparkSession, path: String):
-      (DataFrame, DataFrame) = {
-    val gens = completedGens(spark, path)
+      (DataFrame, DataFrame) =
+    lexTierTablesAt(spark, path, completedGens(spark, path))
+
+  private def lexTierTablesAt(spark: org.apache.spark.sql.SparkSession,
+                              path: String, gens: Seq[Int]):
+      (DataFrame, DataFrame) =
     (gens.map(g => spark.read.parquet(s"${genPath(path, g)}/postings"))
        .foldLeft(spark.read.parquet(s"$path/postings"))(_ unionByName _),
       gens.map(g => spark.read.parquet(s"${genPath(path, g)}/dlen"))
         .foldLeft(spark.read.parquet(s"$path/dlen"))(_ unionByName _))
-  }
 
   /** The tier's FOLDED statistics — (t, df) and 1-row (sdl, n) —
     * summed over base + every completed generation (round 15):
@@ -291,8 +299,12 @@ object Lex {
     * vocab-sized tables instead of aggregating the full postings
     * table — at 100 TB that aggregation was a corpus scan per query. */
   def lexTierStats(spark: org.apache.spark.sql.SparkSession, path: String):
+      (DataFrame, DataFrame) =
+    lexTierStatsAt(spark, path, completedGens(spark, path))
+
+  private def lexTierStatsAt(spark: org.apache.spark.sql.SparkSession,
+                             path: String, gens: Seq[Int]):
       (DataFrame, DataFrame) = {
-    val gens = completedGens(spark, path)
     val dfT = gens.map(g => spark.read.parquet(s"${genPath(path, g)}/df"))
       .foldLeft(spark.read.parquet(s"$path/df"))(_ unionByName _)
       .groupBy("t").agg(sum(col("df")).as("df"))
@@ -310,12 +322,13 @@ object Lex {
   def queryLexIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     probeDocs: DataFrame, maxDfPct: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (postings, dlen) = lexTierTables(spark, path)
+    val gens = completedGens(spark, path) // ONE snapshot for all tables
+    val (postings, dlen) = lexTierTablesAt(spark, path, gens)
     val ptok = probeDocs
       .select(col(idCol).as("probe_id"), explode(Text.tokens(col(textCol))).as("t"))
       .distinct()
     bm25Scores(postings, dlen, ptok, maxDfPct, idCol,
-      dfStats = Some(lexTierStats(spark, path)))
+      dfStats = Some(lexTierStatsAt(spark, path, gens)))
   }
 
   /** [[queryLexIndex]]'s APPROXIMATE twin — the two-phase
@@ -330,7 +343,7 @@ object Lex {
   def queryLexIndexPruned(spark: org.apache.spark.sql.SparkSession, path: String,
                           probeDocs: DataFrame, maxDfPct: Int,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val gens = completedGens(spark, path)
+    val gens = completedGens(spark, path) // ONE snapshot for all tables
     val prefix = gens
       .map(g => spark.read.parquet(s"${genPath(path, g)}/postings_pruned"))
       .foldLeft(spark.read.parquet(s"$path/postings_pruned"))(_ unionByName _)
@@ -341,9 +354,9 @@ object Lex {
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol))
       .distinct()
-    val (postings, dlen) = lexTierTables(spark, path)
+    val (postings, dlen) = lexTierTablesAt(spark, path, gens)
     bm25Scores(postings, dlen, ptok, maxDfPct, idCol,
-      dfStats = Some(lexTierStats(spark, path)), candidates = Some(cands))
+      dfStats = Some(lexTierStatsAt(spark, path, gens)), candidates = Some(cands))
   }
 
   /** COMPACT: fold generations into the base tables and drop them.
@@ -358,20 +371,22 @@ object Lex {
                       fingerprint: String): Unit = {
     require(lexServes(spark, path, fingerprint),
       s"compactLexIndex: no serving lexical tier at $path for this tokenizer")
-    if (completedGens(spark, path).isEmpty) return
-    val (postings, dlen) = lexTierTables(spark, path)
-    // materialize the merged facts BEFORE retracting the marker — the
-    // read plans reference the very files the rewrite overwrites
-    val allP = postings.localCheckpoint(true)
-    val allD = dlen.localCheckpoint(true)
+    val gens = completedGens(spark, path)
+    if (gens.isEmpty) return
+    val (postings, dlen) = lexTierTablesAt(spark, path, gens)
+    // the marker comes off BEFORE writeGenTables touches any file; its
+    // first act is to eagerly checkpoint the merged plans (which still
+    // reference the files the rewrite then overwrites), so exactly ONE
+    // materialized copy exists at a time (round-15 review: the old
+    // checkpoint-then-checkpoint-again form held the merged postings
+    // in storage memory twice). A crash before the checkpoints leaves
+    // the original files behind a retracted marker — rebuild recovers.
     Markers.delete(spark, s"$path/$LexCompleteMarker")
     // statistics are REAGGREGATED from the merged facts (one extra
     // shuffle over data compaction rewrites anyway) — exact integers,
     // so this equals the generation fold bit-for-bit
-    writeGenTables(path, allP, allD)
+    writeGenTables(path, postings, dlen)
     dropLexDeltas(spark, path)
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(allP)
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(allD)
     Markers.write(spark, s"$path/$LexCompleteMarker", fingerprint)
   }
 

@@ -544,6 +544,10 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int = 10, rounds: Int = 2,
                nPlanes: Int = 4, maxBucketSize: Int = 1000, dim: Int = 64,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the incremental form fuses round 1 with init scoring, so a
+    // 0-round build (score the raw init graph) no longer exists — be
+    // loud rather than silently running one refinement round
+    require(rounds >= 1, s"knnGraph: rounds must be >= 1, got $rounds")
     val planes = srpPlanes(nPlanes, dim)
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -821,7 +825,10 @@ object Similarity {
     // fresh Spark job each time (canonicalized-plan keying: two reads
     // of the same files share one probe).
     val layerKey = (corpus.queryExecution.logical.canonicalized, entryStride)
-    if (!checkedEntryLayers.containsKey(layerKey)) {
+    // get(), not containsKey(): only get() counts as an ACCESS in an
+    // access-order LinkedHashMap — containsKey would leave eviction
+    // pure-FIFO and evict the most-re-checked plan first (r15 review)
+    if (checkedEntryLayers.get(layerKey) == null) {
       require(!layer.isEmpty,
         s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
           s"divisible by entryStride=$entryStride; re-key the id space or " +

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -86,7 +86,13 @@ object DetMathOps {
 }
 
 /** `graft_det_ln(x)` — deterministic ln(x), x ≥ 1 (see [[DetMathOps]]). */
-case class DetLn(child: Expression) extends UnaryExpression {
+case class DetLn(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  // analysis-time contract (r15 review): a non-double child gets
+  // Spark's implicit cast — the CAST(... AS DOUBLE) every call site
+  // hand-writes — or a resolution error, never a runtime CCE
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
+    Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_det_ln"
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -98,7 +104,13 @@ case class DetLn(child: Expression) extends UnaryExpression {
 }
 
 /** `graft_det_ln_signed(x)` — deterministic ln(x), any x > 0. */
-case class DetLnSigned(child: Expression) extends UnaryExpression {
+case class DetLnSigned(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  // analysis-time contract (r15 review): a non-double child gets
+  // Spark's implicit cast — the CAST(... AS DOUBLE) every call site
+  // hand-writes — or a resolution error, never a runtime CCE
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
+    Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_det_ln_signed"
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -111,7 +123,13 @@ case class DetLnSigned(child: Expression) extends UnaryExpression {
 
 /** `graft_det_exp(x)` — deterministic exp(x) for x ∈ [0, 64·ln2);
   * NULL past the 2^63 ladder (k > 63), mirroring the SQL guard. */
-case class DetExp(child: Expression) extends UnaryExpression {
+case class DetExp(child: Expression) extends UnaryExpression
+  with ImplicitCastInputTypes {
+  // analysis-time contract (r15 review): a non-double child gets
+  // Spark's implicit cast — the CAST(... AS DOUBLE) every call site
+  // hand-writes — or a resolution error, never a runtime CCE
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
+    Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_det_exp"
