@@ -88,7 +88,13 @@ object GraftExtensions {
     scalar2("graft_cosine", Similarity.cosine),
     scalar2("graft_hamming64", Dedup.hamming64),
     scalar1("graft_max_run", Text.maxRunCount),
-    scalar1("graft_nfc", graft.functions.NormalizeNFC.nfc))
+    scalar1("graft_nfc", graft.functions.NormalizeNFC.nfc),
+    // the deterministic cross-engine math layer (round 15): SQL users
+    // get the same bit-reproducible ln/exp the engine's hashed queries
+    // run, one native expression node each
+    scalar1("graft_det_ln", graft.functions.DetMathExpr.detLn),
+    scalar1("graft_det_ln_signed", graft.functions.DetMathExpr.detLnSigned),
+    scalar1("graft_det_exp", graft.functions.DetMathExpr.detExp))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

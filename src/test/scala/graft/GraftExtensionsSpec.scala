@@ -17,6 +17,29 @@ class GraftExtensionsSpec extends SparkSpec {
     got shouldBe Seq((1, Seq(20L, 30L)), (2, Seq(40L)))
   }
 
+  test("graft_det_ln / graft_det_exp: SQL surface matches the chain and the guard") {
+    GraftExtensions.register(spark)
+    // the SQL surface evaluates the native expression — bit-identical
+    // to the oracle's step chain (DetMathSpec pins that); here we pin
+    // the registration plumbing: values, implicit int->double cast,
+    // the exp domain guard, and round-trip exp(ln(x)) ~= x
+    val got = spark.sql(
+      """SELECT graft_det_ln(CAST(7 AS DOUBLE)) AS l,
+                graft_det_ln(8) AS li,
+                graft_det_ln_signed(0.25) AS ls,
+                graft_det_exp(1.0) AS e,
+                graft_det_exp(60.0) AS eg""")
+      .as[(Double, Double, Double, Double, Option[Double])].collect()(0)
+    math.abs(got._1 - math.log(7.0)) should be < 1e-8
+    math.abs(got._2 - math.log(8.0)) should be < 1e-8
+    math.abs(got._3 - math.log(0.25)) should be < 1e-8
+    math.abs(got._4 - math.E) should be < 1e-8
+    got._5 shouldBe None // k > 63: NULL, never a silent 2^m error
+    val rt = spark.sql("SELECT graft_det_exp(graft_det_ln(CAST(42 AS DOUBLE)))")
+      .as[Double].collect()(0)
+    math.abs(rt - 42.0) should be < 1e-6
+  }
+
   test("bounded_top_k coerces int ids and float scores at analysis time") {
     GraftExtensions.register(spark)
     Seq((1, 0.5f, 10), (1, 0.9f, 20)).toDF("g", "score", "id")
