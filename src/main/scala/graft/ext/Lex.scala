@@ -212,12 +212,18 @@ object Lex {
     * lists). */
   private def writeGenTables(dir: String, postings: DataFrame,
                              dlen: DataFrame): Unit = {
-    val p = postings.localCheckpoint(true)
+    // TWO materializations feed all five outputs: `d` (doc lengths —
+    // dlen + stats + the dl join) and `joined` (dl-denormalized
+    // postings — postings + pruned prefix + df, whose (doc, t) row set
+    // equals the raw postings', so df aggregated here is identical to
+    // statTables' form). Checkpointing the raw postings separately
+    // was a third full copy that nothing read twice (r15 review).
     val d = dlen.localCheckpoint(true)
-    val (dfT, stats) = statTables(p, d)
-    val idc = p.columns.head // factTables puts idCol first
-    val joined = p.drop("dl").join(d.select(col(idc), col("dl")), idc)
+    val idc = postings.columns.head // factTables puts idCol first
+    val joined = postings.drop("dl").join(d.select(col(idc), col("dl")), idc)
       .localCheckpoint(true)
+    val dfT = joined.groupBy("t").agg(count(lit(1)).as("df"))
+    val stats = d.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
     joined.write.mode("overwrite").parquet(s"$dir/postings")
     // impact-ordered top-[[LexPrunedM]] prefix of every posting list —
     // the one per-token sort, paid at WRITE time once per generation
@@ -235,7 +241,6 @@ object Lex {
     d.write.mode("overwrite").parquet(s"$dir/dlen")
     dfT.write.mode("overwrite").parquet(s"$dir/df")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(p)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
   }
