@@ -218,7 +218,14 @@ object Bench {
     // quiet_reason says exactly what was observed either way.
     val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
     val (engineQuiet: Option[Double], quietReason: String) =
-      if (quietAmbient)
+      if (ambientLoad < 0)
+        // the platform reports no loadavg at all — "unknown" is neither
+        // quiet nor contended, and settling on it would burn the whole
+        // post-run retry budget learning nothing (r15 second-pass
+        // review, the launch-loop fix's sibling): no number beats a
+        // fabricated one, and the reason must not claim contention
+        (None, "loadavg unavailable on this platform - quietness unverifiable")
+      else if (quietAmbient)
         (Some(engineTotal),
           if (launchSamples.isEmpty)
             s"quiet launch: ambient ${fmt2(ambientLoad)} < 1.5"

@@ -210,18 +210,38 @@ object Lex {
     * doc-length join (measured: the lex_probe ScaleBench join was the
     * dominant probe cost once the max-df cut admitted real posting
     * lists). */
-  private def writeGenTables(dir: String, postings: DataFrame,
-                             dlen: DataFrame): Unit = {
-    // TWO materializations feed all five outputs: `d` (doc lengths —
-    // dlen + stats + the dl join) and `joined` (dl-denormalized
-    // postings — postings + pruned prefix + df, whose (doc, t) row set
-    // equals the raw postings', so df aggregated here is identical to
-    // statTables' form). Checkpointing the raw postings separately
-    // was a third full copy that nothing read twice (r15 review).
+  /** Materialize the TWO frames every generation write derives from:
+    * `d` (doc lengths — dlen + stats + the dl join) and `joined`
+    * (dl-denormalized postings — postings + pruned prefix + df, whose
+    * (doc, t) row set equals the raw postings', so df aggregated there
+    * is identical to statTables' form). Exposed separately from
+    * [[writeGenTablesFrom]] so compaction can materialize BEFORE
+    * retracting the serving marker (r15 second-pass review: a
+    * transient checkpoint failure must not strand a healthy tier
+    * behind a deleted marker) while still holding only one merged
+    * copy at a time. */
+  private def genTableFrames(postings: DataFrame,
+                             dlen: DataFrame): (DataFrame, DataFrame) = {
     val d = dlen.localCheckpoint(true)
     val idc = postings.columns.head // factTables puts idCol first
     val joined = postings.drop("dl").join(d.select(col(idc), col("dl")), idc)
       .localCheckpoint(true)
+    (d, joined)
+  }
+
+  private def writeGenTables(dir: String, postings: DataFrame,
+                             dlen: DataFrame): Unit = {
+    val (d, joined) = genTableFrames(postings, dlen)
+    writeGenTablesFrom(dir, d, joined)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
+  }
+
+  /** Write one generation's five tables from the [[genTableFrames]]
+    * pair (does NOT unpersist — callers own the checkpoints). */
+  private def writeGenTablesFrom(dir: String, d: DataFrame,
+                                 joined: DataFrame): Unit = {
+    val idc = joined.columns.head
     val dfT = joined.groupBy("t").agg(count(lit(1)).as("df"))
     val stats = d.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
     joined.write.mode("overwrite").parquet(s"$dir/postings")
@@ -241,8 +261,6 @@ object Lex {
     d.write.mode("overwrite").parquet(s"$dir/dlen")
     dfT.write.mode("overwrite").parquet(s"$dir/df")
     stats.write.mode("overwrite").parquet(s"$dir/stats")
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
-    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
   }
 
   /** Persist the base tier. Drops live deltas (they tokenized against
@@ -379,19 +397,20 @@ object Lex {
     val gens = completedGens(spark, path)
     if (gens.isEmpty) return
     val (postings, dlen) = lexTierTablesAt(spark, path, gens)
-    // the marker comes off BEFORE writeGenTables touches any file; its
-    // first act is to eagerly checkpoint the merged plans (which still
-    // reference the files the rewrite then overwrites), so exactly ONE
-    // materialized copy exists at a time (round-15 review: the old
-    // checkpoint-then-checkpoint-again form held the merged postings
-    // in storage memory twice). A crash before the checkpoints leaves
-    // the original files behind a retracted marker — rebuild recovers.
+    // materialize the merged plans BEFORE retracting the marker (they
+    // reference the very files the rewrite overwrites, AND a transient
+    // checkpoint failure here must leave a still-serving tier, not a
+    // healthy tier stranded behind a deleted marker — r15 second-pass
+    // review); exactly ONE merged copy exists at a time
+    val (d, joined) = genTableFrames(postings, dlen)
     Markers.delete(spark, s"$path/$LexCompleteMarker")
     // statistics are REAGGREGATED from the merged facts (one extra
     // shuffle over data compaction rewrites anyway) — exact integers,
     // so this equals the generation fold bit-for-bit
-    writeGenTables(path, postings, dlen)
+    writeGenTablesFrom(path, d, joined)
     dropLexDeltas(spark, path)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
+    org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
     Markers.write(spark, s"$path/$LexCompleteMarker", fingerprint)
   }
 

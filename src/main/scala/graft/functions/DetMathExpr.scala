@@ -31,6 +31,13 @@ object DetMathOps {
   /** Same bits as the [[DetMath.Ln2]] literal both engines parse. */
   val Ln2: Double = 0.6931471805599453
 
+  /** [[ln]]'s exact domain: the six-level ladder reduces any
+    * x ∈ [1, 2^64) into [1, 2) and the series diverges outside. */
+  val LnMax: Double = 1.8446744073709552E19 // 2^64
+  def lnInDomain(x: Double): Boolean = x >= 1.0 && x < LnMax
+  def lnSignedInDomain(x: Double): Boolean =
+    lnInDomain(x) || (x > 0.0 && lnInDomain(1.0 / x))
+
   private val Levels: Array[Int] = Array(32, 16, 8, 4, 2, 1)
   private val Pow2: Array[Double] = Levels.map(j => math.pow(2.0, j))
   // the identical generating expressions DetMath stringifies via dbl()
@@ -85,7 +92,12 @@ object DetMathOps {
   }
 }
 
-/** `graft_det_ln(x)` — deterministic ln(x), x ≥ 1 (see [[DetMathOps]]). */
+/** `graft_det_ln(x)` — deterministic ln(x) on [1, 2^64); NULL outside
+  * (see [[DetMathOps]]). The range-reduction ladder and atanh series
+  * are only exact inside that domain, and the engine's own callers are
+  * in-domain by construction — but the SQL surface is not, so
+  * out-of-domain inputs must read as NULL, never as a plausible
+  * series truncation (r15 second-pass review). */
 case class DetLn(child: Expression) extends UnaryExpression
   with ImplicitCastInputTypes {
   // analysis-time contract (r15 review): a non-double child gets
@@ -94,16 +106,28 @@ case class DetLn(child: Expression) extends UnaryExpression
   override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
     Seq(DoubleType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_det_ln"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-  override def nullSafeEval(x: Any): Any =
-    DetMathOps.ln(x.asInstanceOf[Double])
+  override def nullSafeEval(x: Any): Any = {
+    val xd = x.asInstanceOf[Double]
+    if (DetMathOps.lnInDomain(xd)) DetMathOps.ln(xd) else null
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.DetMathOps.ln($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if (graft.functions.DetMathOps.lnInDomain($c)) {
+       |  ${ev.value} = graft.functions.DetMathOps.ln($c);
+       |} else {
+       |  ${ev.isNull} = true;
+       |}
+     """.stripMargin)
 }
 
-/** `graft_det_ln_signed(x)` — deterministic ln(x), any x > 0. */
+/** `graft_det_ln_signed(x)` — deterministic ln(x) on (2^-64, 2^64);
+  * NULL outside (x or its reciprocal must sit in [[DetLn]]'s domain —
+  * same rationale: the SQL surface must never serve a divergent
+  * series as a value). */
 case class DetLnSigned(child: Expression) extends UnaryExpression
   with ImplicitCastInputTypes {
   // analysis-time contract (r15 review): a non-double child gets
@@ -112,17 +136,27 @@ case class DetLnSigned(child: Expression) extends UnaryExpression
   override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.SqlAbstractDataType] =
     Seq(DoubleType)
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_det_ln_signed"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-  override def nullSafeEval(x: Any): Any =
-    DetMathOps.lnSigned(x.asInstanceOf[Double])
+  override def nullSafeEval(x: Any): Any = {
+    val xd = x.asInstanceOf[Double]
+    if (DetMathOps.lnSignedInDomain(xd)) DetMathOps.lnSigned(xd) else null
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.DetMathOps.lnSigned($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if (graft.functions.DetMathOps.lnSignedInDomain($c)) {
+       |  ${ev.value} = graft.functions.DetMathOps.lnSigned($c);
+       |} else {
+       |  ${ev.isNull} = true;
+       |}
+     """.stripMargin)
 }
 
 /** `graft_det_exp(x)` — deterministic exp(x) for x ∈ [0, 64·ln2);
-  * NULL past the 2^63 ladder (k > 63), mirroring the SQL guard. */
+  * NULL outside — past the 2^63 ladder (k > 63, mirroring the SQL
+  * guard) AND below zero (the ladder cannot divide). */
 case class DetExp(child: Expression) extends UnaryExpression
   with ImplicitCastInputTypes {
   // analysis-time contract (r15 review): a non-double child gets
@@ -138,14 +172,17 @@ case class DetExp(child: Expression) extends UnaryExpression
   override def nullSafeEval(x: Any): Any = {
     val xd = x.asInstanceOf[Double]
     val k = math.floor(xd / DetMathOps.Ln2 + 0.5)
-    if (k > 63.0) null else DetMathOps.expK(xd, k)
+    // BOTH ends guarded (r15 second-pass review): k < 0 would need a
+    // dividing ladder the 2^k assembly doesn't have — exp(-1) would
+    // silently read ~0.74 instead of 0.37 on the SQL surface
+    if (xd < 0.0 || k > 63.0) null else DetMathOps.expK(xd, k)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val k = ctx.freshName("detExpK")
       s"""
          |double $k = java.lang.Math.floor($c / ${DetMathOps.Ln2}D + 0.5D);
-         |if ($k > 63.0D) {
+         |if ($c < 0.0D || $k > 63.0D) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.DetMathOps.expK($c, $k);

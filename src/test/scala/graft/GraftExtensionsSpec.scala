@@ -38,6 +38,17 @@ class GraftExtensionsSpec extends SparkSpec {
     val rt = spark.sql("SELECT graft_det_exp(graft_det_ln(CAST(42 AS DOUBLE)))")
       .as[Double].collect()(0)
     math.abs(rt - 42.0) should be < 1e-6
+    // the SQL surface is domain-GUARDED (r15 second-pass review):
+    // inputs outside each function's exact range read NULL, never a
+    // divergent series or a 2^|k|-off exp (the engine's internal call
+    // sites are in-domain by construction and unaffected)
+    val oob = spark.sql(
+      """SELECT graft_det_exp(-1.0) AS a, graft_det_ln(0.5) AS b,
+                graft_det_ln(-3.0) AS c, graft_det_ln_signed(0.0) AS d,
+                graft_det_ln_signed(-2.0) AS e""")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()(0)
+    oob shouldBe ((None, None, None, None, None))
   }
 
   test("bounded_top_k coerces int ids and float scores at analysis time") {
