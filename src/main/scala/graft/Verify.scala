@@ -46,7 +46,8 @@ object Verify {
       // ensure-build the SAME lex root (search_recall's omission raced
       // two concurrent lex-tier builds into doubled part files —
       // caught by the 2× scores it produced)
-      "search_recall", "search_bm25_pruned", "search_pruned_recall"),
+      "search_recall", "search_bm25_pruned", "search_pruned_recall",
+      "search_hybrid_pruned"),
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),

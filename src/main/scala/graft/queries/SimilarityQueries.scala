@@ -1840,6 +1840,36 @@ object SimilarityQueries {
     rrfFuse(textRank, vecRank)
   }
 
+  /** HYBRID RETRIEVAL WITH BOTH ARMS BOUNDED (round 15 — the fully
+    * scale-shaped serving endpoint): the vector arm walks the
+    * persisted NN-Descent graph (bounded beam hops), and the lexical
+    * arm serves through [[graft.ext.Lex.queryLexIndexPruned]] —
+    * impact-prefix candidate generation (≤ M·|probe tokens| pairs per
+    * probe regardless of corpus size) with exact scoring of the
+    * candidates — fused by the same RRF. [[searchHybridIndexed]]'s
+    * lexical arm is exact but linear in admitted postings; this is
+    * the shape where EVERY per-probe cost is bounded by index
+    * structure, not corpus size — what a deployed endpoint runs when
+    * the corpus outgrows exact lexical serving. */
+  def searchHybridPruned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val lexPath = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, lexPath, LexFingerprint))
+      Lex.buildLexIndex(spark, lexPath, Tables.documents(spark, dir),
+        LexFingerprint)
+    val graphPath = ensureGraphTier(spark, dir)
+    val textRank = rrfRanksOf(
+      Lex.queryLexIndexPruned(spark, lexPath,
+        Tables.documents(spark, dir).filter(col("doc_id") < NProbes),
+        MaxDfPct), "__tr")
+    val vecRank = rrfRanksOf(
+      Similarity.graphSearchIndexed(spark, graphPath, probes(spark, dir),
+          k = RrfDepth, beam = GraphBeam, hops = GraphHops)
+        .select(col("probe_id"), col("neighbor_id").as("cand_id"),
+          col("cos_sim").as("__score")), "__vr")
+    rrfFuse(textRank, vecRank)
+  }
+
   /** RETRIEVAL-RECALL EVALUATOR for the hybrid family (round-15
     * verdict #2 — `ann_recall`'s twin for the serving composition, and
     * the query that makes a silently empty retrieval arm impossible to
@@ -2154,6 +2184,37 @@ object SimilarityQueries {
                     row_number() OVER (PARTITION BY probe_id
                       ORDER BY sc DESC, cand_id) AS r
              FROM bs) WHERE r <= $RrfDepth),
+      vr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT f.probe_id, f.node AS cand_id,
+                    row_number() OVER (PARTITION BY f.probe_id
+                      ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS r
+             FROM gbest f JOIN vv n ON n.vec_id = f.node
+                  JOIN gpr p ON p.probe_id = f.probe_id)
+             WHERE r <= $RrfDepth),
+      fz AS (SELECT coalesce(tr.probe_id, vr.probe_id) AS probe_id,
+                    coalesce(tr.cand_id, vr.cand_id) AS cand_id,
+                    coalesce(1.0 / (tr.r + $RrfC), 0.0)
+                      + coalesce(1.0 / (vr.r + $RrfC), 0.0) AS s
+             FROM tr FULL OUTER JOIN vr
+                  ON tr.probe_id = vr.probe_id AND tr.cand_id = vr.cand_id),
+      gz AS (SELECT probe_id, cand_id, s,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY s DESC, cand_id) AS rk FROM fz)
+      SELECT probe_id, cand_id, round(s, 9) AS rrf_score
+      FROM gz WHERE rk <= $K
+      ORDER BY probe_id, rrf_score DESC, cand_id""")),
+    // both arms BOUNDED: graph walk + impact-prefix lexical candidates
+    // (exact-scored); oracle replays both model rebuilds, the prefix
+    // cut, and the fusion
+    GQuery("search_hybrid_pruned", searchHybridPruned, Some(s"""
+      ${graphTempPrefix("full", "embeddings")}
+      WITH $graphSearchCtes,
+      ${bm25PrunedOracleCtes("TRUE", s"doc_id < $NProbes")},
+      tr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sc DESC, cand_id) AS r
+             FROM pbs) WHERE r <= $RrfDepth),
       vr AS (SELECT probe_id, cand_id, r FROM (
              SELECT f.probe_id, f.node AS cand_id,
                     row_number() OVER (PARTITION BY f.probe_id

@@ -115,6 +115,29 @@ class LexSpec extends SparkSpec {
       statsR.as[(Long, Long)].collect().toSeq
   }
 
+  test("pruned serve across generations: per-segment prefixes union, scores equal the exact serve") {
+    val path = s"target/test_lex_pruned_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 4L), fp)
+    val probe = Seq((10L, "alpha beta eta common")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("probe_id", "cand_id", "__score")
+        .as[(Long, Long, Double)].collect()
+        .map { case (p, c, s) => (p, c) -> s }.toMap
+    val exact = rows(Lex.queryLexIndex(spark, path, probe, 100))
+    val pruned = rows(Lex.queryLexIndexPruned(spark, path, probe, 100))
+    // M = 32 >> these posting lists, so every doc in every generation
+    // is prefix-reachable: candidate sets coincide — and the two-phase
+    // contract makes every shared pair's score BIT-EQUAL
+    pruned.keySet shouldBe exact.keySet
+    pruned.keySet.map(_._2) shouldBe Set(1L, 2L, 3L, 4L)
+    pruned.foreach { case (k, s) => s shouldBe exact(k) }
+    // compaction folds the prefixes too: decisions identical after
+    Lex.compactLexIndex(spark, path, fp)
+    rows(Lex.queryLexIndexPruned(spark, path, probe, 100)) shouldBe pruned
+  }
+
   test("maybeCompact: holds under both bars, fires on the gens bar") {
     val path = s"target/test_lex_policy_${System.nanoTime()}"
     Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
