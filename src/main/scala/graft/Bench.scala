@@ -75,10 +75,24 @@ object Bench {
     else s
   }
 
+  /** Numeric env knobs parse with a FALLBACK to their default (round-15
+    * ADVICE #3): a malformed value must not kill the whole bench with a
+    * NumberFormatException before any work — one stderr note, then the
+    * default. */
+  private def envLong(name: String, default: Long): Long =
+    sys.env.get(name).map { v =>
+      try v.trim.toLong catch { case _: NumberFormatException =>
+        System.err.println(s"[bench] $name='$v' is not a number - using default $default")
+        default
+      }
+    }.getOrElse(default)
+  private def envInt(name: String, default: Int): Int =
+    envLong(name, default.toLong).toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = envInt("SPARK_GRAFT_REPS", 3)
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -105,16 +119,21 @@ object Bench {
     // the quiet bar (nothing of ours is running yet, so every sample
     // here is pure external load), give up after the retry budget and
     // let the post-run re-price protocol handle it as before.
-    val launchSettleMs =
-      sys.env.getOrElse("SPARK_GRAFT_LAUNCH_SETTLE_MS", "75000").toLong
-    val launchRetries =
-      sys.env.getOrElse("SPARK_GRAFT_LAUNCH_RETRIES", "6").toInt
+    val launchSettleMs = envLong("SPARK_GRAFT_LAUNCH_SETTLE_MS", 75000L)
+    val launchRetries = envInt("SPARK_GRAFT_LAUNCH_RETRIES", 6)
     val launchSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     // a NEGATIVE loadavg means the platform doesn't report it — that
     // is "unknown", not "contended": settling on it would burn the
     // whole retry budget learning nothing (r15 review)
     while (launchSamples.length < launchRetries &&
            launchSamples.lastOption.getOrElse(rawAmbient) >= 1.5) {
+      // one line per sample (round-15 ADVICE #3): a multi-minute
+      // pre-run wait must be attributable while it happens, not only
+      // from the launch_settle field afterwards
+      System.err.println(s"[bench] contended launch (loadavg " +
+        s"${fmt2(launchSamples.lastOption.getOrElse(rawAmbient))} >= 1.5) - " +
+        s"settling ${launchSettleMs / 1000}s " +
+        s"(${launchSamples.length + 1}/$launchRetries)")
       Thread.sleep(launchSettleMs)
       launchSamples += osBean.getSystemLoadAverage
     }
@@ -184,18 +203,27 @@ object Bench {
     val loadRange =
       if (allLoads.isEmpty) "[-1,-1,-1]"
       else s"[${fmt2(allLoads.head)},${fmt2(allLoads(allLoads.length / 2))},${fmt2(allLoads.last)}]"
-    // Contention advisory (round-9 verdict #7): a rep whose pre-exec
-    // 1-min loadavg exceeds max(2× ambient, 4.0) is flagged as
-    // contended, so a JSON-only consumer can discount contaminated
-    // medians without reading verdict prose. ADVISORY, not exclusion:
-    // in-run loadavg partly carries the bench's own preceding 32-thread
-    // query (hence the 4.0 floor — self-load alone sits a few units
-    // above an idle box), so the flag over-fires on heavy passes; the
-    // honest gate remains load_ambient plus the per-rep load series.
-    val loadGate = math.max(2.0 * math.max(ambientLoad, 0.0), 4.0)
+    // Contention advisory (round-9 verdict #7; gate RECUT round 16 per
+    // r15 verdict #3): on local[32] the bench IS the box's dominant
+    // load, so any gate anchored to the pre-run ambient counts the
+    // bench's own steady-state self-load — r15 flagged 271/501 reps
+    // "contended" on a quiet launch, pure noise. The self-calibrating
+    // marker: the run's own in-run loadavg MEDIAN is the self-load
+    // baseline, and a rep is flagged only when its pre-exec sample
+    // sits in a BURST above that steady state (≥ max(2× median,
+    // median + 4)) — i.e. external load landing on top of the bench,
+    // which is the only thing the flag was ever meant to catch.
+    // ADVISORY, not exclusion: the honest quietness gate remains
+    // load_ambient plus the quiet-launch protocol.
+    val selfBaseline =
+      if (allLoads.isEmpty) -1.0 else allLoads(allLoads.length / 2)
+    // loadGate is emitted in the JSON: -1 = "no loadavg, marker off"
+    val loadGate =
+      if (selfBaseline < 0) -1.0
+      else math.max(2.0 * selfBaseline, selfBaseline + 4.0)
     val contended = results
       .map { case (k, _, l, _) =>
-        k -> (0 until reps).filter(r => l(r) > loadGate)
+        k -> (0 until reps).filter(r => loadGate >= 0 && l(r) > loadGate)
       }.filter(_._2.nonEmpty)
     val nContendedReps = contended.map(_._2.size).sum
     // value_quiet (round-10 verdict #4, protocol re-cut round 13 after
@@ -237,12 +265,14 @@ object Bench {
         // quiet rep by default — value_quiet resting on 2 reps after a
         // 75 s settle was defensible but thin; 100 s + 3 reps costs ~4
         // extra minutes only on CONTENDED launches
-        val maxRetries = sys.env.getOrElse("SPARK_GRAFT_QUIET_RETRIES", "2").toInt
-        val settleMs = sys.env.getOrElse("SPARK_GRAFT_QUIET_SETTLE_MS", "100000").toLong
-        val qReps = sys.env.getOrElse("SPARK_GRAFT_QUIET_REPS", "3").toInt
+        val maxRetries = envInt("SPARK_GRAFT_QUIET_RETRIES", 2)
+        val settleMs = envLong("SPARK_GRAFT_QUIET_SETTLE_MS", 100000L)
+        val qReps = envInt("SPARK_GRAFT_QUIET_REPS", 3)
         val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
         while (samples.length < maxRetries &&
                !samples.lastOption.exists(s => s >= 0 && s < 1.5)) {
+          System.err.println(s"[bench] post-run settle ${settleMs / 1000}s " +
+            s"(${samples.length + 1}/$maxRetries) before quiet re-price")
           Thread.sleep(settleMs)
           samples += osBean.getSystemLoadAverage
         }

@@ -52,9 +52,17 @@ object Lex {
     * Spark implements ROUND-on-double and beyond-long decimals via a
     * per-row BigDecimal allocation — measured 2× the whole probe cost
     * at 9M scored pairs (9.6 s → ~4.5 s, ScaleBench lex_probe 1×).
-    * The micro-unit sum stays exact up to 2^63 ≈ 9.2·10^18 — the same
-    * overflow class the 28-digit decimal had. [[Bm25ScoreOf]] is the
-    * shared descale text. */
+    * Overflow bound (stated, not assumed — round-15 ADVICE #2): the
+    * per-pair sum is over SHARED ADMITTED tokens only, each term
+    * ≤ idf·(k1+1) ≤ ~65 score units even at n = 10^12 docs
+    * (idf ≤ ln 2n ≈ 29), i.e. ≤ 6.5·10^13 micro-units, so BIGINT's
+    * 2^63 ≈ 9.2·10^18 holds until a single (probe, doc) pair shares
+    * ~1.4·10^5 DISTINCT admitted tokens — far past any real document's
+    * vocabulary, but a SMALLER headroom than DECIMAL(28,12)'s 10^16
+    * units, and a different failure mode: Spark's non-ANSI sum(LONG)
+    * would wrap silently where the decimal sum nulled loudly (DuckDB
+    * promotes to HUGEINT either way). [[Bm25ScoreOf]] is the shared
+    * descale text. */
   val Bm25AvgdlSql = "CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)"
   val Bm25IdfArgSql =
     "1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"

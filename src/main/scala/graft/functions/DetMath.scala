@@ -107,10 +107,15 @@ object DetMath {
     *    single double multiply fl(k · Ln2) (the old decimal-typed Ln2
     *    made Spark round an exact decimal product once instead — 1 ulp
     *    off DuckDB at k ∈ {33, 35, 51});
-    *  - the domain is GUARDED, not documented: k > 63 exceeds the 2^k
-    *    ladder and would be silently wrong by 2^(k−63), so the output
-    *    is NULL there — a loud downstream failure instead of a silent
-    *    factor-of-2^m error. */
+    *  - the domain is GUARDED, not documented, AT BOTH ENDS of the
+    *    ladder (k < 0 added round 16 — round-15 ADVICE #1): k > 63
+    *    exceeds the 2^k assembly and would be silently wrong by
+    *    2^(k−63); k < 0 would need a DIVIDING ladder it doesn't have
+    *    and was silently wrong by 2^|k| for x < −ln2/2. Both read as
+    *    NULL — a loud downstream failure instead of a silent
+    *    factor-of-2^m error. k = 0 (x ∈ [−ln2/2, 0)) needs no ladder
+    *    and stays a finite Taylor value, bit-equal to the native
+    *    [[DetMathExpr.detExp]] twin (DetMathSpec's negative grid). */
   def expSteps(x: String, outCol: String): Seq[(String, String)] = {
     val p = s"__${outCol}"
     val c = (1 to 12).map(k =>
@@ -130,7 +135,8 @@ object DetMath {
       s"${p}_k" -> s"FLOOR(($x) / $Ln2 + 0.5)",
       s"${p}_kd" -> s"CAST(${p}_k AS DOUBLE)") ++ decomp ++ Seq(
       s"${p}_r" -> s"($x) - ${p}_kd * $Ln2",
-      outCol -> (s"CASE WHEN ${p}_kd > 63.0 THEN CAST(NULL AS DOUBLE) " +
+      outCol -> (s"CASE WHEN ${p}_kd > 63.0 OR ${p}_kd < 0.0 " +
+        s"THEN CAST(NULL AS DOUBLE) " +
         s"ELSE ($p2) * (1.0 + ${p}_r * ($horner)) END"))
   }
 

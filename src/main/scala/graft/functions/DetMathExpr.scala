@@ -154,9 +154,11 @@ case class DetLnSigned(child: Expression) extends UnaryExpression
      """.stripMargin)
 }
 
-/** `graft_det_exp(x)` — deterministic exp(x) for x ∈ [0, 64·ln2);
-  * NULL outside — past the 2^63 ladder (k > 63, mirroring the SQL
-  * guard) AND below zero (the ladder cannot divide). */
+/** `graft_det_exp(x)` — deterministic exp(x) for x with
+  * k = ⌊x/ln2 + ½⌋ ∈ [0, 63], i.e. x ∈ [−ln2/2, 63.5·ln2); NULL
+  * outside — past the 2^63 ladder (k > 63) and below the zero rung
+  * (k < 0: the ladder cannot divide), mirroring the SQL chain's guard
+  * exactly. */
 case class DetExp(child: Expression) extends UnaryExpression
   with ImplicitCastInputTypes {
   // analysis-time contract (r15 review): a non-double child gets
@@ -172,17 +174,22 @@ case class DetExp(child: Expression) extends UnaryExpression
   override def nullSafeEval(x: Any): Any = {
     val xd = x.asInstanceOf[Double]
     val k = math.floor(xd / DetMathOps.Ln2 + 0.5)
-    // BOTH ends guarded (r15 second-pass review): k < 0 would need a
-    // dividing ladder the 2^k assembly doesn't have — exp(-1) would
-    // silently read ~0.74 instead of 0.37 on the SQL surface
-    if (xd < 0.0 || k > 63.0) null else DetMathOps.expK(xd, k)
+    // BOTH ends guarded ON K — the actual ladder constraint (r16,
+    // round-15 ADVICE #1): k < 0 would need a dividing ladder the 2^k
+    // assembly doesn't have (exp(-1) would silently read ~0.74 instead
+    // of 0.37), but k = 0 covers x ∈ [-ln2/2, 0) with no ladder at all
+    // — the Taylor series on r = x is exact there, and the SQL chain
+    // returns that finite value, so an x < 0 guard here was a
+    // native-vs-chain divergence window. DetMathSpec pins bit-equality
+    // (and NULL agreement past -ln2/2) over a negative grid.
+    if (k < 0.0 || k > 63.0) null else DetMathOps.expK(xd, k)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val k = ctx.freshName("detExpK")
       s"""
          |double $k = java.lang.Math.floor($c / ${DetMathOps.Ln2}D + 0.5D);
-         |if ($c < 0.0D || $k > 63.0D) {
+         |if ($k < 0.0D || $k > 63.0D) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.DetMathOps.expK($c, $k);

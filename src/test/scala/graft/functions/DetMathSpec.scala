@@ -87,11 +87,15 @@ class DetMathSpec extends SparkSpec {
 
   test("expSteps yields NULL past the 2^63 ladder instead of a silent 2^m error") {
     val got = DetMath.withSteps(
-        Seq(44.0, 44.5, 60.0).toDF("x"), DetMath.expSteps("x", "ex"))
+        Seq(44.0, 44.5, 60.0, -0.3, -0.5, -4.0).toDF("x"),
+        DetMath.expSteps("x", "ex"))
       .select("x", "ex").as[(Double, Option[Double])].collect().toMap
     assert(got(44.0).isDefined)   // k = 63, still on the ladder
     assert(got(44.5).isEmpty)     // k = 64 — guarded
     assert(got(60.0).isEmpty)
+    assert(got(-0.3).isDefined)   // k = 0 — no ladder rung needed
+    assert(got(-0.5).isEmpty)     // k = -1 — the ladder cannot divide
+    assert(got(-4.0).isEmpty)
   }
 
   test("native expressions are BIT-IDENTICAL to the SQL chains over the live ranges") {
@@ -122,7 +126,12 @@ class DetMathSpec extends SparkSpec {
       withClue(s"lnSigned x=$x ") { bits(n) shouldBe bits(c) }
     }
 
-    val exXs = ((0 to 4430).map(_ * 0.01) ++ Seq(44.5, 60.0)).distinct
+    // negative grid (r16, round-15 ADVICE #1): [-ln2/2, 0) has k = 0 —
+    // no ladder, finite Taylor value in BOTH forms; below -ln2/2 the
+    // k < 0 guard must agree (NULL on both sides, never 2^|k| wrong)
+    val exXs = ((0 to 4430).map(_ * 0.01) ++
+      (1 to 400).map(i => -i * 0.001) ++
+      Seq(44.5, 60.0, -0.3465, -0.3466, -0.35, -1.0, -7.25)).distinct
     val ex = DetMath.withSteps(exXs.toDF("x"), DetMath.expSteps("x", "chain"))
       .withColumn("native", DetMathExpr.detExp(col("x")))
       .select("x", "chain", "native")
