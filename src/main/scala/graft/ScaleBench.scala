@@ -100,7 +100,31 @@ object ScaleBench {
         new java.io.File(s"/tmp/graft-scale/ndi_x$k"))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"/tmp/graft-scale/lex_x$k"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-scale/lexdiv_x$k"))
       val nd = k * n
+
+      // DIVERSE-VOCABULARY corpus (round 16): the dup-heavy corpus
+      // above is the lexical WORST case — its 31-token vocabulary is
+      // fully covered by any probe, so no token-level pruning can ever
+      // bite and exact-probe cost is honestly linear in the corpus.
+      // Real corpora have vocabularies that GROW with the corpus
+      // (Heaps' law) while probe batches touch a bounded slice; this
+      // twin corpus encodes that shape — 40 hash-derived tokens per doc
+      // over a vocabulary of nd tokens (expected df ≈ 40 per token), so
+      // the 100-doc probe touches ≤ 4000 of them and the probed posting
+      // rows are ~CONSTANT across scales. lex_probe_diverse measures
+      // what the token-range-sorted layout + In(t) pushdown buys here:
+      // the scan skips every row group of the (nd - 4000)-token rest.
+      val divPath = s"/tmp/graft-scale/divx$k"
+      if (wantOps.forall(_.exists(p => "lex_probe_diverse".startsWith(p)))) {
+        spark.range(nd).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)),
+            i => concat(lit("tok"),
+              pmod(xxhash64(col("id"), i), lit(nd))))).as("text"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(divPath)
+      }
 
       val ops: Seq[(String, () => DataFrame)] = Seq(
         "lsh_candidate_degree" -> (() =>
@@ -240,7 +264,7 @@ object ScaleBench {
         // sec" was an artifact of the absolute df cap emptying the
         // admitted set as the corpus grew.
         "lex_probe" -> (() => {
-          val fp = s"scale:lex:v4:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
           val tierPath = s"/tmp/graft-scale/lex_x$k"
           if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
             graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)
@@ -249,6 +273,23 @@ object ScaleBench {
               col("text"))
           graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals,
             graft.queries.SimilarityQueries.MaxDfPct)
+        }),
+        // the WAND exact serve (round 16): scores IDENTICAL to
+        // lex_probe (oracle-pinned), scoring work bounded by the
+        // impact-prefix threshold — the honest comparison on this
+        // worst-case corpus (probe vocab = whole vocab, so token
+        // pruning alone cannot bite and the ub pass still reads the
+        // probed postings; the EXACT-SCORED pair count is what falls)
+        "lex_probe_wand" -> (() => {
+          val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val tierPath = s"/tmp/graft-scale/lex_x$k"
+          if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
+            graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)
+          val arrivals = docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("text"))
+          graft.ext.Lex.queryLexIndexWand(spark, tierPath, arrivals,
+            graft.queries.SimilarityQueries.MaxDfPct, topK = 20)
         }),
         // the two-phase impact-prefix serve (round 15): candidates from
         // the persisted top-M impact prefixes (≤ M·|probe tokens| per
@@ -261,8 +302,26 @@ object ScaleBench {
         // share, which token-bucketed posting storage (the deployment
         // layout named in Lex's scaladoc) turns into prefix-file reads
         // the scan never opens.
+        // the diverse-vocab twin (round 16, r15 verdict #1): same probe
+        // shape against the Heaps-law corpus above — the measurement
+        // where "scan cost follows the probed posting lists, not the
+        // corpus" is falsifiable: probed rows are ~constant across
+        // scales, so sec must stay ~flat 1×→10×→30× (vs lex_probe's
+        // honest linearity on the flat-vocab worst case)
+        "lex_probe_diverse" -> (() => {
+          val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val tierPath = s"/tmp/graft-scale/lexdiv_x$k"
+          val ddocs = spark.read.parquet(divPath)
+          if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
+            graft.ext.Lex.buildLexIndex(spark, tierPath, ddocs, fp)
+          val arrivals = ddocs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("text"))
+          graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals,
+            graft.queries.SimilarityQueries.MaxDfPct)
+        }),
         "lex_probe_pruned" -> (() => {
-          val fp = s"scale:lex:v4:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
           val tierPath = s"/tmp/graft-scale/lex_x$k"
           if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
             graft.ext.Lex.buildLexIndex(spark, tierPath, docs, fp)

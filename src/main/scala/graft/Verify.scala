@@ -47,7 +47,12 @@ object Verify {
       // two concurrent lex-tier builds into doubled part files —
       // caught by the 2× scores it produced)
       "search_recall", "search_bm25_pruned", "search_pruned_recall",
-      "search_hybrid_pruned"),
+      "search_hybrid_pruned",
+      // round 16: the WAND exact-bounded serve and the pruned-hybrid
+      // recall evaluator ensure-build the same lex (and graph) roots
+      // (every ensure-builder of a shared root lists here in the SAME
+      // commit that adds it — the r15 race lesson)
+      "search_bm25_wand", "search_hybrid_pruned_recall"),
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),

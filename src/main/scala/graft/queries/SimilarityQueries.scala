@@ -1701,12 +1701,13 @@ object SimilarityQueries {
     TierRoots.of(kind, dir, "documents")
 
   /** Tokenizer fingerprint stored inside the lex tier marker — a
-    * re-cut token pattern invalidates every persisted tier. `v4` =
-    * the round-15 layout with per-generation df/stats tables and dl
-    * denormalized into the postings: a tier
-    * cut by the round-14 code lacks them and must read as "no tier". */
+    * re-cut token pattern invalidates every persisted tier. `v5` =
+    * the round-16 layout: token-range-sorted postings, the doc-major
+    * `forward` scoring table, and max_tf/min_dl in the per-generation
+    * df stats (the WAND bound inputs) — a tier cut by older code lacks
+    * them and must read as "no tier". */
   private val LexFingerprint =
-    s"lex:v4:m${graft.ext.Lex.LexPrunedM}:retok1:${graft.ext.Text.tokenPattern}"
+    s"lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1:${graft.ext.Text.tokenPattern}"
 
   /** Indexed window [0, LexBase) and arrival window [LexBase, LexCap)
     * for the upsert lifecycle queries — the near-dup tier's windows. */
@@ -1762,6 +1763,26 @@ object SimilarityQueries {
       Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
     bm25RankCut(Lex.queryLexIndexPruned(spark, path,
       Tables.documents(spark, dir).filter(col("doc_id") < NProbes), MaxDfPct))
+  }
+
+  /** EXACT BM25 SERVE WITH BOUNDED SCORING WORK — the WAND / MaxScore
+    * rendering (round 16, r15 verdict #4; Broder et al. 2003): same
+    * output as [[searchBm25Indexed]] TO THE HASH (it shares that
+    * query's oracle), but only candidates whose sound score upper
+    * bound ([[graft.ext.Lex.bm25UpperBounds]] — the per-token
+    * max_tf/min_dl stats persisted at write time) clears the
+    * impact-prefix round's top-[[RrfDepth]] threshold are ever
+    * exact-scored. The exact serve's scoring work is corpus-linear;
+    * here it follows the threshold — ScaleBench `lex_probe_wand`
+    * measures the exact-scored-pair ratio. */
+  def searchBm25Wand(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val path = lexRoot("graft_lex_index", dir)
+    if (!Lex.lexServes(spark, path, LexFingerprint))
+      Lex.buildLexIndex(spark, path, Tables.documents(spark, dir), LexFingerprint)
+    bm25RankCut(Lex.queryLexIndexWand(spark, path,
+      Tables.documents(spark, dir).filter(col("doc_id") < NProbes),
+      MaxDfPct, topK = RrfDepth))
   }
 
   /** Recall@[[K]] of the pruned serve against the exact BM25 serve —
@@ -1884,17 +1905,35 @@ object SimilarityQueries {
     * that contributes nothing reads as zeros here, loudly, while the
     * serve hashes still pass. All counts are integers and recall is
     * one IEEE division, so the whole evaluation is hash-gated. */
-  def searchRecallQ(spark: SparkSession, dir: String): DataFrame = {
+  def searchRecallQ(spark: SparkSession, dir: String): DataFrame =
+    hybridRecallOf(spark, dir, prunedLex = false)
+
+  /** The BOUNDED endpoint's recall evaluator (round 16 — r15 verdict
+    * #3): [[searchHybridPruned]] shipped without a grade; this is the
+    * same evaluator with the lexical arm served from the impact
+    * prefixes, so the fused recall@[[K]] and the per-arm hit counts of
+    * the fully-bounded composition sit in the registry NEXT TO the
+    * exact composition's — the delta between the two IS the price of
+    * bounding the lexical arm, readable per round from CORRECTNESS
+    * artifacts alone. SearchSpec pins both non-vacuity and that the
+    * pruned composition's recall stays within a stated delta of the
+    * exact one's. */
+  def searchHybridPrunedRecall(spark: SparkSession, dir: String): DataFrame =
+    hybridRecallOf(spark, dir, prunedLex = true)
+
+  private def hybridRecallOf(spark: SparkSession, dir: String,
+                             prunedLex: Boolean): DataFrame = {
     import graft.ext.Lex
     val lexPath = lexRoot("graft_lex_index", dir)
     if (!Lex.lexServes(spark, lexPath, LexFingerprint))
       Lex.buildLexIndex(spark, lexPath, Tables.documents(spark, dir),
         LexFingerprint)
     val graphPath = ensureGraphTier(spark, dir)
-    val textRank = rrfRanksOf(
-      Lex.queryLexIndex(spark, lexPath,
-        Tables.documents(spark, dir).filter(col("doc_id") < NProbes),
-        MaxDfPct), "__tr")
+    val probeDocs = Tables.documents(spark, dir).filter(col("doc_id") < NProbes)
+    val lexScores =
+      if (prunedLex) Lex.queryLexIndexPruned(spark, lexPath, probeDocs, MaxDfPct)
+      else Lex.queryLexIndex(spark, lexPath, probeDocs, MaxDfPct)
+    val textRank = rrfRanksOf(lexScores, "__tr")
     val vecRank = rrfRanksOf(
       Similarity.graphSearchIndexed(spark, graphPath, probes(spark, dir),
           k = RrfDepth, beam = GraphBeam, hops = GraphHops)
@@ -2130,6 +2169,11 @@ object SimilarityQueries {
     // corpus window)
     GQuery("search_bm25_indexed", searchBm25Indexed,
       Some(bm25RankOracle("TRUE", s"doc_id < $NProbes"))),
+    // the WAND serve's contract IS "exactly the exact serve, cheaper":
+    // same oracle text, so the hash gate proves the threshold pruning
+    // lossless on real data every round
+    GQuery("search_bm25_wand", searchBm25Wand,
+      Some(bm25RankOracle("TRUE", s"doc_id < $NProbes"))),
     GQuery("search_bm25_upsert", searchBm25Upsert,
       Some(bm25RankOracle(s"doc_id < $LexCap",
         s"doc_id >= $LexBase AND doc_id < $LexCap"))),
@@ -2246,6 +2290,56 @@ object SimilarityQueries {
                     row_number() OVER (PARTITION BY probe_id
                       ORDER BY sc DESC, cand_id) AS r
              FROM bs) WHERE r <= $RrfDepth),
+      vr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT f.probe_id, f.node AS cand_id,
+                    row_number() OVER (PARTITION BY f.probe_id
+                      ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS r
+             FROM gbest f JOIN vv n ON n.vec_id = f.node
+                  JOIN gpr p ON p.probe_id = f.probe_id)
+             WHERE r <= $RrfDepth),
+      fz AS (SELECT coalesce(tr.probe_id, vr.probe_id) AS probe_id,
+                    coalesce(tr.cand_id, vr.cand_id) AS cand_id,
+                    coalesce(1.0 / (tr.r + $RrfC), 0.0)
+                      + coalesce(1.0 / (vr.r + $RrfC), 0.0) AS s
+             FROM tr FULL OUTER JOIN vr
+                  ON tr.probe_id = vr.probe_id AND tr.cand_id = vr.cand_id),
+      gz AS (SELECT probe_id, cand_id, s,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY s DESC, cand_id) AS rk FROM fz),
+      fused AS (SELECT probe_id, cand_id FROM gz WHERE rk <= $K),
+      xact AS (SELECT * FROM graft_xact_full),
+      agg AS (SELECT f.probe_id,
+                     count(x.neighbor_id) AS n_hit,
+                     count(t.cand_id) AS lex_hits,
+                     count(CASE WHEN t.cand_id IS NOT NULL
+                                 AND v.cand_id IS NULL THEN 1 END) AS lex_only
+              FROM fused f
+              LEFT JOIN xact x ON x.probe_id = f.probe_id
+                              AND x.neighbor_id = f.cand_id
+              LEFT JOIN tr t ON t.probe_id = f.probe_id
+                            AND t.cand_id = f.cand_id
+              LEFT JOIN vr v ON v.probe_id = f.probe_id
+                            AND v.cand_id = f.cand_id
+              GROUP BY 1)
+      SELECT p.probe_id,
+             CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(a.n_hit, 0) AS DOUBLE) / $K AS recall_at_k,
+             CAST(coalesce(a.lex_hits, 0) AS BIGINT) AS lex_hits,
+             CAST(coalesce(a.lex_only, 0) AS BIGINT) AS lex_only_hits
+      FROM gpr p LEFT JOIN agg a ON a.probe_id = p.probe_id
+      ORDER BY p.probe_id""")),
+    // the bounded composition's evaluator (r15 verdict #3): identical
+    // shape, lexical arm from the impact-prefix replay (pbs) — the
+    // recall delta vs search_recall prices bounding the arm
+    GQuery("search_hybrid_pruned_recall", searchHybridPrunedRecall, Some(s"""
+      ${graphTempPrefix("full", "embeddings", withXact = true)}
+      WITH $graphSearchCtes,
+      ${bm25PrunedOracleCtes("TRUE", s"doc_id < $NProbes")},
+      tr AS (SELECT probe_id, cand_id, r FROM (
+             SELECT probe_id, cand_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY sc DESC, cand_id) AS r
+             FROM pbs) WHERE r <= $RrfDepth),
       vr AS (SELECT probe_id, cand_id, r FROM (
              SELECT f.probe_id, f.node AS cand_id,
                     row_number() OVER (PARTITION BY f.probe_id

@@ -101,18 +101,69 @@ class LexSpec extends SparkSpec {
     val (dfF, statsF) = Lex.lexTierStats(spark, path)
     val (p, d) = Lex.factTables(docs)
     val (dfR, statsR) = Lex.statTables(p, d)
-    dfF.orderBy("t").as[(String, Long)].collect().toSeq shouldBe
+    dfF.select("t", "df").orderBy("t").as[(String, Long)].collect().toSeq shouldBe
       dfR.orderBy("t").as[(String, Long)].collect().toSeq
     statsF.as[(Long, Long)].collect().toSeq shouldBe
       statsR.as[(Long, Long)].collect().toSeq
+    // the WAND-bound stats fold too: per-token max tf / min dl across
+    // generations must equal a fresh full build's aggregates (max of
+    // maxes / min of mins over disjoint doc sets)
+    val boundsR = p.join(d, "doc_id").groupBy("t")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"))
+      .orderBy("t").as[(String, Long, Long)].collect().toSeq
+    dfF.select("t", "max_tf", "min_dl").orderBy("t")
+      .as[(String, Long, Long)].collect().toSeq shouldBe boundsR
     // and the fold survives compaction (the base then carries the
     // reaggregated tables)
     Lex.compactLexIndex(spark, path, fp)
     val (dfC, statsC) = Lex.lexTierStats(spark, path)
-    dfC.orderBy("t").as[(String, Long)].collect().toSeq shouldBe
+    dfC.select("t", "df").orderBy("t").as[(String, Long)].collect().toSeq shouldBe
       dfR.orderBy("t").as[(String, Long)].collect().toSeq
     statsC.as[(Long, Long)].collect().toSeq shouldBe
       statsR.as[(Long, Long)].collect().toSeq
+    dfC.select("t", "max_tf", "min_dl").orderBy("t")
+      .as[(String, Long, Long)].collect().toSeq shouldBe boundsR
+  }
+
+  test("WAND serve equals the exact serve exactly, across generations and compaction") {
+    val path = s"target/test_lex_wand_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") <= 2L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 3L), fp)
+    Lex.upsertLexIndex(spark, path, docs.filter(col("doc_id") === 4L), fp)
+    val probe = Seq((10L, "alpha beta eta common")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("probe_id", "cand_id", "__score")
+        .as[(Long, Long, Double)].collect()
+        .map { case (p, c, s) => (p, c) -> s }.toMap
+    val exact = rows(Lex.queryLexIndex(spark, path, probe, 100))
+    // topK = 1: the TIGHTEST threshold — pairs may be legitimately
+    // pruned below the per-probe best, but every kept pair's score
+    // must be bit-equal and the top-1 must survive; topK ≥ |cands|
+    // must reproduce the exact serve verbatim
+    val wandWide = rows(Lex.queryLexIndexWand(spark, path, probe, 100, topK = 20))
+    wandWide shouldBe exact
+    val wand1 = Lex.queryLexIndexWand(spark, path, probe, 100, topK = 1)
+      .select("probe_id", "cand_id", "__score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, c, s) => (p, c) -> s }.toMap
+    wand1.foreach { case (k, s) => s shouldBe exact(k) }
+    val best = exact.maxBy { case ((_, c), s) => (s, -c) }
+    wand1.keySet should contain(best._1)
+    // survives compaction
+    Lex.compactLexIndex(spark, path, fp)
+    rows(Lex.queryLexIndexWand(spark, path, probe, 100, topK = 20)) shouldBe exact
+  }
+
+  test("generation writes produce both layouts: token-sorted postings and doc-sorted forward, same rows") {
+    val path = s"target/test_lex_layout_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs, fp)
+    val post = spark.read.parquet(s"$path/postings")
+    val fwd = spark.read.parquet(s"$path/forward")
+    post.columns.toSet shouldBe fwd.columns.toSet
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "t", "tf", "dl")
+        .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    norm(post) shouldBe norm(fwd)
   }
 
   test("pruned serve across generations: per-segment prefixes union, scores equal the exact serve") {

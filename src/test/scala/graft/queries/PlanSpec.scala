@@ -599,6 +599,15 @@ class PlanSpec extends SparkSpec {
     pFinal should include("/df]")
     pFinal should include("/stats]")
     "/postings]".r.findAllIn(pFinal).size shouldBe 1
+    // r15 verdict #1: the probe batch's bounded token set must reach
+    // the token-range-sorted postings scan as a PUSHED In(t, …) filter
+    // — row-group pruning on the inverted index, scan cost follows the
+    // probed posting lists. Assert on the scan node that reads the
+    // postings dir, not anywhere in the plan.
+    val postingsScan = pFinal.linesIterator
+      .find(l => l.contains("/postings]") && l.contains("FileScan"))
+    postingsScan should not be None
+    postingsScan.get should include("PushedFilters: [In(t, [")
     // doc length is DENORMALIZED into the persisted postings (the
     // Lucene per-doc-norm layout): the probe plan must not join — or
     // even scan — the dlen table, so its only exchange is the final
@@ -635,6 +644,44 @@ class PlanSpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("search_bm25_pruned: exact scoring reads the doc-major forward table with the candidate set pushed down") {
+    val df = SimilarityQueries.searchBm25Pruned(spark, dir)
+    df.collect() // ensures the tier, drives AQE to the final plan
+    val p = plan(df).split("== Initial Plan ==").head
+    // the two-phase serve's scoring scan is the FORWARD layout (r15
+    // verdict #1): bounded candidate docs pushed as In(doc_id, …), the
+    // probe tokens as In(t, …) — the scan is candidate-shaped at any
+    // corpus size. The inverted postings table must NOT appear: its
+    // only role here was candidate generation, which the collected
+    // prefix pairs replaced.
+    val fwdScan = p.linesIterator
+      .find(l => l.contains("/forward]") && l.contains("FileScan"))
+    fwdScan should not be None
+    fwdScan.get should include("In(doc_id, [")
+    fwdScan.get should include("In(t, [")
+    p should not include "/postings]"
+    p should not include "/dlen]"
+    p should not include "CartesianProduct"
+  }
+
+  test("search_bm25_wand: phase structure — bounded forward scoring for theta, one ub pass, survivors exact-scored") {
+    val df = SimilarityQueries.searchBm25Wand(spark, dir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // phase 1 scores prefix candidates off the forward table (doc
+    // pushdown); phases 2+3 share the token-pruned postings scan —
+    // In(t, …) pushed on every postings read; never a cartesian
+    val fwdScan = p.linesIterator
+      .find(l => l.contains("/forward]") && l.contains("FileScan"))
+    fwdScan should not be None
+    fwdScan.get should include("In(doc_id, [")
+    p.linesIterator
+      .filter(l => l.contains("/postings]") && l.contains("FileScan"))
+      .foreach(l => l should include("PushedFilters: [In(t, ["))
+    p should not include "CartesianProduct"
+    p should not include "/dlen]"
   }
 
   test("dedup_index_query: probe bands broadcast against the persisted band tier; no cartesian") {
