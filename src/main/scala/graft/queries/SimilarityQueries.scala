@@ -128,6 +128,34 @@ object SimilarityQueries {
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim")))
 
+  /** δ past the structural maximum (new edges ≤ |sym(g)| ≤ 2·n·k, so
+    * any δPct > 200 fires whenever a second round is evaluated) — this
+    * query exists to pin the TRUNCATED-trajectory semantics and the
+    * new-edge COUNTING cross-engine, not to recommend the value; see
+    * [[Similarity.knnGraph]]'s honest fixture note (at GraphRounds = 2
+    * the published δ ≈ 0.001 cannot fire here: 49% of candidates are
+    * still new when the round budget ends). */
+  private val DeltaTermPct = 250
+
+  /** NN-DESCENT δ-TERMINATION (round 16 — r15 verdict #2, the paper's
+    * Algorithm 2 stop rule): build with `deltaPct` = [[DeltaTermPct]],
+    * which provably halts before round 2's refinement — the result
+    * must be EXACTLY the round-1 graph, and the reported
+    * `n_new_edges` (what the integer δ comparison ran on) must equal
+    * the oracle's own |sym(g1) \ sym(g0)| set difference. Both the
+    * branch taken AND the counting are therefore hash-gated; the
+    * full-trajectory twin is `ann_knn_graph` (δ = 0). */
+  def annGraphDeltaTerm(spark: SparkSession, dir: String): DataFrame = {
+    val (g, nNew, fired) = Similarity.knnGraphWithStats(
+      Tables.embeddings(spark, dir), k = GraphK, rounds = GraphRounds,
+      deltaPct = DeltaTermPct)
+    require(fired, "ann_graph_delta_term: past-max delta did not fire - " +
+      "the termination rule's comparison is broken")
+    dumpSorted(g.select(col("vec_id"), col("neighbor_id"),
+      round(col("cos_sim"), 6).as("cos_sim"))
+      .withColumn("n_new_edges", lit(nNew)))
+  }
+
   /** Deterministic dump ordering WITHOUT a global range sort (round
     * 14): `orderBy` range-partitions, and its sampling pass RE-EXECUTES
     * the child — for a broadcast-heavy child (the beam walk, the
@@ -2570,6 +2598,26 @@ object SimilarityQueries {
     // deterministic NN-Descent kNN graph: the oracle replays the
     // bucket+ring init and both refinement rounds step for step
     GQuery("ann_knn_graph", knnGraphQ, Some(fullGraphOracle)),
+    // δ-termination: the oracle replays the SAME truncated trajectory —
+    // it computes the new-edge set difference itself, applies the
+    // identical integer comparison, and selects g1 or g2 by the branch
+    // taken, so both the counting and the truncation are hash-gated
+    GQuery("ann_graph_delta_term", annGraphDeltaTerm, Some(s"""
+      WITH ${knnGraphCtesOver("embeddings")},
+      gdnew AS (SELECT CAST(count(*) AS BIGINT) AS n_new FROM (
+          SELECT src, dst FROM u2 EXCEPT SELECT src, dst FROM u1)),
+      gdfire AS (SELECT ((SELECT n_new FROM gdnew) * 100 <
+          $DeltaTermPct * (SELECT count(*) FROM embeddings) * $GraphK) AS f),
+      gdres AS (
+          SELECT src, dst FROM g1 WHERE (SELECT f FROM gdfire)
+          UNION ALL
+          SELECT src, dst FROM g2 WHERE NOT (SELECT f FROM gdfire))
+      SELECT r.src AS vec_id, r.dst AS neighbor_id,
+             ROUND(list_cosine_similarity(vs.e, vd.e), 6) AS cos_sim,
+             (SELECT n_new FROM gdnew) AS n_new_edges
+      FROM gdres r JOIN vv vs ON vs.vec_id = r.src
+           JOIN vv vd ON vd.vec_id = r.dst
+      ORDER BY vec_id, cos_sim DESC, neighbor_id""")),
     // post-compaction the tier holds exactly the full-corpus graph —
     // the ann_knn_graph oracle hash-proves the whole lifecycle
     GQuery("ann_graph_compact", annGraphCompactQ, Some(fullGraphOracle)),

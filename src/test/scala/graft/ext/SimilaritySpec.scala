@@ -347,6 +347,47 @@ class SimilaritySpec extends SparkSpec {
     (exact & g2).size should be >= (exact & g1).size
     // bit-deterministic re-run
     edges(Similarity.knnGraph(df, k = 5, rounds = 2)) shouldBe g2
+
+    // δ-termination (round 16): a past-max δ (new edges ≤ 2·n·k, so
+    // δPct = 250 always clears) must halt BEFORE round 2's refinement
+    // — the result is exactly the round-1 graph, the fired flag is
+    // true, and the reported count equals the true set difference
+    // |sym(g1) \ sym(g0)| the oracle recomputes
+    val (gd, nNew, fired) = Similarity.knnGraphWithStats(
+      df, k = 5, rounds = 2, deltaPct = 250)
+    fired shouldBe true
+    edges(gd) shouldBe g1
+    nNew should be >= 0L
+    // δ = 0 reports no count (round 2 runs to completion, the zero-new
+    // probe never counts) and returns the full trajectory
+    val (g0d, n0, f0) = Similarity.knnGraphWithStats(df, k = 5, rounds = 2)
+    f0 shouldBe false
+    n0 shouldBe -1L
+    edges(g0d) shouldBe g2
+    // the paper's ACTUAL use: on genuinely CONVERGING data a small δ
+    // fires as soon as the update rate collapses — this planted-cluster
+    // corpus converges after round 1 (the bucket init already finds the
+    // in-cluster neighborhoods), so δ = 1% halts round 2 honestly
+    val (gSmall, nSmall, fSmall) = Similarity.knnGraphWithStats(
+      df, k = 5, rounds = 2, deltaPct = 1)
+    fSmall shouldBe true
+    (nSmall * 100) should be < (1L * corpus.size * 5)
+    edges(gSmall) shouldBe g1
+    // ...and on a corpus the init CANNOT cover in one round (init
+    // two-hop reach ≈ degree² ≈ 144 ≪ n = 400, so round 2 still
+    // changes hundreds of edges — tiny corpora all converge in one
+    // round because two-hop reaches everything) the same δ = 1% must
+    // NOT fire: the trajectory runs to the full budget
+    val flat = (0 until 400).map { i =>
+      val r = new scala.util.Random(31L * i + 7)
+      (i.toLong, Array.fill(16)(r.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val (gFlat, nFlat, fFlat) = Similarity.knnGraphWithStats(
+      flat, k = 4, rounds = 2, deltaPct = 1, dim = 16)
+    fFlat shouldBe false
+    (nFlat * 100) should be >= (1L * 400 * 4)
+    edges(gFlat) shouldBe
+      edges(Similarity.knnGraph(flat, k = 4, rounds = 2, dim = 16))
   }
 
   test("graphSearch: beam search over the kNN graph recovers exact top-k on planted clusters; deterministic; self excluded") {
