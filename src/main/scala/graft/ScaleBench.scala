@@ -117,7 +117,7 @@ object ScaleBench {
       // what the token-range-sorted layout + In(t) pushdown buys here:
       // the scan skips every row group of the (nd - 4000)-token rest.
       val divPath = s"/tmp/graft-scale/divx$k"
-      if (wantOps.forall(_.exists(p => "lex_probe_diverse".startsWith(p)))) {
+      if (on("lex_probe_diverse") || on("lex_wand_pruning")) {
         spark.range(nd).select(col("id").as("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(39)),
             i => concat(lit("tok"),
@@ -335,6 +335,32 @@ object ScaleBench {
         val sec = timeOp(op())
         val usPerDoc = sec * 1e6 / nd
         println(f"""{"metric":"scale","op":"$name","scale":$k,"docs":$nd,"sec":$sec%.3f,"us_per_doc":$usPerDoc%.2f}""")
+      }
+
+      // WAND pruning power (round 16): the claim is "exact output,
+      // exact-scored pair count bounded by θ" — measure the count, per
+      // corpus shape. On the Heaps-law corpus bounds discriminate
+      // (measured 2.7% of pairs at 10×); on the flat-vocab worst case
+      // every doc shares every token at near-identical lengths, bounds
+      // are near-uniform, and WAND honestly degrades to ~all pairs —
+      // the literature's own caveat (WAND wins on skewed score
+      // distributions), reported rather than hidden.
+      if (on("lex_wand_pruning")) {
+        for ((shape, dPath, tPath) <- Seq(
+            ("flat", path, s"/tmp/graft-scale/lex_x$k"),
+            ("diverse", divPath, s"/tmp/graft-scale/lexdiv_x$k"))) {
+          val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val d = spark.read.parquet(dPath)
+          if (!graft.ext.Lex.lexServes(spark, tPath, fp))
+            graft.ext.Lex.buildLexIndex(spark, tPath, d, fp)
+          val arrivals = d.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+          val maxDf = graft.queries.SimilarityQueries.MaxDfPct
+          val nAll = graft.ext.Lex.queryLexIndex(spark, tPath, arrivals, maxDf).count()
+          val nScored = graft.ext.Lex.queryLexIndexWand(
+            spark, tPath, arrivals, maxDf, topK = 20).count()
+          println(f"""{"metric":"scale","op":"lex_wand_pruning","shape":"$shape","scale":$k,"docs":$nd,"exact_pairs":$nAll,"wand_scored_pairs":$nScored,"scored_ratio":${nScored.toDouble / math.max(nAll, 1)}%.4f}""")
+        }
       }
 
       // Connected components over the dup-family clique edge set (every

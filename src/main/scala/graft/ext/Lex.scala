@@ -174,10 +174,19 @@ object Lex {
     * the impact-prefix serving path, where the pair set is bounded by
     * M·|probe tokens| per probe. Returns (probe_id, cand_id, __score
     * DOUBLE) — the exact-decimal per-pair sum surfaced as a double. */
+  /** `hintBroadcastCandidates`: the impact-prefix serves pass true —
+    * their candidate set is bounded by construction (≤ M·|probe
+    * tokens|·gens), so the hint is safe and skips a shuffle. The WAND
+    * serve passes FALSE: its survivor set is θ-dependent and on a
+    * corpus whose score bounds don't discriminate (flat vocabulary)
+    * degenerates to ALL pairs — a forced broadcast there is a
+    * corpus-sized driver hazard, so the planner (AQE) picks the join
+    * side from actual sizes instead. */
   def bm25Scores(postings: DataFrame, dlen: DataFrame, probeTok: DataFrame,
                  maxDfPct: Int, idCol: String = "doc_id",
                  dfStats: Option[(DataFrame, DataFrame)] = None,
-                 candidates: Option[DataFrame] = None): DataFrame = {
+                 candidates: Option[DataFrame] = None,
+                 hintBroadcastCandidates: Boolean = true): DataFrame = {
     val (dfT, stats0) = dfStats.getOrElse(statTables(postings, dlen))
     val stats = stats0.withColumn("avgdl", expr(Bm25AvgdlSql))
     val ptok = probeTok.select(col("probe_id"), col("t"))
@@ -196,7 +205,9 @@ object Lex {
       .filter(col(idCol) =!= col("probe_id"))
       .join(broadcast(idf), "t")
     val pruned = candidates
-      .map(c => pruned0.join(broadcast(c), Seq("probe_id", idCol)))
+      .map(c => pruned0.join(
+        if (hintBroadcastCandidates) broadcast(c) else c,
+        Seq("probe_id", idCol)))
       .getOrElse(pruned0)
     val withDl =
       if (postings.columns.contains("dl")) pruned
@@ -598,9 +609,15 @@ object Lex {
       .filter(col("__ubscore") >=
         coalesce(col("__theta"), lit(Double.NegativeInfinity)))
       .select(col("probe_id"), col(idCol))
-    // phase 3: exact-score the survivors only
+    // phase 3: exact-score the survivors only. NO broadcast hint on the
+    // survivor join: the set is θ-dependent — bounded when score bounds
+    // discriminate, ALL pairs when they don't (flat vocabulary), and a
+    // forced corpus-sized broadcast is exactly the hazard AQE's
+    // size-based choice avoids (measured: a 3M-pair survivor broadcast
+    // OOMed a 1 GB driver on the flat-vocab 10× corpus).
     bm25Scores(tokPruned, dlen, ptok, maxDfPct, idCol,
-      dfStats = Some((dfT, stats0)), candidates = Some(survivors))
+      dfStats = Some((dfT, stats0)), candidates = Some(survivors),
+      hintBroadcastCandidates = false)
   }
 
   /** COMPACT: fold generations into the base tables and drop them.

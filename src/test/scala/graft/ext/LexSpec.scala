@@ -154,6 +154,15 @@ class LexSpec extends SparkSpec {
     rows(Lex.queryLexIndexWand(spark, path, probe, 100, topK = 20)) shouldBe exact
   }
 
+  test("empty-vocabulary probe batches serve empty results through every path (the isin-empty edge)") {
+    val path = s"target/test_lex_empty_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, path, docs, fp)
+    val blank = Seq((10L, "")).toDF("doc_id", "text")
+    Lex.queryLexIndex(spark, path, blank, 100).count() shouldBe 0L
+    Lex.queryLexIndexPruned(spark, path, blank, 100).count() shouldBe 0L
+    Lex.queryLexIndexWand(spark, path, blank, 100, topK = 5).count() shouldBe 0L
+  }
+
   test("generation writes produce both layouts: token-sorted postings and doc-sorted forward, same rows") {
     val path = s"target/test_lex_layout_${System.nanoTime()}"
     Lex.buildLexIndex(spark, path, docs, fp)
