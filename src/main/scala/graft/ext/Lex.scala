@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * numbered delta generations per arrival batch → idempotent
   * compaction.
   *
-  * Tier content is six append-only tables per generation, all
-  * fixed-width and text-free, in the TWO layouts a retrieval engine
-  * actually needs (round 16 — r15 verdict #1; the Lucene split of
-  * inverted index vs per-doc stored fields):
+  * Tier content is six append-only tables for the BASE segment (five
+  * for delta generations — arrival-sized segments skip the heavy
+  * layouts, see [[writeGenTablesFrom]]), all fixed-width and
+  * text-free, in the TWO layouts a retrieval engine actually needs
+  * (round 16 — r15 verdict #1; the Lucene split of inverted index vs
+  * per-doc stored fields):
   *  - `postings` (doc_id, t, tf, dl) RANGE-SORTED BY TOKEN — the
   *    inverted index: each parquet file holds a disjoint token range
   *    with tight row-group min/max stats, so a probe batch's bounded
@@ -274,9 +276,9 @@ object Lex {
   }
 
   private def writeGenTables(dir: String, postings: DataFrame,
-                             dlen: DataFrame): Unit = {
+                             dlen: DataFrame, base: Boolean): Unit = {
     val (d, joined) = genTableFrames(postings, dlen)
-    writeGenTablesFrom(dir, d, joined)
+    writeGenTablesFrom(dir, d, joined, base)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
   }
@@ -296,8 +298,23 @@ object Lex {
     * follows the materialized fact frame's parallelism (capped —
     * at deployment scale files are sized by bytes, and any count
     * preserves correctness: readers re-sort). */
+  /** `base = true` (full builds and compaction) writes the heavy
+    * layouts — postings range-sorted by token, the doc-major `forward`
+    * table — because the base segment is CORPUS-sized and its scans
+    * are what the pushdown filters must prune. `base = false` (delta
+    * generations) writes plain postings and NO forward table: a
+    * generation is one ARRIVAL batch — Lucene's small-segment
+    * convention — whose scans are batch-sized with or without layout,
+    * whose accumulated total the compaction policy bounds relative to
+    * the base, and whose rows fold into the laid-out base at the next
+    * compaction. This keeps the upsert/streaming write path at one
+    * posting materialization + the per-token prefix window instead of
+    * three shuffled writes per micro-batch (measured: the autocompact
+    * replay paid +3.8 s for layouts its generation scans never used).
+    * [[lexTierForwardAt]] serves delta segments from their postings
+    * (same rows, same schema). */
   private def writeGenTablesFrom(dir: String, d: DataFrame,
-                                 joined: DataFrame): Unit = {
+                                 joined: DataFrame, base: Boolean): Unit = {
     val idc = joined.columns.head
     // per-token stats: df counts the list length; max_tf/min_dl bound
     // the query-independent part of any BM25 term for that token (the
@@ -306,8 +323,11 @@ object Lex {
       max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
     val stats = d.agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
     val nFiles = math.min(32, math.max(1, joined.rdd.getNumPartitions))
-    graft.core.Layout.writeRangeSorted(joined, s"$dir/postings", "t", nFiles)
-    graft.core.Layout.writeRangeSorted(joined, s"$dir/forward", idc, nFiles)
+    if (base) {
+      graft.core.Layout.writeRangeSorted(joined, s"$dir/postings", "t", nFiles)
+      graft.core.Layout.writeRangeSorted(joined, s"$dir/forward", idc, nFiles)
+    } else
+      joined.write.mode("overwrite").parquet(s"$dir/postings")
     // impact-ordered top-[[LexPrunedM]] prefix of every posting list —
     // the one per-token sort, paid at WRITE time once per generation
     // (this generation's avgdl: pruning is per-segment, so it never
@@ -335,7 +355,7 @@ object Lex {
     Markers.delete(spark, s"$path/$LexCompleteMarker")
     DeltaGens.drop(spark, deltaRoot(path))
     val (postings, dlen) = factTables(docs, idCol, textCol)
-    writeGenTables(path, postings, dlen)
+    writeGenTables(path, postings, dlen, base = true)
     Markers.write(spark, s"$path/$LexCompleteMarker", fingerprint)
   }
 
@@ -355,7 +375,7 @@ object Lex {
     val gen = genPath(path,
       DeltaGens.next(spark, deltaRoot(path), LexDeltaMarker))
     val (postings, dlen) = factTables(batch, idCol, textCol)
-    writeGenTables(gen, postings, dlen)
+    writeGenTables(gen, postings, dlen, base = false)
     DeltaGens.markComplete(spark, gen, LexDeltaMarker)
   }
 
@@ -405,13 +425,16 @@ object Lex {
     (dfT, stats)
   }
 
-  /** The merged doc-major FORWARD tables (base ∪ completed gens) — the
-    * scoring store the candidate-bounded serves read with an
-    * `In(doc_id, …)` pushdown. Same rows as `postings`, sorted the
-    * other way. */
+  /** The merged doc-major FORWARD view (base `forward` ∪ completed
+    * gens' postings) — the scoring store the candidate-bounded serves
+    * read with an `In(doc_id, …)` pushdown. The BASE segment has the
+    * dedicated doc-sorted layout (it is corpus-sized — pruning is the
+    * point); delta generations serve their postings directly: same
+    * rows, same schema, arrival-batch-sized scans the pushdown
+    * wouldn't meaningfully shrink (see [[writeGenTablesFrom]]). */
   private def lexTierForwardAt(spark: org.apache.spark.sql.SparkSession,
                                path: String, gens: Seq[Int]): DataFrame =
-    gens.map(g => spark.read.parquet(s"${genPath(path, g)}/forward"))
+    gens.map(g => spark.read.parquet(s"${genPath(path, g)}/postings"))
       .foldLeft(spark.read.parquet(s"$path/forward"))(_ unionByName _)
 
   /** Loud guard on the driver-side bounded collects below: a probe
@@ -645,7 +668,7 @@ object Lex {
     // statistics are REAGGREGATED from the merged facts (one extra
     // shuffle over data compaction rewrites anyway) — exact integers,
     // so this equals the generation fold bit-for-bit
-    writeGenTablesFrom(path, d, joined)
+    writeGenTablesFrom(path, d, joined, base = true)
     dropLexDeltas(spark, path)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(d)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(joined)
