@@ -146,9 +146,12 @@ object SimilarityQueries {
     * branch taken AND the counting are therefore hash-gated; the
     * full-trajectory twin is `ann_knn_graph` (δ = 0). */
   def annGraphDeltaTerm(spark: SparkSession, dir: String): DataFrame = {
+    // the [0, UpsertSplit) window: the mechanism is equally pinned on
+    // the smaller corpus and the query prices the RULE, not a second
+    // full-corpus build (ann_knn_graph already prices that)
     val (g, nNew, fired) = Similarity.knnGraphWithStats(
-      Tables.embeddings(spark, dir), k = GraphK, rounds = GraphRounds,
-      deltaPct = DeltaTermPct)
+      Tables.embeddings(spark, dir).filter(col("vec_id") < UpsertSplit),
+      k = GraphK, rounds = GraphRounds, deltaPct = DeltaTermPct)
     require(fired, "ann_graph_delta_term: past-max delta did not fire - " +
       "the termination rule's comparison is broken")
     dumpSorted(g.select(col("vec_id"), col("neighbor_id"),
@@ -2603,11 +2606,13 @@ object SimilarityQueries {
     // identical integer comparison, and selects g1 or g2 by the branch
     // taken, so both the counting and the truncation are hash-gated
     GQuery("ann_graph_delta_term", annGraphDeltaTerm, Some(s"""
-      WITH ${knnGraphCtesOver("embeddings")},
+      WITH ${knnGraphCtesOver(
+        s"(SELECT * FROM embeddings WHERE vec_id < $UpsertSplit)")},
       gdnew AS (SELECT CAST(count(*) AS BIGINT) AS n_new FROM (
           SELECT src, dst FROM u2 EXCEPT SELECT src, dst FROM u1)),
       gdfire AS (SELECT ((SELECT n_new FROM gdnew) * 100 <
-          $DeltaTermPct * (SELECT count(*) FROM embeddings) * $GraphK) AS f),
+          $DeltaTermPct * (SELECT count(*) FROM embeddings
+                           WHERE vec_id < $UpsertSplit) * $GraphK) AS f),
       gdres AS (
           SELECT src, dst FROM g1 WHERE (SELECT f FROM gdfire)
           UNION ALL
