@@ -56,6 +56,10 @@ object Verify {
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),
+    // round 16: the WAND upsert twin reads the SAME graft_lex_upsert
+    // root that search_bm25_upsert REBUILDS unconditionally every run
+    // — concurrent dump = reading a tier mid-rewrite
+    "tier_lex_upsert" -> Seq("search_bm25_upsert", "search_bm25_wand_upsert"),
     // both ensure-build against the SAME persisted model root — the
     // single-writer contract every shared tier root carries
     "tier_bpe_model" -> Seq("text_bpe_frozen", "text_bpe_fertility"))

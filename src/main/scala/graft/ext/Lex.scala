@@ -692,7 +692,16 @@ object Lex {
     fire
   }
 
-  /** Test-only: completed generation numbers at `path`. */
+  /** Completed generation numbers at `path` — a point-in-time listing
+    * (callers needing consistency across several reads must thread ONE
+    * snapshot; the serve entry points above do). Registry use: the
+    * upsert-lifecycle twins ensure base + arrival generation exist
+    * before serving. */
+  def lexGens(spark: org.apache.spark.sql.SparkSession,
+              path: String): Seq[Int] =
+    completedGens(spark, path)
+
+  /** Test-only alias (kept for older specs). */
   private[graft] def lexGensForTest(spark: org.apache.spark.sql.SparkSession,
                                     path: String): Seq[Int] =
     completedGens(spark, path)

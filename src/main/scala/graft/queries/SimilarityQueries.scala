@@ -1816,6 +1816,42 @@ object SimilarityQueries {
       MaxDfPct, topK = RrfDepth))
   }
 
+  /** [[searchBm25Wand]] OVER A MULTI-GENERATION TIER (round 16 — the
+    * registry twin of LexSpec's wand-across-generations proof): the
+    * WAND bound inputs (per-token max_tf / min_dl) FOLD across the
+    * base segment and every delta generation by max/min
+    * ([[graft.ext.Lex.lexTierStatsAt]]), the candidate prefixes union
+    * per segment, and phase 3's exact scoring reads the base's
+    * doc-major layout alongside the deltas' plain postings — the
+    * distinct serving path [[searchBm25Wand]]'s single-segment tier
+    * never exercises. Shares [[searchBm25Upsert]]'s oracle VERBATIM:
+    * the hash gate proves the gens-folded bounds lossless, every
+    * round, on the same lifecycle the exact upsert serve prices. The
+    * tier is ensured (built + one arrival generation) only when
+    * absent, so the lifecycle cost stays priced by `search_bm25
+    * _upsert` and this query prices the bounded SERVE — over the
+    * FIRST [[NProbes]] arrivals only: the fixture vocabulary is flat
+    * (WAND's documented worst case, see the ScaleBench
+    * `lex_wand_pruning` note), so the full 100-probe window would
+    * just re-pay the degenerate shape the exact twin already prices;
+    * the folded-bounds semantics this query pins is probe-count
+    * independent. */
+  def searchBm25WandUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Lex
+    val docs = Tables.documents(spark, dir)
+    val path = lexRoot("graft_lex_upsert", dir)
+    val arrivals = docs.filter(col("doc_id") >= LexBase && col("doc_id") < LexCap)
+    if (!Lex.lexServes(spark, path, LexFingerprint) ||
+        Lex.lexGens(spark, path).isEmpty) {
+      Lex.buildLexIndex(spark, path, docs.filter(col("doc_id") < LexBase),
+        LexFingerprint)
+      Lex.upsertLexIndex(spark, path, arrivals, LexFingerprint)
+    }
+    bm25RankCut(Lex.queryLexIndexWand(spark, path,
+      arrivals.filter(col("doc_id") < LexBase + NProbes), MaxDfPct,
+      topK = RrfDepth))
+  }
+
   /** Recall@[[K]] of the pruned serve against the exact BM25 serve —
     * the evaluator that prices [[searchBm25Pruned]]'s approximation
     * (`ann_recall`'s lexical twin): per probe, how many of the exact
@@ -2208,6 +2244,13 @@ object SimilarityQueries {
     GQuery("search_bm25_upsert", searchBm25Upsert,
       Some(bm25RankOracle(s"doc_id < $LexCap",
         s"doc_id >= $LexBase AND doc_id < $LexCap"))),
+    // WAND over the multi-generation tier: same oracle TEXT as the
+    // exact upsert serve on its probe window — the hash gate proves
+    // the gens-FOLDED max/min bounds (and per-segment prefixes)
+    // lossless on the lifecycle
+    GQuery("search_bm25_wand_upsert", searchBm25WandUpsert,
+      Some(bm25RankOracle(s"doc_id < $LexCap",
+        s"doc_id >= $LexBase AND doc_id < ${LexBase + NProbes}"))),
     // impact-ordered pruned serve + its recall evaluator: the oracle
     // replays the static-impact prefix cut and BM25 over only those
     // prefixes with full-corpus statistics

@@ -97,4 +97,17 @@ class SearchSpec extends SparkSpec {
       .collect().toSeq
     wand shouldBe exact
   }
+
+  test("WAND upsert serve: identical to the exact serve over the multi-generation tier") {
+    // the exact lifecycle query builds base [0,400) + one arrival
+    // generation [400,500) unconditionally; the WAND twin then serves
+    // the SAME tier with gens-folded bounds — rows must be identical
+    // on the twin's narrower probe window (the first 5 arrivals; the
+    // fixture's flat vocabulary makes wide WAND probes pure overhead)
+    val exact = SimilarityQueries.searchBm25Upsert(spark, dir)
+      .filter(col("probe_id") < 405L).collect().toSeq
+    val wand = SimilarityQueries.searchBm25WandUpsert(spark, dir)
+      .collect().toSeq
+    wand shouldBe exact
+  }
 }
