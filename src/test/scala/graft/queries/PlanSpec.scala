@@ -684,6 +684,28 @@ class PlanSpec extends SparkSpec {
     p should not include "/dlen]"
   }
 
+  test("search_bm25_wand_upsert: pushdown discipline holds across base + delta segments") {
+    val df = SimilarityQueries.searchBm25WandUpsert(spark, dir)
+    df.collect() // ensures tier (base + one generation), drives AQE
+    val p = plan(df).split("== Initial Plan ==").head
+    // the multi-generation serve scans base layouts AND the delta's
+    // plain postings; EVERY postings-family scan (inverted, pruned
+    // prefix, delta) must carry the probe's bounded In(t, …) pushdown —
+    // the fold reordering this would silently break is exactly what
+    // the gate exists for. The base forward scan additionally prunes
+    // by the bounded candidate-doc set.
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    val postingScans = scans.filter(l =>
+      l.contains("/postings]") || l.contains("/postings_pruned]"))
+    postingScans should not be empty
+    postingScans.foreach(l => l should include("In(t, ["))
+    val fwdScans = scans.filter(_.contains("/forward]"))
+    fwdScans should not be empty
+    fwdScans.foreach(l => l should include("In(doc_id, ["))
+    p should not include "/dlen]"
+    p should not include "CartesianProduct"
+  }
+
   test("dedup_index_query: probe bands broadcast against the persisted band tier; no cartesian") {
     val df = DedupQueries.ndiQueryQ(spark, dir)
     df.collect() // drive AQE to the final plan (and ensure the tier)
