@@ -34,8 +34,24 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, null-safe for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity, null-safe for zero vectors — the native FUSED
+    * expression ([[graft.functions.CosineSim]], round 16): one walk of
+    * both arrays carrying the three running sums instead of the three
+    * [[DotProduct]] loops (six array traversals) the
+    * `dot/norm·norm/CASE` composition paid per scored pair.
+    * Bit-identical to that composition by construction — each sum
+    * keeps its own left-to-right accumulation order, sqrt and the
+    * division are single IEEE ops, zero-norm and NULL cases mirror
+    * the CASE WHEN (CosineSimSpec pins it on a randomized grid; the
+    * full oracle gate re-proves it corpus-wide). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine(a, b)
+
+  /** The pre-fusion composition, kept ONLY as CosineSimSpec's
+    * reference implementation — the live twin the fused expression is
+    * pinned against (deleting it would leave the spec comparing the
+    * expression to itself). */
+  private[graft] def cosineComposed(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
     when(n === 0.0, lit(0.0)).otherwise(d / n)
