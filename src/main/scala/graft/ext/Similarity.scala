@@ -941,17 +941,34 @@ object Similarity {
       // is cheaper than letting each duplicate pay the vector join +
       // cosine
       ranked = topOf(expandVia(frontier), kk)
-      best = best.unionByName(ranked.select("probe_id", "node")).distinct()
+      // no per-hop distinct on the best-seen union: each hop's ranked
+      // set is ≤ kk rows/probe, so the union stays O(hops·kk) per probe
+      // and ONE distinct before the final re-rank dedups it — hop-count
+      // fewer shuffles, identical set (distinct ∘ union is associative)
+      best = best.unionByName(ranked.select("probe_id", "node"))
       frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
     }
-    best
+    // final re-rank as a BoundedTopK heap, not a row_number window: the
+    // window SORTS every best-seen candidate per probe and its exchange
+    // carries them all; the heap keeps k entries per group through
+    // partial aggregation, so the final shuffle carries ≤ k rows/probe
+    // instead of ≤ hops·kk. Identical output — the heap's comparator
+    // (score desc, id asc) is the window's ORDER BY, over the same
+    // distinct candidate set and the same fused-cosine scores. Honest
+    // measurement: at fixture scale (5k corpus, 1600-probe batch) both
+    // trims are NEUTRAL (warm walk 3.7–4.1 s either way — the phases
+    // are stage-count bound and hop distincts over kk-bounded sets are
+    // tiny); they're kept for the shuffle-count and shuffle-volume
+    // argument above, which prices at probe-batch scale, not fixture
+    // scale.
+    best.distinct()
       .join(v.select(col("__id").as("node"), col("__v")), "node")
       .join(broadcast(p), "probe_id")
-      .withColumn("__cs", cosine(col("__pv"), col("__v")))
-      .withColumn("__rk", row_number().over(Window.partitionBy("probe_id")
-        .orderBy(col("__cs").desc, col("node"))))
-      .filter(col("__rk") <= k)
-      .select(col("probe_id"), col("node").as("neighbor_id"), col("__cs").as("cos_sim"))
+      .groupBy("probe_id")
+      .agg(BoundedTopK.topk(cosine(col("__pv"), col("__v")), col("node"), k).as("__nn"))
+      .select(col("probe_id"), explode(col("__nn")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cos_sim"))
   }
 
   /** Completion marker for the persisted kNN-graph tier — the
