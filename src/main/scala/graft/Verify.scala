@@ -52,7 +52,10 @@ object Verify {
       // recall evaluator ensure-build the same lex (and graph) roots
       // (every ensure-builder of a shared root lists here in the SAME
       // commit that adds it — the r15 race lesson)
-      "search_bm25_wand", "search_hybrid_pruned_recall"),
+      "search_bm25_wand", "search_hybrid_pruned_recall",
+      // round 16: the cluster-head-entry serve and its recall evaluator
+      // read the same shared graph root
+      "ann_graph_clustered", "ann_graph_clustered_recall"),
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),

@@ -846,16 +846,50 @@ object Similarity {
             java.lang.Boolean]): Boolean = size() > 64
     })
 
+  /** BOUNDED cluster-head entry layer — [[graphSearchOn]]'s scale twin
+    * of the stride-sampled coarse layer. The stride layer is n/stride
+    * rows, so every walk's ENTRY stage scores a corpus-LINEAR candidate
+    * set per probe (the graph family's analogue of the exact lexical
+    * serve's full-postings scan, round-15 verdict #1). This layer is
+    * the top [[topPerList]] members of each inverted list by cosine to
+    * the list's [[coarseCentroids]] centroid — nlists·topPerList rows
+    * BY CONSTRUCTION, independent of corpus size (with k-means lists,
+    * nlists ~ √n makes entry cost O(√n), the standard IVF scaling; the
+    * fixture's `label` column stands in for the assignment exactly as
+    * the IVF family's does). Deterministic end-to-end: exact-decimal
+    * centroids, IEEE cosine on identical inputs, [[BoundedTopK]] ties
+    * toward smaller ids — fully oracle-checkable. Entry QUALITY now
+    * rides on cluster quality instead of id-space sampling; the recall
+    * twin (`ann_graph_clustered_recall`) grades that trade honestly. */
+  def clusterEntryLayer(corpus: DataFrame, topPerList: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        listCol: String = "label"): DataFrame = {
+    val cent = coarseCentroids(corpus, listCol, vecCol)
+    corpus
+      .select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("__v"), col(listCol))
+      .join(broadcast(cent), listCol)
+      .groupBy(col(listCol))
+      .agg(BoundedTopK.topk(
+        cosine(col("__v"), col("__centroid")), col(idCol), topPerList).as("__nn"))
+      .select(explode(col("__nn").getField("id")).as("node"))
+  }
+
   /** [[graphSearch]] over an ALREADY-BUILT (possibly persisted) kNN
     * graph — the serving split: the NN-Descent build is paid once per
     * corpus generation, queries pay only the hops. `graph` must carry
     * (idCol, neighbor_id) out-edges, the [[knnGraph]] output shape.
     * The corpus must contain at least one id ≡ 0 (mod `entryStride`)
-    * or no walk can enter (the fixtures' dense id spaces always do). */
+    * or no walk can enter (the fixtures' dense id spaces always do).
+    * `entryLayer` (one column of corpus node ids, e.g.
+    * [[clusterEntryLayer]]) replaces the stride-sampled coarse layer —
+    * the walk is otherwise identical, so stride-entry callers keep
+    * their exact trajectories. */
   def graphSearchOn(graph: DataFrame, corpus: DataFrame, probes: DataFrame,
                     k: Int = 10, beam: Int = 20, hops: Int = 2,
                     entryStride: Int = GraphEntryStride,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    entryLayer: Option[DataFrame] = None): DataFrame = {
     val g = graph.select(col(idCol).as("__src"), col("neighbor_id").as("__dst"))
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -881,8 +915,11 @@ object Similarity {
     // beam state stays (probe_id, node), scores recomputed per hop
     // against the broadcast probe vectors (cheaper than carrying
     // doubles through the distinct, and keeps frontier rows fixed-width)
-    val layer = v.filter(pmod(col("__id"), lit(entryStride)) === 0)
-      .select(col("__id").as("node"))
+    val layer = entryLayer match {
+      case Some(el) => el.select(col(el.columns.head).as("node"))
+      case None => v.filter(pmod(col("__id"), lit(entryStride)) === 0)
+        .select(col("__id").as("node"))
+    }
     // fail-fast, not a scaladoc note: with no id ≡ 0 (mod stride) — a
     // filtered or re-keyed id space — every walk would silently return
     // ZERO neighbors and downstream dedup/serving would read "no
@@ -892,15 +929,24 @@ object Similarity {
     // micro-batch) memoize the verdict instead of re-proving it with a
     // fresh Spark job each time (canonicalized-plan keying: two reads
     // of the same files share one probe).
-    val layerKey = (corpus.queryExecution.logical.canonicalized, entryStride)
+    // custom entry layers key on THEIR OWN plan (stride is meaningless
+    // for them; −1 keeps the key space disjoint from stride layers)
+    val layerKey = entryLayer match {
+      case Some(el) => (el.queryExecution.logical.canonicalized, -1)
+      case None => (corpus.queryExecution.logical.canonicalized, entryStride)
+    }
     // get(), not containsKey(): only get() counts as an ACCESS in an
     // access-order LinkedHashMap — containsKey would leave eviction
     // pure-FIFO and evict the most-re-checked plan first (r15 review)
     if (checkedEntryLayers.get(layerKey) == null) {
       require(!layer.isEmpty,
-        s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
-          s"divisible by entryStride=$entryStride; re-key the id space or " +
-          "pass a stride that samples it")
+        if (entryLayer.isDefined)
+          "graphSearchOn: the supplied entry layer is empty — every walk " +
+            "would silently return zero neighbors"
+        else
+          s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
+            s"divisible by entryStride=$entryStride; re-key the id space or " +
+            "pass a stride that samples it")
       checkedEntryLayers.put(layerKey, java.lang.Boolean.TRUE)
     }
     // hop expansion is SYMMETRIZED (out-edges ∪ in-edges): the top-k
@@ -1006,7 +1052,8 @@ object Similarity {
   def graphSearchIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                          probes: DataFrame, k: Int = 10, beam: Int = 20,
                          hops: Int = 2, entryStride: Int = GraphEntryStride,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         entryLayer: Option[DataFrame] = None): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker),
@@ -1014,7 +1061,7 @@ object Similarity {
     graphSearchOn(
       spark.read.parquet(s"$indexPath/graph_edges"),
       spark.read.parquet(s"$indexPath/vectors"),
-      probes, k, beam, hops, entryStride, idCol, vecCol)
+      probes, k, beam, hops, entryStride, idCol, vecCol, entryLayer)
   }
 
   private def graphDeltaRoot(indexPath: String) = s"$indexPath/graph_delta"
@@ -1052,11 +1099,15 @@ object Similarity {
     * entry cosines — fine for streaming micro-batches (the intended
     * caller), quadratic if abused as a bulk re-index. Bulk re-indexing
     * is [[compactGraphIndex]]'s job (one NN-Descent rebuild), not a
-    * giant upsert. */
+    * giant upsert. At deployment scale pass `entryLayer`
+    * ([[clusterEntryLayer]] over the tier's vectors, round 16): entry
+    * cost per arrival drops from n/stride to nlists·topPerList — the
+    * corpus-linear arm of the per-arrival walk removed. */
   def upsertGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        batch: DataFrame, k: Int = 10, beam: Int = 20,
                        hops: Int = 2, entryStride: Int = GraphEntryStride,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       entryLayer: Option[DataFrame] = None): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$indexPath/$GraphCompleteMarker")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(marker),
@@ -1069,7 +1120,7 @@ object Similarity {
     graphSearchOn(
       spark.read.parquet(s"$indexPath/graph_edges"),
       spark.read.parquet(s"$indexPath/vectors"),
-      batch, k, beam, hops, entryStride, idCol, vecCol)
+      batch, k, beam, hops, entryStride, idCol, vecCol, entryLayer)
       .select(col("probe_id").as(idCol), col("neighbor_id"), col("cos_sim"))
       .write.mode("overwrite").parquet(s"$gen/edges")
     fs.create(new org.apache.hadoop.fs.Path(

@@ -180,6 +180,10 @@ object SimilarityQueries {
   // hops is fixed at 2 — the oracle unrolls exactly two hop CTEs
   // (graphSearchCtes); change both together
   private val GraphHops = 2
+  // cluster-head entry width: nlists·ClusterHeads total entry nodes
+  // (the fixture's 10 labels × 4 = 40 ≥ max(K, GraphBeam), so the
+  // bounded layer still seeds the walk at the full result width)
+  private val ClusterHeads = 4
 
   /** GRAPH-ANN SERVING ([[Similarity.graphSearchOn]] over the shared
     * [[ensureGraphTier]] graph): greedy beam search over the NN-Descent
@@ -200,6 +204,24 @@ object SimilarityQueries {
     finish(Similarity.graphSearchOn(tierGraph(spark, dir),
       Tables.embeddings(spark, dir), probes(spark, dir), K,
       beam = GraphBeam, hops = GraphHops))
+
+  /** The SAME beam walk entered through the BOUNDED cluster-head layer
+    * ([[Similarity.clusterEntryLayer]]) instead of the stride-sampled
+    * one: the stride layer is n/[[Similarity.GraphEntryStride]] rows,
+    * so the walk's entry stage scores a corpus-linear candidate set
+    * per probe — the graph family's last corpus-linear serving arm
+    * (the analogue of the exact lexical serve's full-postings scan,
+    * round-15 verdict #1). The cluster-head layer is
+    * nlists·[[ClusterHeads]] rows by construction, so at 100 TB the
+    * entry stage scores O(nlists) candidates (O(√n) with k-means
+    * lists) while hops stay beam-bounded. Recall cost of the coarser
+    * entry is graded by `ann_graph_clustered_recall`, never assumed. */
+  def graphSearchClusteredQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.graphSearchOn(tierGraph(spark, dir), e,
+      probes(spark, dir), K, beam = GraphBeam, hops = GraphHops,
+      entryLayer = Some(Similarity.clusterEntryLayer(e, ClusterHeads))))
+  }
 
   /** THE shared full-corpus graph tier (round-14 amortization, r13
     * verdict #1): one marker-gated [[Similarity.buildGraphIndex]] root
@@ -470,6 +492,39 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
+  /** recall@K of BOTH graph-walk entries — stride-sampled vs bounded
+    * cluster-head — against the exact top-K, per probe and method: the
+    * honest price tag on [[graphSearchClusteredQ]]'s corpus-independent
+    * entry layer. Same hits-join shape as [[annGraphRecall]]; both
+    * walks serve off the SAME shared tier so the delta is the entry
+    * layer alone. */
+  def annGraphClusteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val p = probes(spark, dir)
+    val exact = Similarity.knnTopKAgg(e, p, K)
+      .select(col("probe_id"), col("neighbor_id"))
+    val g = tierGraph(spark, dir)
+    val stride = Similarity.graphSearchOn(g, e, p, K,
+        beam = GraphBeam, hops = GraphHops)
+      .select(col("probe_id"), col("neighbor_id"), lit("stride").as("method"))
+    val clustered = Similarity.graphSearchOn(g, e, p, K,
+        beam = GraphBeam, hops = GraphHops,
+        entryLayer = Some(Similarity.clusterEntryLayer(e, ClusterHeads)))
+      .select(col("probe_id"), col("neighbor_id"), lit("clustered").as("method"))
+    val hits = exact
+      .join(stride.unionByName(clustered), Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id", "method").agg(count(lit(1)).as("n_hit"))
+    // probe × method spine — a total miss reports its zero
+    import spark.implicits._
+    p.select(col("vec_id").as("probe_id"))
+      .crossJoin(Seq("clustered", "stride").toDF("method"))
+      .join(hits, Seq("probe_id", "method"), "left")
+      .select(col("probe_id"), col("method"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"))
+      .orderBy("probe_id", "method")
+  }
+
   /** Graph-based SemDedup ([[Similarity.semDedupGraph]]): the
     * cell-based `emb_semdedup`'s scale twin — candidates are the kNN
     * graph's bounded out-degree instead of within-cluster all-pairs.
@@ -600,7 +655,9 @@ object SimilarityQueries {
     * graph). */
   private def graphSearchCtesOver(key: String, probePred: String,
       beams: Seq[(Int, String)] = Seq((GraphBeam, "")),
-      kTop: Int = K): String = {
+      kTop: Int = K,
+      entryFor: String => String = _ => "gent",
+      extraCtes: String = ""): String = {
     // per stage: gq = per-probe top-max(kTop, w) RANKED candidates (the
     // stage's contribution to the best-seen list), gf = the walk's
     // frontier (gq cut to the beam width w)
@@ -634,7 +691,7 @@ object SimilarityQueries {
           SELECT p.probe_id, en.node,
                  row_number() OVER (PARTITION BY p.probe_id
                    ORDER BY list_cosine_similarity(p.pe, n.e) DESC, en.node) AS rk
-          FROM gpr p, gent en, vv n
+          FROM gpr p, ${entryFor(sfx)} en, vv n
           WHERE n.vec_id = en.node AND en.node <> p.probe_id)
         WHERE rk <= $kk),
       -- entry seeds at the RESULT width max(kTop, w), not the beam
@@ -651,7 +708,7 @@ object SimilarityQueries {
     s"""${graphTempAliases(key)},
       gpr AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
               FROM embeddings WHERE $probePred),
-      gent AS (SELECT * FROM graft_gent_$key),
+      gent AS (SELECT * FROM graft_gent_$key),$extraCtes
       $chains"""
   }
 
@@ -696,6 +753,42 @@ object SimilarityQueries {
         SELECT * FROM basee UNION ALL SELECT * FROM deltae)
       ORDER BY vec_id, cos_sim DESC, neighbor_id"""
   }
+
+  /** The bounded cluster-head entry layer as oracle CTEs — appended to
+    * [[graphSearchCtesOver]]'s fixed prefix via its `extraCtes` hook.
+    * `cent` re-lists [[ivfCentroidCtes]]'s exact-decimal centroids (the
+    * IVF oracles' own composition); `gentc` is the top-[[ClusterHeads]]
+    * members of each label by cosine to its centroid, ties toward the
+    * smaller id — exactly [[Similarity.clusterEntryLayer]]'s
+    * BoundedTopK cut. Callers must prepend [[ivfCentroidCtes]] (for
+    * ex/centd) before the graph CTE chain. */
+  private lazy val clusteredEntryCtes: String = s"""
+      cent AS (SELECT label, list(c ORDER BY p) AS centroid FROM centd GROUP BY 1),
+      gentc AS (SELECT vec_id AS node FROM (
+          SELECT e.vec_id, row_number() OVER (PARTITION BY e.label
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) DESC,
+                            e.vec_id) AS rk
+          FROM embeddings e JOIN cent c ON c.label = e.label)
+        WHERE rk <= $ClusterHeads),"""
+
+  /** [[graphSearchOracle]] with the stride entry table swapped for the
+    * cluster-head layer — the walk CTEs are byte-identical otherwise,
+    * so the hash gate proves the entry swap changed nothing but the
+    * entries. */
+  private lazy val graphClusteredOracle: String = s"""
+      ${graphTempPrefix("full", "embeddings")}
+      WITH $ivfCentroidCtes,
+      ${graphSearchCtesOver("full", s"vec_id < $NProbes",
+        entryFor = _ => "gentc", extraCtes = clusteredEntryCtes)}
+      SELECT probe_id, neighbor_id, cos_sim FROM (
+        SELECT f.probe_id, f.node AS neighbor_id,
+               ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
+               row_number() OVER (PARTITION BY f.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+        FROM gbest f JOIN vv n ON n.vec_id = f.node
+             JOIN gpr p ON p.probe_id = f.probe_id)
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
 
   /** Shared by `ann_graph_search` and its persisted-tier twin
     * `ann_index_graph` — final top-[[K]] re-rank of the hop-2 beam. */
@@ -2691,6 +2784,39 @@ object SimilarityQueries {
     // graph-ANN serving: beam search over the SAME graph trajectory —
     // the oracle unrolls both hops and re-ranks the final beam
     GQuery("ann_graph_search", graphSearchQ, Some(graphSearchOracle)),
+    GQuery("ann_graph_clustered", graphSearchClusteredQ, Some(graphClusteredOracle)),
+    GQuery("ann_graph_clustered_recall", annGraphClusteredRecall, Some {
+      val ctes = graphSearchCtesOver("full", s"vec_id < $NProbes",
+        beams = Seq((GraphBeam, "_s"), (GraphBeam, "_c")),
+        entryFor = sfx => if (sfx == "_c") "gentc" else "gent",
+        extraCtes = clusteredEntryCtes)
+      val armSql = Seq(("_s", "stride"), ("_c", "clustered")).map { case (sfx, m) =>
+        s"""SELECT '$m' AS method, probe_id, node AS neighbor_id FROM (
+            SELECT f.probe_id, f.node,
+                   row_number() OVER (PARTITION BY f.probe_id
+                     ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+            FROM gbest$sfx f JOIN vv n ON n.vec_id = f.node
+                 JOIN gpr p ON p.probe_id = f.probe_id)
+          WHERE rk <= $K"""
+      }.mkString(" UNION ALL ")
+      s"""
+      ${graphTempPrefix("full", "embeddings", withXact = true)}
+      WITH $ivfCentroidCtes,
+      $ctes,
+      xact AS (SELECT * FROM graft_xact_full),
+      arms AS ($armSql),
+      h AS (SELECT a.method, a.probe_id, count(*) AS n_hit
+            FROM arms a JOIN xact x
+              ON x.probe_id = a.probe_id AND x.neighbor_id = a.neighbor_id
+            GROUP BY 1, 2)
+      SELECT p.probe_id, m.method,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k
+      FROM gpr p CROSS JOIN (SELECT 'clustered' AS method
+                             UNION ALL SELECT 'stride') m
+      LEFT JOIN h ON h.probe_id = p.probe_id AND h.method = m.method
+      ORDER BY p.probe_id, m.method"""
+    }),
     // the PERSISTED graph tier must serve byte-identically to the
     // in-query build — same oracle, the ann_index_pq pattern
     GQuery("ann_index_graph", annIndexGraphQ, Some(graphSearchOracle)),

@@ -420,6 +420,60 @@ class SimilaritySpec extends SparkSpec {
       hops = 2, graphK = 5, graphRounds = 2, dim = dim)) shouldBe gk
   }
 
+  test("clusterEntryLayer: nlists·topPerList nodes, exact top members per list, deterministic; clustered entry serves planted clusters; empty layer fails fast") {
+    val rng = new scala.util.Random(41)
+    val dim = 32
+    val bases = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat * 2f))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 100L + j, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq, ci)
+    val df = corpus.toDF("vec_id", "embedding", "label")
+    val layer = Similarity.clusterEntryLayer(df, topPerList = 3)
+    val nodes = layer.as[Long].collect().sorted
+    // bounded BY CONSTRUCTION: 4 lists × 3 heads, unique nodes
+    nodes.length shouldBe 12
+    nodes.distinct.length shouldBe 12
+    // every head belongs to the list it represents (ids encode labels)
+    nodes.groupBy(_ / 100).view.mapValues(_.length).toMap.values.toSet shouldBe Set(3)
+    // exact membership: top-3 per label by cosine to the label's mean,
+    // recomputed independently in driver code
+    val vecs = df.as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.groupBy(_._3).toSeq.flatMap { case (_, members) =>
+      val cent = Array.tabulate(dim)(p =>
+        members.map(_._2(p).toDouble).sum / members.size)
+      members.map { case (id, v, _) => (id, cos(v.map(_.toDouble).toArray, cent)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+    }.toSet
+    // centroid arithmetic differs (exact-decimal vs this re-derivation)
+    // only below cosine-ordering resolution on this fixture
+    nodes.toSet shouldBe expected
+    // deterministic re-run
+    Similarity.clusterEntryLayer(df, topPerList = 3)
+      .as[Long].collect().sorted shouldBe nodes
+    // the bounded entry serves: same recall bar as the stride walk
+    val probesDf = df.filter(col("vec_id") % 100 === 0)
+    val g = Similarity.knnGraph(df, k = 5, rounds = 2, dim = dim)
+    def key(r: org.apache.spark.sql.DataFrame) =
+      r.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = key(Similarity.knnExact(df, probesDf, 5))
+    val got = key(Similarity.graphSearchOn(g, df, probesDf, k = 5, beam = 10,
+      hops = 2, entryLayer = Some(layer)))
+    (exact & got).size.toDouble / exact.size should be >= 0.9
+    // an empty custom layer is loud, not a silent zero-neighbor serve
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.graphSearchOn(g, df, probesDf, k = 5, beam = 10, hops = 2,
+        entryLayer = Some(df.filter(col("vec_id") < 0).select("vec_id")))
+    }
+    boom.getMessage should include("entry layer is empty")
+  }
+
   test("graph upsert shape: base edges unchanged, delta nodes link into base only with full out-degree") {
     val rng = new scala.util.Random(37)
     val dim = 32
