@@ -34,6 +34,22 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Integer dot of two int8-quantized arrays — the native codegen'd
+    * [[graft.functions.DotProductInt]] expression (one primitive loop,
+    * exact long sum) replacing the HOF `aggregate(zip_with(...))` form
+    * that materialized a product array per scored pair in the quantized
+    * scan's hot loop. Bit-equality with the HOF is pinned by
+    * DotProductIntSpec against [[dotInt8Composed]]; integer sums are
+    * order-independent, so the swap is hash-safe by arithmetic alone. */
+  def dotInt8(a: Column, b: Column): Column =
+    graft.functions.DotProductInt.dotInt(a, b)
+
+  /** The pre-fusion HOF composition, kept ONLY as DotProductIntSpec's
+    * reference implementation (the [[cosineComposed]] discipline). */
+  private[graft] def dotInt8Composed(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
   /** Cosine similarity, null-safe for zero vectors — the native FUSED
     * expression ([[graft.functions.CosineSim]], round 16): one walk of
     * both arrays carrying the three running sums instead of the three
@@ -250,8 +266,7 @@ object Similarity {
     val coarse = qt.join(probed, listCol)
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol).as("neighbor_id"),
-        aggregate(zip_with(col("__qv"), col("__pq"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x.cast("long")).as("__cs"))
+        dotInt8(col("__qv"), col("__pq")).as("__cs"))
       .groupBy("probe_id")
       .agg(BoundedTopK.topk(
         col("__cs").cast("double"), col("neighbor_id"), k * candMult).as("__nn"))

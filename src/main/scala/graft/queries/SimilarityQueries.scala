@@ -1554,8 +1554,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(probesQ.select(col("probe_id"), col("pq"))))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qv"), col("pq"), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x.cast("long")).as("cs"))
+        Similarity.dotInt8(col("qv"), col("pq")).as("cs"))
       .groupBy("probe_id")
       .agg(graft.functions.BoundedTopK.topk(
         col("cs").cast("double"), col("neighbor_id"), K * CandMult).as("nn"))
