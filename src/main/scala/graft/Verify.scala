@@ -55,7 +55,8 @@ object Verify {
       "search_bm25_wand", "search_hybrid_pruned_recall",
       // round 16: the cluster-head-entry serve and its recall evaluator
       // read the same shared graph root
-      "ann_graph_clustered", "ann_graph_clustered_recall"),
+      "ann_graph_clustered", "ann_graph_clustered_recall",
+      "ann_graph_filtered"),
     // both ensure-build the SAME [0, UpsertSplit) base graph root
     // (round 14 amortization) — concurrent first builds would race
     "tier_graph_base" -> Seq("ann_graph_upsert", "stream_graph_upsert_replay"),

@@ -899,12 +899,21 @@ object Similarity {
     * `entryLayer` (one column of corpus node ids, e.g.
     * [[clusterEntryLayer]]) replaces the stride-sampled coarse layer —
     * the walk is otherwise identical, so stride-entry callers keep
-    * their exact trajectories. */
+    * their exact trajectories. `allowedIds` (one column of corpus node
+    * ids) makes the search PREDICATE-FILTERED by post-filter
+    * over-retrieval — the HNSW filtered-search discipline: the walk
+    * navigates the UNFILTERED graph (excluded nodes still route; a
+    * per-query predicate cannot rebuild the index), and the final
+    * re-rank keeps top-k among best-seen ∩ allowed. Selectivity s
+    * needs a wider walk to fill k slots — size beam ≈ k/s (the
+    * over-fetch factor), and grade recall against the exact filtered
+    * search rather than assuming it. */
   def graphSearchOn(graph: DataFrame, corpus: DataFrame, probes: DataFrame,
                     k: Int = 10, beam: Int = 20, hops: Int = 2,
                     entryStride: Int = GraphEntryStride,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    entryLayer: Option[DataFrame] = None): DataFrame = {
+                    entryLayer: Option[DataFrame] = None,
+                    allowedIds: Option[DataFrame] = None): DataFrame = {
     val g = graph.select(col(idCol).as("__src"), col("neighbor_id").as("__dst"))
     val v = corpus.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -1022,7 +1031,16 @@ object Similarity {
     // tiny); they're kept for the shuffle-count and shuffle-volume
     // argument above, which prices at probe-batch scale, not fixture
     // scale.
-    best.distinct()
+    val candidates = allowedIds match {
+      // filter BEFORE the rank: filtered top-k ranks among survivors
+      // (rank-then-filter would under-fill k whenever an excluded node
+      // out-scored a survivor). left_semi — the allowed set can be
+      // corpus-sized, never widen the row
+      case Some(ok) => best.distinct().join(
+        ok.select(col(ok.columns.head).as("node")), Seq("node"), "left_semi")
+      case None => best.distinct()
+    }
+    candidates
       .join(v.select(col("__id").as("node"), col("__v")), "node")
       .join(broadcast(p), "probe_id")
       .groupBy("probe_id")

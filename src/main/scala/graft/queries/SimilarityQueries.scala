@@ -184,6 +184,10 @@ object SimilarityQueries {
   // (the fixture's 10 labels × 4 = 40 ≥ max(K, GraphBeam), so the
   // bounded layer still seeds the walk at the full result width)
   private val ClusterHeads = 4
+  // filtered-search over-fetch: the label % 3 predicate keeps ~1/3 of
+  // the corpus, so the walk runs at beam ≈ K/selectivity to leave ~K
+  // survivors in the best-seen set after the post-filter
+  private val FilteredBeam = 32
 
   /** GRAPH-ANN SERVING ([[Similarity.graphSearchOn]] over the shared
     * [[ensureGraphTier]] graph): greedy beam search over the NN-Descent
@@ -490,6 +494,26 @@ object SimilarityQueries {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"))
       .orderBy("probe_id")
+  }
+
+  /** PREDICATE-FILTERED graph ANN ([[Similarity.graphSearchOn]] with
+    * `allowedIds`) — the production "vector search with a metadata
+    * filter" shape, served by POST-FILTER OVER-RETRIEVAL: the walk
+    * navigates the unfiltered shared tier (excluded nodes still route —
+    * a per-query predicate cannot rebuild the index), runs at
+    * [[FilteredBeam]] ≈ K/selectivity to leave ~K allowed survivors in
+    * the best-seen set, and the final re-rank keeps top-[[K]] among
+    * best-seen ∩ allowed. `knn_filtered` is the exact pre-filter twin
+    * (brute force over the filtered corpus); SimilaritySpec pins the
+    * walk's recall against that exact form on allowed-cluster probes.
+    * Fully hash-checked — the oracle replays the wider walk and applies
+    * the same predicate before ranking. */
+  def graphSearchFilteredQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    finish(Similarity.graphSearchOn(tierGraph(spark, dir), e,
+      probes(spark, dir), K, beam = FilteredBeam, hops = GraphHops,
+      allowedIds = Some(
+        e.filter(pmod(col("label"), lit(3)) === 0).select("vec_id"))))
   }
 
   /** recall@K of BOTH graph-walk entries — stride-sampled vs bounded
@@ -2784,6 +2808,23 @@ object SimilarityQueries {
     // the oracle unrolls both hops and re-ranks the final beam
     GQuery("ann_graph_search", graphSearchQ, Some(graphSearchOracle)),
     GQuery("ann_graph_clustered", graphSearchClusteredQ, Some(graphClusteredOracle)),
+    GQuery("ann_graph_filtered", graphSearchFilteredQ, Some {
+      val ctes = graphSearchCtesOver("full", s"vec_id < $NProbes",
+        beams = Seq((FilteredBeam, "")))
+      s"""
+      ${graphTempPrefix("full", "embeddings")}
+      WITH $ctes
+      SELECT probe_id, neighbor_id, cos_sim FROM (
+        SELECT f.probe_id, f.node AS neighbor_id,
+               ROUND(list_cosine_similarity(p.pe, n.e), 6) AS cos_sim,
+               row_number() OVER (PARTITION BY f.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+        FROM gbest f JOIN vv n ON n.vec_id = f.node
+             JOIN gpr p ON p.probe_id = f.probe_id
+        WHERE f.node IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0))
+      WHERE rk <= $K
+      ORDER BY probe_id, cos_sim DESC, neighbor_id"""
+    }),
     GQuery("ann_graph_clustered_recall", annGraphClusteredRecall, Some {
       val ctes = graphSearchCtesOver("full", s"vec_id < $NProbes",
         beams = Seq((GraphBeam, "_s"), (GraphBeam, "_c")),

@@ -474,6 +474,39 @@ class SimilaritySpec extends SparkSpec {
     boom.getMessage should include("entry layer is empty")
   }
 
+  test("filtered graph search: results within the allowed set, near-exact on allowed-cluster probes, deterministic") {
+    val rng = new scala.util.Random(43)
+    val dim = 32
+    val bases = Seq.fill(4)(Array.fill(dim)(rng.nextGaussian().toFloat * 2f))
+    val corpus = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 100L + j, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq)
+    val df = corpus.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(df, k = 5, rounds = 2, dim = dim)
+    // allow clusters 0–2 (ids < 300); probe from ALLOWED clusters — a
+    // probe whose entire neighborhood is excluded measures the fixture's
+    // cross-cluster geometry, not the operator
+    val allowed = df.filter(col("vec_id") < 300).select("vec_id")
+    val probesDf = df.filter(col("vec_id") % 100 === 0 && col("vec_id") < 300)
+    def key(r: org.apache.spark.sql.DataFrame) =
+      r.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.graphSearchOn(g, df, probesDf, k = 5, beam = 10,
+      hops = 2, allowedIds = Some(allowed))
+    val gk = key(got)
+    // hard invariant: every result is in the allowed set, never self
+    gk.foreach { case (p, n) => n should be < 300L; n should not be p }
+    got.groupBy("probe_id").count().select("count")
+      .as[Long].collect().foreach(_ should be <= 5L)
+    // exact filtered ground truth = brute force over the filtered corpus
+    val exact = key(Similarity.knnExact(
+      df.filter(col("vec_id") < 300), probesDf, 5))
+    (exact & gk).size.toDouble / exact.size should be >= 0.9
+    // deterministic re-run
+    key(Similarity.graphSearchOn(g, df, probesDf, k = 5, beam = 10,
+      hops = 2, allowedIds = Some(allowed))) shouldBe gk
+  }
+
   test("graph upsert shape: base edges unchanged, delta nodes link into base only with full out-degree") {
     val rng = new scala.util.Random(37)
     val dim = 32
