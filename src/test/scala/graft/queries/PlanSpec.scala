@@ -178,6 +178,32 @@ class PlanSpec extends SparkSpec {
     "bounded_top_k".r.findAllIn(p).size should be >= 2
   }
 
+  test("ann_graph_clustered: bounded entry — centroids broadcast to the head cut, heap stages, no window") {
+    val df = SimilarityQueries.graphSearchClusteredQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the nlists·topPerList entry layer: members meet their centroid
+    // through a broadcast, the head cut and every walk stage run on the
+    // bounded heap, and the post-trim walk has no window sort at all
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    "bounded_top_k".r.findAllIn(p).size should be >= 3
+    p should not include "Window"
+  }
+
+  test("ann_graph_filtered: allowed set applies as a semi join at the re-rank, rows never widen") {
+    val df = SimilarityQueries.graphSearchFilteredQ(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // post-filter over-retrieval: the predicate lands as a LeftSemi on
+    // the best-seen set before the final heap — an inner join here
+    // would widen rows with the allowed table's columns, and a missing
+    // join would silently serve excluded neighbors
+    p should include("LeftSemi")
+    p should not include "CartesianProduct"
+    "bounded_top_k".r.findAllIn(p).size should be >= 2
+  }
+
   test("ann_index_pq: code scan prunes list partitions dynamically and reads codes, not vectors") {
     val df = SimilarityQueries.annIndexPqQ(spark, dir)
     df.collect() // drive AQE to the final plan on this same handle
@@ -558,7 +584,8 @@ class PlanSpec extends SparkSpec {
     df.collect()
     val p = plan(df)
     // BM25 top-R, graph best-seen cut, vector top-R, fused top-K — all
-    // heap; the only per-probe sort is the graph serve's final window
+    // heap (the graph serve's final re-rank is a heap too since the
+    // round-16 walk trim)
     "bounded_top_k".r.findAllIn(p).size should be >= 3
     p should not include "CartesianProduct"
     // the lexical arm reads the persisted posting tier — the plan must
