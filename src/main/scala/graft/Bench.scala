@@ -87,7 +87,15 @@ object Bench {
       }
     }.getOrElse(default)
   private def envInt(name: String, default: Int): Int =
-    envLong(name, default.toLong).toInt
+    sys.env.get(name).map { v =>
+      // toInt directly, NOT toLong.toInt: a value like 2^31 parses as a
+      // valid Long and then silently wraps negative — the exact
+      // silent-misconfiguration class this helper exists to catch
+      try v.trim.toInt catch { case _: NumberFormatException =>
+        System.err.println(s"[bench] $name='$v' is not an int - using default $default")
+        default
+      }
+    }.getOrElse(default)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -297,8 +297,9 @@ object Lex {
     * serve-side scans from corpus-shaped to probe-shaped. File count
     * follows the materialized fact frame's parallelism (capped —
     * at deployment scale files are sized by bytes, and any count
-    * preserves correctness: readers re-sort). */
-  /** `base = true` (full builds and compaction) writes the heavy
+    * preserves correctness: readers re-sort).
+    *
+    * `base = true` (full builds and compaction) writes the heavy
     * layouts — postings range-sorted by token, the doc-major `forward`
     * table — because the base segment is CORPUS-sized and its scans
     * are what the pushdown filters must prune. `base = false` (delta
@@ -443,9 +444,30 @@ object Lex {
     * become the unbounded driver state it exists to avoid. */
   val MaxProbeVocab = 1 << 20
 
-  /** Prefix-candidate pairs are ≤ M·|probe tokens|·generations BY
-    * CONSTRUCTION; this cap only catches a broken prefix write. */
+  /** Driver-memory cap on the collected prefix-candidate pair frame.
+    * The STRUCTURAL bound is M·|probe (probe_id, token) pairs|·segments
+    * — computed per call from the actual inputs, because a static cap
+    * cannot distinguish "the per-list prefix write is broken" from "a
+    * legal but huge probe batch" (review finding, round 16: a ~200k-
+    * token batch under [[MaxProbeVocab]] legitimately exceeds any fixed
+    * constant). Exceeding the structural bound means the write is
+    * broken; exceeding this cap with an intact write means the batch
+    * must be split before the driver-local frame is built. */
   val MaxPrunedPairs = 4 << 20
+
+  /** Past this many distinct probe tokens the scan-pushdown `In(t, …)`
+    * filter is SKIPPED: a million-literal In expression costs seconds
+    * of driver-side canonicalization/serialization per batch, while the
+    * broadcast probe-token join already restricts the same rows — the
+    * filter exists purely to let the reader skip row groups, a win that
+    * evaporates once the probe vocabulary approaches the corpus's. */
+  val InFilterCap = 4096
+
+  /** `In(t, …)` pushdown when the token set is small enough to pay for
+    * itself; identity (join-only restriction) past [[InFilterCap]] —
+    * same rows either way, so serves are hash-identical. */
+  private def tokenScanFilter(df: DataFrame, toks: Seq[String]): DataFrame =
+    if (toks.length <= InFilterCap) df.filter(col("t").isin(toks: _*)) else df
 
   /** The probe frame's (probe_id, t) DISTINCT tokens — in-plan (the
     * broadcast side of every serve join) — plus the collected distinct
@@ -456,9 +478,13 @@ object Lex {
     val ptok = probeDocs
       .select(col(idCol).as("probe_id"), explode(Text.tokens(col(textCol))).as("t"))
       .distinct()
-    val toks = ptok.select("t").distinct().collect().map(_.getString(0)).toSeq
+    // limit BEFORE the collect: the guard exists to catch unbounded
+    // driver state, so it must fire before the driver materializes it
+    // (a corpus-sized batch would OOM the collect ahead of the require)
+    val toks = ptok.select("t").distinct().limit(MaxProbeVocab + 1)
+      .collect().map(_.getString(0)).toSeq
     require(toks.length <= MaxProbeVocab,
-      s"lex probe vocabulary ${toks.length} exceeds $MaxProbeVocab - " +
+      s"lex probe vocabulary exceeds $MaxProbeVocab - " +
         "probe batches must be arrival-sized, not corpus-sized")
     (ptok, toks)
   }
@@ -483,7 +509,7 @@ object Lex {
     val gens = completedGens(spark, path) // ONE snapshot for all tables
     val (postings, dlen) = lexTierTablesAt(spark, path, gens)
     val (ptok, toks) = probeTokens(probeDocs, idCol, textCol)
-    bm25Scores(postings.filter(col("t").isin(toks: _*)), dlen, ptok,
+    bm25Scores(tokenScanFilter(postings, toks), dlen, ptok,
       maxDfPct, idCol, dfStats = Some(lexTierStatsAt(spark, path, gens)))
   }
 
@@ -498,18 +524,30 @@ object Lex {
                                path: String, gens: Seq[Int], ptok: DataFrame,
                                toks: Seq[String], idCol: String):
       (DataFrame, Seq[Any]) = {
-    val prefix = gens
+    val prefix = tokenScanFilter(gens
       .map(g => spark.read.parquet(s"${genPath(path, g)}/postings_pruned"))
-      .foldLeft(spark.read.parquet(s"$path/postings_pruned"))(_ unionByName _)
-      .filter(col("t").isin(toks: _*))
+      .foldLeft(spark.read.parquet(s"$path/postings_pruned"))(_ unionByName _),
+      toks)
     val cands = prefix.join(broadcast(ptok), "t")
       .filter(col(idCol) =!= col("probe_id"))
       .select(col("probe_id"), col(idCol))
       .distinct()
-    val rows = cands.collect()
-    require(rows.length <= MaxPrunedPairs,
-      s"prefix candidate pairs ${rows.length} exceed $MaxPrunedPairs - " +
-        s"the per-list top-$LexPrunedM prefix write is broken")
+    // the structural bound from the ACTUAL inputs (M · |(probe, token)
+    // pairs| · segments); the collect is limit-capped so a broken
+    // prefix write fails LOUDLY here instead of OOMing the driver first
+    val structuralBound =
+      LexPrunedM.toLong * ptok.count() * (gens.length + 1)
+    val cap = math.min(structuralBound, MaxPrunedPairs.toLong)
+    val rows = cands.limit(cap.toInt + 1).collect()
+    require(rows.length <= cap,
+      if (structuralBound <= MaxPrunedPairs)
+        s"prefix candidate pairs exceed the structural bound " +
+          s"$structuralBound (M x probe-token pairs x segments) - " +
+          s"the per-list top-$LexPrunedM prefix write is broken"
+      else
+        s"prefix candidate pairs exceed $MaxPrunedPairs - the probe " +
+          "batch is too large for the driver-local candidate frame; " +
+          "split the batch")
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), cands.schema)
     (local, rows.map(_.get(1)).distinct.toSeq)
@@ -539,8 +577,8 @@ object Lex {
     val gens = completedGens(spark, path) // ONE snapshot for all tables
     val (ptok, toks) = probeTokens(probeDocs, idCol, textCol)
     val (cands, candDocs) = prefixCandidates(spark, path, gens, ptok, toks, idCol)
-    val forward = lexTierForwardAt(spark, path, gens)
-      .filter(col(idCol).isin(candDocs: _*) && col("t").isin(toks: _*))
+    val forward = tokenScanFilter(lexTierForwardAt(spark, path, gens)
+      .filter(col(idCol).isin(candDocs: _*)), toks)
     val dlen = lexTierTablesAt(spark, path, gens)._2
     bm25Scores(forward, dlen, ptok, maxDfPct, idCol,
       dfStats = Some(lexTierStatsAt(spark, path, gens)), candidates = Some(cands))
@@ -602,11 +640,11 @@ object Lex {
     val (dfT, stats0) = lexTierStatsAt(spark, path, gens)
     val stats = stats0.withColumn("avgdl", expr(Bm25AvgdlSql))
     val (postings, dlen) = lexTierTablesAt(spark, path, gens)
-    val tokPruned = postings.filter(col("t").isin(toks: _*))
+    val tokPruned = tokenScanFilter(postings, toks)
     // phase 1: exact scores of the bounded prefix candidates → θ
     val (cands, candDocs) = prefixCandidates(spark, path, gens, ptok, toks, idCol)
-    val forward = lexTierForwardAt(spark, path, gens)
-      .filter(col(idCol).isin(candDocs: _*) && col("t").isin(toks: _*))
+    val forward = tokenScanFilter(lexTierForwardAt(spark, path, gens)
+      .filter(col(idCol).isin(candDocs: _*)), toks)
     val phase1 = bm25Scores(forward, dlen, ptok, maxDfPct, idCol,
       dfStats = Some((dfT, stats0)), candidates = Some(cands))
     val theta = phase1

@@ -875,7 +875,11 @@ object Similarity {
     * centroids, IEEE cosine on identical inputs, [[BoundedTopK]] ties
     * toward smaller ids — fully oracle-checkable. Entry QUALITY now
     * rides on cluster quality instead of id-space sampling; the recall
-    * twin (`ann_graph_clustered_recall`) grades that trade honestly. */
+    * twin (`ann_graph_clustered_recall`) grades that trade honestly.
+    * This computes a full-corpus centroid aggregation + top-k cut —
+    * a BUILD-time cost: persist the output once per corpus generation
+    * beside the graph tier (the registry's `ensureEntryTier`) and serve
+    * from the persisted rows, never recompute per probe batch. */
   def clusterEntryLayer(corpus: DataFrame, topPerList: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         listCol: String = "label"): DataFrame = {
@@ -1132,10 +1136,13 @@ object Similarity {
     * entry cosines — fine for streaming micro-batches (the intended
     * caller), quadratic if abused as a bulk re-index. Bulk re-indexing
     * is [[compactGraphIndex]]'s job (one NN-Descent rebuild), not a
-    * giant upsert. At deployment scale pass `entryLayer`
-    * ([[clusterEntryLayer]] over the tier's vectors, round 16): entry
-    * cost per arrival drops from n/stride to nlists·topPerList — the
-    * corpus-linear arm of the per-arrival walk removed. */
+    * giant upsert. At deployment scale pass `entryLayer` — the
+    * PERSISTED once-per-generation cluster-head layer (round 16; built
+    * by [[clusterEntryLayer]] at tier-build time, like the graph
+    * itself — recomputing it per arrival would re-pay the full-corpus
+    * centroid pass it exists to avoid): entry cost per arrival drops
+    * from n/stride to nlists·topPerList — the corpus-linear arm of the
+    * per-arrival walk removed. */
   def upsertGraphIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        batch: DataFrame, k: Int = 10, beam: Int = 20,
                        hops: Int = 2, entryStride: Int = GraphEntryStride,

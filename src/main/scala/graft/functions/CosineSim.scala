@@ -34,11 +34,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * [[DotProduct]] twin (interleaving independent accumulators does not
   * reorder any individual sum), `Math.sqrt` and the final division are
   * single correctly-rounded IEEE ops on identical inputs, and the
-  * zero-norm/NULL cases mirror the CASE WHEN: mismatched lengths or a
-  * null element yield NULL (the composition's dot → NULL → CASE
-  * otherwise-branch → NULL/NULL division → NULL), a zero norm yields
-  * 0.0. CosineSimSpec pins equality against the live composition on a
-  * randomized float/double grid plus every edge case; the 173-query
+  * zero-norm/NULL cases mirror the CASE WHEN exactly: a null element
+  * yields NULL (the self-dot nullifies the CASE input), a zero
+  * product-of-norms yields 0.0 EVEN ON MISMATCHED LENGTHS — the
+  * composition's WHEN tests n = norm(a)·norm(b) first, and each norm
+  * is a self-dot that never sees the other array — and a non-zero-norm
+  * mismatch yields NULL (d is NULL in the otherwise-branch). The
+  * mismatch cases take a cold non-codegen path ([[mismatchedEvalBoxed]]
+  * via a reference object); the hot equal-length loop stays one codegen
+  * region. CosineSimSpec pins equality against the live composition on
+  * a randomized float/double grid plus every edge case; the full-query
   * oracle gate re-proves it corpus-wide every round. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -68,11 +73,56 @@ case class CosineSim(left: Expression, right: Expression)
   @transient private lazy val leftIsFloat = elemType(left) == FloatType
   @transient private lazy val rightIsFloat = elemType(right) == FloatType
 
+  // mismatched lengths (cold path): the composition's CASE tests
+  // n = norm(a)·norm(b) FIRST, and each norm is a SELF-dot that never
+  // sees the other array — so a zero-norm side yields 0.0 even when the
+  // lengths differ, and only a non-zero n falls through to the NULL
+  // division. Replicate exactly: self-dots over each array's own full
+  // length (null element → NULL, as the self-dot nullifies the CASE
+  // input), then 0.0 on zero product-of-norms, else NULL.
+  /** Boxed wrapper for the generated code's cold-path call. */
+  def mismatchedEvalBoxed(x: ArrayData, y: ArrayData): java.lang.Double =
+    mismatchedEval(x, y) match {
+      case null => null
+      case d => java.lang.Double.valueOf(d.asInstanceOf[Double])
+    }
+
+  private def mismatchedEval(x: ArrayData, y: ArrayData): Any = {
+    // null element anywhere: the corresponding self-dot is NULL, n is
+    // NULL, and both CASE branches yield NULL
+    if (hasNullElem(x) || hasNullElem(y)) return null
+    val nrm = java.lang.Math.sqrt(selfDot(x, leftIsFloat)) *
+      java.lang.Math.sqrt(selfDot(y, rightIsFloat))
+    // n = 0 short-circuits to 0.0 before the division ever sees the
+    // mismatch; any other n (including NaN, where the WHEN comparison
+    // is false) reaches d/n with d NULL → NULL
+    if (nrm == 0.0) 0.0 else null
+  }
+
+  private def hasNullElem(v: ArrayData): Boolean = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { if (v.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  private def selfDot(v: ArrayData, isFloat: Boolean): Double = {
+    var s = 0.0
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != y.numElements()) return null
+    if (n != y.numElements()) return mismatchedEval(x, y)
     val xf = leftIsFloat
     val yf = rightIsFloat
     var d = 0.0
@@ -99,6 +149,11 @@ case class CosineSim(left: Expression, right: Expression)
     val rightGet =
       if (rightIsFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
       else (v: String, i: String) => s"$v.getDouble($i)"
+    // cold path (mismatched lengths) delegates to the interpreted
+    // helper through a reference object — it replays the composition's
+    // CASE-sees-the-self-norms-first semantics without inflating the
+    // hot loop's generated code
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -108,10 +163,13 @@ case class CosineSim(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val nrm = ctx.freshName("nrm")
+      val mres = ctx.freshName("mres")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
+         |  java.lang.Double $mres = $ref.mismatchedEvalBoxed($a, $b);
+         |  if ($mres == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $mres.doubleValue(); }
          |} else {
          |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {

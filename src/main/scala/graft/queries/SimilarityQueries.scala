@@ -224,8 +224,32 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, dir)
     finish(Similarity.graphSearchOn(tierGraph(spark, dir), e,
       probes(spark, dir), K, beam = GraphBeam, hops = GraphHops,
-      entryLayer = Some(Similarity.clusterEntryLayer(e, ClusterHeads))))
+      entryLayer = Some(tierEntryLayer(spark, dir))))
   }
+
+  /** The cluster-head entry layer as a ONCE-PER-GENERATION persisted
+    * artifact (round-16 review: [[Similarity.clusterEntryLayer]] runs a
+    * full-corpus centroid aggregation + top-k cut, so recomputing it per
+    * serve/arrival re-pays exactly the corpus-linear work the bounded
+    * layer exists to remove — the layer is a build-time cost, like the
+    * graph it enters). Marker-gated beside the other tier roots; the
+    * persisted rows are the deterministic layer verbatim, so readers are
+    * hash-identical to the recompute-each-time form. */
+  private def ensureEntryTier(spark: SparkSession, dir: String): String = {
+    val path = s"${indexRoot("graft_graph_entry", dir)}_h$ClusterHeads"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/${Similarity.GraphCompleteMarker}")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/layer"), true)
+      Similarity.clusterEntryLayer(Tables.embeddings(spark, dir), ClusterHeads)
+        .write.mode("overwrite").parquet(s"$path/layer")
+      fs.create(marker, true).close()
+    }
+    path
+  }
+
+  private def tierEntryLayer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${ensureEntryTier(spark, dir)}/layer")
 
   /** THE shared full-corpus graph tier (round-14 amortization, r13
     * verdict #1): one marker-gated [[Similarity.buildGraphIndex]] root
@@ -533,7 +557,7 @@ object SimilarityQueries {
       .select(col("probe_id"), col("neighbor_id"), lit("stride").as("method"))
     val clustered = Similarity.graphSearchOn(g, e, p, K,
         beam = GraphBeam, hops = GraphHops,
-        entryLayer = Some(Similarity.clusterEntryLayer(e, ClusterHeads)))
+        entryLayer = Some(tierEntryLayer(spark, dir)))
       .select(col("probe_id"), col("neighbor_id"), lit("clustered").as("method"))
     val hits = exact
       .join(stride.unionByName(clustered), Seq("probe_id", "neighbor_id"))

@@ -65,7 +65,13 @@ class CosineSimSpec extends SparkSpec {
       Row(4L, Seq(Double.NaN, 1.0), Seq(1.0, 1.0)),          // NaN propagates
       Row(5L, null, Seq(1.0, 2.0)),                          // null array -> null
       Row(6L, Seq(3.0, -4.0), Seq(-3.0, 4.0)),               // antiparallel -> -1
-      Row(7L, Seq(1e200, 1e200), Seq(1e200, 1e200)))         // inf norms, same both forms
+      Row(7L, Seq(1e200, 1e200), Seq(1e200, 1e200)),         // inf norms, same both forms
+      // mismatch + zero-norm side: the composition's WHEN tests the
+      // product of SELF-dots first (they never see the other array), so
+      // 0.0 wins over the mismatch — the review-found divergence window
+      Row(8L, Seq(0.0, 0.0), Seq(1.0)),                      // -> 0.0, not null
+      Row(9L, Seq(1.0), Seq(0.0, 0.0)),                      // -> 0.0, not null
+      Row(10L, Seq(0.0, null), Seq(1.0)))                    // mismatch + null elem -> null
       .map(r => Row(r.get(0),
         Option(r.get(1)).map(_.asInstanceOf[Seq[Any]]).orNull,
         Option(r.get(2)).map(_.asInstanceOf[Seq[Any]]).orNull))
@@ -90,6 +96,9 @@ class CosineSimSpec extends SparkSpec {
     got(2).isNullAt(1) shouldBe true
     got(3).isNullAt(1) shouldBe true
     got(6).getDouble(1) shouldBe -1.0 +- 1e-15
+    got(8).getDouble(1) shouldBe 0.0
+    got(9).getDouble(1) shouldBe 0.0
+    got(10).isNullAt(1) shouldBe true
   }
 
   test("whole-stage codegen: the fused expression runs inside one codegen region") {
