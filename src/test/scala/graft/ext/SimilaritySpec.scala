@@ -507,6 +507,32 @@ class SimilaritySpec extends SparkSpec {
       hops = 2, allowedIds = Some(allowed))) shouldBe gk
   }
 
+  test("upsertGraphIndex with a bounded entry layer: generation completes, full out-degree into base") {
+    val rng = new scala.util.Random(47)
+    val dim = 32
+    val all = (0L until 60L).map(i =>
+      (i, Seq.fill(dim)(rng.nextFloat() - 0.5f), (i % 5).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val base = all.filter(col("vec_id") < 50)
+    val batch = all.filter(col("vec_id") >= 50).drop("label")
+    val root = java.nio.file.Files.createTempDirectory("graft-entry-upsert").toString
+    Similarity.buildGraphIndex(base.drop("label"), root, graphK = 5, graphRounds = 2,
+      dim = dim)
+    // the deployment shape: the layer is built once per generation over
+    // the tier's vectors (here from the labeled base) and passed to
+    // every arrival batch's walk
+    val layer = Similarity.clusterEntryLayer(base, topPerList = 3)
+    Similarity.upsertGraphIndex(spark, root, batch, k = 5, beam = 10,
+      hops = 2, entryLayer = Some(layer))
+    val delta = spark.read.parquet(s"$root/graph_delta/gen=1/edges")
+    val rows = delta.select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    // every arrival got exactly k out-edges, all into the base set
+    rows.map(_._1).toSet shouldBe (50L until 60L).toSet
+    rows.groupBy(_._1).view.mapValues(_.length).toMap.values.toSet shouldBe Set(5)
+    rows.foreach { case (_, n) => n should be < 50L }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("graph upsert shape: base edges unchanged, delta nodes link into base only with full out-degree") {
     val rng = new scala.util.Random(37)
     val dim = 32
