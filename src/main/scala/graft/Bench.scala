@@ -22,9 +22,18 @@ import graft.core.Tables
   *    different deterministic shuffle order, so an external load burst
   *    lands on a different query set in every pass instead of sitting on
   *    one alphabetical block (the round-6 "d-block" artifact). Per-rep
-  *    wall-times and a 1-min system loadavg sample taken immediately
-  *    before each execution go into BENCH_DETAIL.json, so a contended
-  *    rep is attributable from the artifact alone.
+  *    wall-times and 1-min system loadavg samples taken immediately
+  *    before AND after each execution go into BENCH_DETAIL.json, so a
+  *    contended rep is attributable from the artifact alone;
+  *  - OUTLIER REPS ARE RE-RUN (round 17 — r16 verdict #1): a rep
+  *    > 3× the query's own best (and > 0.3 s over it) is a contention
+  *    casualty the load-sample marker cannot see when the burst lands
+  *    mid-rep; after all passes it is re-executed (bounded budget) and
+  *    priced at the min of its attempts — contention only inflates, so
+  *    the min is the honest uncontended estimate. `quiet_run` then
+  *    certifies the whole run (quiet launch + no in-run load burst
+  *    above the self-load gate + no unresolved outlier), a strictly
+  *    stronger claim than `quiet_launch`.
   *
   * Evidence-vs-engine split (round-6 verdict fix #2): queries in
   * `EvidenceQueries` exist to keep A/B evidence honest (they pin
@@ -161,6 +170,11 @@ object Bench {
     // NOT sorted — so the detail file shows what happened when.
     val times = Array.fill(nq, reps)(0.0)
     val loads = Array.fill(nq, reps)(0.0)
+    // post-exec load sample (round 17 — r16 verdict #1): the pre-exec
+    // sample cannot see a burst that arrives MID-rep (r16 had a 75.5 s
+    // rep on a 3 s query whose pre-exec sample passed the gate); the
+    // exit sample is the attribution record for exactly that case
+    val loadsAfter = Array.fill(nq, reps)(0.0)
     // r8 advisor fix: a query that throws must NOT be silently priced at
     // its time-to-exception (the r8 artifact recorded 33 events queries
     // at 0.06-0.09s AnalysisException stubs with no failure marker).
@@ -183,6 +197,53 @@ object Bench {
         System.err.println(s"[bench] ${queries(i)._1} rep $r FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
       times(i)(r) = (System.nanoTime() - t0) / 1e9
+      loadsAfter(i)(r) = osBean.getSystemLoadAverage
+    }
+
+    // OUTLIER-REP RE-RUN (round 17 — r16 verdict #1): the load-sample
+    // contention marker is blind to bursts arriving MID-rep, but the
+    // query's own rep spread is not — with interleaved passes, a rep
+    // > 3× the query's own best is a contention casualty, not the code
+    // (r16: a 75.5 s rep on a 3 s query sat unflagged in the median).
+    // Such reps are RE-RUN after all passes complete (the burst has
+    // usually moved on) and the rep's time becomes the MIN of its
+    // attempts: contention only ever INFLATES a full-plan execution,
+    // so the min is the honest estimate of that rep's uncontended
+    // cost. The 0.3 s absolute guard skips timer/GC noise on
+    // sub-second queries where a 3× spread cannot move the total.
+    // Budget-bounded (SPARK_GRAFT_RERUN_CAP re-executions, ≤ 2 per
+    // rep); reps still > 3× after the budget are reported UNRESOLVED
+    // rather than silently kept.
+    val rerunCap = envInt("SPARK_GRAFT_RERUN_CAP", 80)
+    def isOutlier(t: Double, mn: Double): Boolean =
+      t > 3.0 * mn && t - mn > 0.3
+    var rerunsUsed = 0
+    var outlierReps = 0
+    var outlierUnresolved = 0
+    val rerunLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until nq) {
+      val okReps = (0 until reps).filterNot(failedRep(i))
+      if (okReps.length >= 2) {
+        val mn = okReps.map(times(i)).min
+        for (r <- okReps if isOutlier(times(i)(r), mn)) {
+          outlierReps += 1
+          val orig = times(i)(r)
+          var attempts = 0
+          while (isOutlier(times(i)(r), mn) && attempts < 2 && rerunsUsed < rerunCap) {
+            attempts += 1; rerunsUsed += 1
+            val t0 = System.nanoTime()
+            try {
+              exec(queries(i)._2(spark, sfDir))
+              val t = (System.nanoTime() - t0) / 1e9
+              times(i)(r) = math.min(times(i)(r), t)
+            } catch { case _: Throwable => () } // original rep stands
+          }
+          if (isOutlier(times(i)(r), mn)) outlierUnresolved += 1
+          System.err.println(s"[bench] ${queries(i)._1} rep $r outlier " +
+            s"${fmt(orig)}s vs min ${fmt(mn)}s - rerun -> ${fmt(times(i)(r))}s")
+          rerunLog += s"""["${queries(i)._1}",$r,${fmt(orig)},${fmt(times(i)(r))}]"""
+        }
+      }
     }
 
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
@@ -253,6 +314,19 @@ object Bench {
     // value_quiet is NULL — no number beats a fabricated one — and
     // quiet_reason says exactly what was observed either way.
     val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
+    // "quiet at launch" and "quiet throughout" are DIFFERENT claims
+    // (r16 verdict: quiet_launch=true on a run whose in-run load hit
+    // 9.91 invited exactly the misreading the field guards against).
+    // quiet_run certifies the RUN: quiet launch, no in-run sample
+    // (pre- OR post-exec) bursting above the self-load gate, and no
+    // outlier rep left unresolved by the re-run budget. null when the
+    // platform reports no loadavg.
+    val inRunMax = (loads.flatten ++ loadsAfter.flatten)
+      .filter(_ >= 0).foldLeft(-1.0)(math.max)
+    val quietRunJson: String =
+      if (loadGate < 0) "null"
+      else (quietAmbient && inRunMax <= loadGate &&
+        outlierUnresolved == 0).toString
     val (engineQuiet: Option[Double], quietReason: String) =
       if (ambientLoad < 0)
         // the platform reports no loadavg at all — "unknown" is neither
@@ -337,6 +411,10 @@ object Bench {
       val perLoad = results
         .map { case (k, _, l, _) => s"\"$k\":[${l.map(fmt2).mkString(",")}]" }
         .mkString("{", ",", "}")
+      val perLoadAfter = results
+        .map { case (k, _, _, i) => s"\"$k\":[${loadsAfter(i).map(fmt2).mkString(",")}]" }
+        .mkString("{", ",", "}")
+      val rerunsJson = rerunLog.mkString("[", ",", "]")
       val repFails = queries.zipWithIndex
         .collect { case ((k, _), i) if failedRep(i).exists(identity) =>
           s"\"$k\":[${(0 until reps).filter(failedRep(i)).mkString(",")}]"
@@ -347,7 +425,7 @@ object Bench {
       val orderJson = passOrder
         .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":$quietJson3,"quiet_launch":$quietAmbient,"quiet_reason":"$quietReason","evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":$quietJson3,"quiet_launch":$quietAmbient,"quiet_run":$quietRunJson,"quiet_reason":"$quietReason","evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"n_outlier_reps":$outlierReps,"n_reruns":$rerunsUsed,"n_outlier_unresolved":$outlierUnresolved,"reruns":$rerunsJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_after_per_rep":$perLoadAfter,"load_inrun_max":${fmt2(inRunMax)},"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
     }
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
     java.nio.file.Files.write(detailPath,
@@ -373,7 +451,7 @@ object Bench {
     // n_queries counts ENGINE queries only, matching what `value` sums
     // (round-7 advisor: value/n_queries must reconcile); the pins are
     // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"quiet_launch":$quietAmbient,"quiet_reason":"$quietReason","evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"load_gate":${fmt2(loadGate)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"quiet_launch":$quietAmbient,"quiet_run":$quietRunJson,"quiet_reason":"$quietReason","evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"n_outlier_reps":$outlierReps,"n_reruns":$rerunsUsed,"n_outlier_unresolved":$outlierUnresolved,"load_gate":${fmt2(loadGate)},"load_inrun_max":${fmt2(inRunMax)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -469,24 +469,43 @@ object Lex {
   private def tokenScanFilter(df: DataFrame, toks: Seq[String]): DataFrame =
     if (toks.length <= InFilterCap) df.filter(col("t").isin(toks: _*)) else df
 
+  /** The same cap discipline for the candidate-doc `In(doc_id, …)`
+    * pushdown on the forward scans (r16 ADVICE #1: the structural
+    * bound legalizes candidate batches up to [[MaxPrunedPairs]] — a
+    * multi-million-literal In expression costs exactly the seconds of
+    * driver-side canonicalization the TOKEN cap was added to avoid).
+    * The bounded broadcast `candidates` join restricts the same rows
+    * either way, so serves are hash-identical past the cap; the cap is
+    * wider than [[InFilterCap]] because doc ids are fixed-width
+    * numerics (no per-literal string canonicalization) and the forward
+    * pushdown is what keeps exact scoring candidate-shaped. */
+  val DocInFilterCap = 1 << 16
+  private def docScanFilter(df: DataFrame, idCol: String,
+                            docs: Seq[Any]): DataFrame =
+    if (docs.length <= DocInFilterCap) df.filter(col(idCol).isin(docs: _*)) else df
+
   /** The probe frame's (probe_id, t) DISTINCT tokens — in-plan (the
     * broadcast side of every serve join) — plus the collected distinct
     * token strings for the scan-pushdown filter (bounded by the probe
-    * batch's vocabulary; the `decon_bloom` no-join discipline). */
+    * batch's vocabulary; the `decon_bloom` no-join discipline) and the
+    * (probe, token) PAIR COUNT, aggregated in the SAME collect (r16
+    * ADVICE #4: the pruned/WAND serves ran a second `ptok.count()` job
+    * per serve solely to compute the structural candidate bound — one
+    * per-token count in the collect already in flight carries it). */
   private def probeTokens(probeDocs: DataFrame, idCol: String,
-                          textCol: String): (DataFrame, Seq[String]) = {
+                          textCol: String): (DataFrame, Seq[String], Long) = {
     val ptok = probeDocs
       .select(col(idCol).as("probe_id"), explode(Text.tokens(col(textCol))).as("t"))
       .distinct()
     // limit BEFORE the collect: the guard exists to catch unbounded
     // driver state, so it must fire before the driver materializes it
     // (a corpus-sized batch would OOM the collect ahead of the require)
-    val toks = ptok.select("t").distinct().limit(MaxProbeVocab + 1)
-      .collect().map(_.getString(0)).toSeq
-    require(toks.length <= MaxProbeVocab,
+    val rows = ptok.groupBy("t").agg(count(lit(1)).as("c"))
+      .limit(MaxProbeVocab + 1).collect()
+    require(rows.length <= MaxProbeVocab,
       s"lex probe vocabulary exceeds $MaxProbeVocab - " +
         "probe batches must be arrival-sized, not corpus-sized")
-    (ptok, toks)
+    (ptok, rows.map(_.getString(0)).toSeq, rows.map(_.getLong(1)).sum)
   }
 
   /** Probe the tier: BM25 top candidates for each probe document,
@@ -508,7 +527,7 @@ object Lex {
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val gens = completedGens(spark, path) // ONE snapshot for all tables
     val (postings, dlen) = lexTierTablesAt(spark, path, gens)
-    val (ptok, toks) = probeTokens(probeDocs, idCol, textCol)
+    val (ptok, toks, _) = probeTokens(probeDocs, idCol, textCol)
     bm25Scores(tokenScanFilter(postings, toks), dlen, ptok,
       maxDfPct, idCol, dfStats = Some(lexTierStatsAt(spark, path, gens)))
   }
@@ -522,8 +541,8 @@ object Lex {
     * frame, so the serve plan never re-derives them. */
   private def prefixCandidates(spark: org.apache.spark.sql.SparkSession,
                                path: String, gens: Seq[Int], ptok: DataFrame,
-                               toks: Seq[String], idCol: String):
-      (DataFrame, Seq[Any]) = {
+                               toks: Seq[String], ptokPairs: Long,
+                               idCol: String): (DataFrame, Seq[Any]) = {
     val prefix = tokenScanFilter(gens
       .map(g => spark.read.parquet(s"${genPath(path, g)}/postings_pruned"))
       .foldLeft(spark.read.parquet(s"$path/postings_pruned"))(_ unionByName _),
@@ -533,10 +552,11 @@ object Lex {
       .select(col("probe_id"), col(idCol))
       .distinct()
     // the structural bound from the ACTUAL inputs (M · |(probe, token)
-    // pairs| · segments); the collect is limit-capped so a broken
+    // pairs| · segments — the pair count rides in [[probeTokens]]'
+    // collect, no extra job); the collect is limit-capped so a broken
     // prefix write fails LOUDLY here instead of OOMing the driver first
     val structuralBound =
-      LexPrunedM.toLong * ptok.count() * (gens.length + 1)
+      LexPrunedM.toLong * ptokPairs * (gens.length + 1)
     val cap = math.min(structuralBound, MaxPrunedPairs.toLong)
     val rows = cands.limit(cap.toInt + 1).collect()
     require(rows.length <= cap,
@@ -575,10 +595,11 @@ object Lex {
                           probeDocs: DataFrame, maxDfPct: Int,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val gens = completedGens(spark, path) // ONE snapshot for all tables
-    val (ptok, toks) = probeTokens(probeDocs, idCol, textCol)
-    val (cands, candDocs) = prefixCandidates(spark, path, gens, ptok, toks, idCol)
-    val forward = tokenScanFilter(lexTierForwardAt(spark, path, gens)
-      .filter(col(idCol).isin(candDocs: _*)), toks)
+    val (ptok, toks, nPairs) = probeTokens(probeDocs, idCol, textCol)
+    val (cands, candDocs) =
+      prefixCandidates(spark, path, gens, ptok, toks, nPairs, idCol)
+    val forward = tokenScanFilter(
+      docScanFilter(lexTierForwardAt(spark, path, gens), idCol, candDocs), toks)
     val dlen = lexTierTablesAt(spark, path, gens)._2
     bm25Scores(forward, dlen, ptok, maxDfPct, idCol,
       dfStats = Some(lexTierStatsAt(spark, path, gens)), candidates = Some(cands))
@@ -616,37 +637,70 @@ object Lex {
     * scores, same top-`topK` per probe, but only candidates whose
     * score UPPER BOUND clears the running threshold are ever
     * exact-scored. Set-at-a-time phases:
-    *   1. the impact-prefix candidates ([[queryLexIndexPruned]]'s
-    *      bounded set) are exact-scored; the topK-th best score per
-    *      probe is the threshold θ (−∞ when fewer than topK);
+    *   1. θ seeds from PARTIAL scores over the impact-prefix rows
+    *      alone (round 17 — r16 verdict #3): for every (probe, doc)
+    *      pair the exact micro-unit term sum over just the admitted
+    *      tokens whose top-[[LexPrunedM]] prefix the doc entered. A
+    *      partial sum is an exact-integer sum of a SUBSET of the
+    *      pair's non-negative terms, so it LOWER-bounds the pair's
+    *      full score, and the per-probe topK-th partial score
+    *      therefore lower-bounds the true topK-th score — pruning on
+    *      it stays lossless. vs the round-16 phase 1 (exact-scoring
+    *      the full prefix-candidate set through the forward table):
+    *      one arithmetic pass over prefix rows already scanned — no
+    *      forward scan, no driver-side candidate collect, no
+    *      In(doc_id) pushdown, and the ~80%-of-exact-serve scoring
+    *      work SCALEBENCH_r16 measured in θ-derivation is gone;
     *   2. every (probe, doc) pair sharing an admitted token gets a
     *      per-pair upper bound — Σ over shared tokens of the sound
     *      per-token bound ([[bm25UpperBounds]]) — one cheap aggregate
     *      over the token-pruned postings, no per-row idf/term math;
-    *   3. only pairs with bound ≥ θ are exact-scored (the forward
-    *      scan shape), and their ranks 1..topK equal the exact
-    *      serve's: any pruned pair has true score ≤ bound < θ ≤ the
-    *      true topK-th score, so it could never enter the cut, and
+    *   3. only pairs with bound ≥ θ are exact-scored (the shared
+    *      [[bm25Scores]] path), and their ranks 1..topK equal the
+    *      exact serve's: any pruned pair has true score ≤ bound < θ ≤
+    *      the true topK-th score, so it could never enter the cut, and
     *      every survivor's score is the shared [[bm25Scores]] value.
     * The result therefore hash-matches the exact serve BY ARGUMENT —
     * `search_bm25_wand` pins it against `search_bm25_indexed`'s own
-    * oracle — while the exact-scored pair count follows θ, not the
-    * corpus (ScaleBench `lex_probe_wand` measures the ratio). */
+    * oracle, which proves the pruning lossless on real data every
+    * round (the weaker partial-sum θ admits MORE survivors than the
+    * r16 exact-prefix θ, never fewer true results) — while the
+    * exact-scored pair count follows θ, not the corpus (ScaleBench
+    * `lex_wand_pruning` measures the ratio). */
   def queryLexIndexWand(spark: org.apache.spark.sql.SparkSession, path: String,
                         probeDocs: DataFrame, maxDfPct: Int, topK: Int,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val gens = completedGens(spark, path) // ONE snapshot for all tables
-    val (ptok, toks) = probeTokens(probeDocs, idCol, textCol)
+    val (ptok, toks, _) = probeTokens(probeDocs, idCol, textCol)
     val (dfT, stats0) = lexTierStatsAt(spark, path, gens)
     val stats = stats0.withColumn("avgdl", expr(Bm25AvgdlSql))
     val (postings, dlen) = lexTierTablesAt(spark, path, gens)
     val tokPruned = tokenScanFilter(postings, toks)
-    // phase 1: exact scores of the bounded prefix candidates → θ
-    val (cands, candDocs) = prefixCandidates(spark, path, gens, ptok, toks, idCol)
-    val forward = tokenScanFilter(lexTierForwardAt(spark, path, gens)
-      .filter(col(idCol).isin(candDocs: _*)), toks)
-    val phase1 = bm25Scores(forward, dlen, ptok, maxDfPct, idCol,
-      dfStats = Some((dfT, stats0)), candidates = Some(cands))
+    // phase 1: partial scores over the prefix rows → θ. The idf/term
+    // arithmetic is the scoring form verbatim (same DetMath ln, same
+    // micro-unit term SQL), summed over the subset of tokens whose
+    // prefix the doc entered — bounded by M·|probe tokens|·gens rows
+    // by the prefix construction.
+    val prefix = tokenScanFilter(gens
+      .map(g => spark.read.parquet(s"${genPath(path, g)}/postings_pruned"))
+      .foldLeft(spark.read.parquet(s"$path/postings_pruned"))(_ unionByName _),
+      toks)
+    val idf = dfT.join(broadcast(ptok.select("t").distinct()), "t")
+      .crossJoin(broadcast(stats.select("n")))
+      .filter(expr(s"df * 100 <= $maxDfPct * n"))
+      .withColumn("__x", expr(Bm25IdfArgSql))
+      .withColumn("__idf", graft.functions.DetMathExpr.detLn(col("__x")))
+      .select(col("t"), col("__idf"))
+    val phase1 = prefix
+      .join(broadcast(ptok), "t")
+      .filter(col(idCol) =!= col("probe_id"))
+      .join(broadcast(idf), "t")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .withColumn("__term", expr(Bm25TermSql))
+      .groupBy(col("probe_id"), col(idCol).as("cand_id"))
+      .agg(sum(col("__term")).as("__micro"))
+      .select(col("probe_id"), col("cand_id"),
+        expr(Bm25ScoreOf("__micro")).as("__score"))
     val theta = phase1
       .groupBy("probe_id")
       .agg(graft.functions.BoundedTopK.topk(

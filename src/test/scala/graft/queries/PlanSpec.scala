@@ -693,20 +693,24 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
-  test("search_bm25_wand: phase structure — bounded forward scoring for theta, one ub pass, survivors exact-scored") {
+  test("search_bm25_wand: phase structure — prefix partial sums for theta, one ub pass, survivors exact-scored; no forward scan, no collect") {
     val df = SimilarityQueries.searchBm25Wand(spark, dir)
     df.collect()
     val p = plan(df).split("== Initial Plan ==").head
-    // phase 1 scores prefix candidates off the forward table (doc
-    // pushdown); phases 2+3 share the token-pruned postings scan —
-    // In(t, …) pushed on every postings read; never a cartesian
-    val fwdScan = p.linesIterator
-      .find(l => l.contains("/forward]") && l.contains("FileScan"))
-    fwdScan should not be None
-    fwdScan.get should include("In(doc_id, [")
+    // round 17 (r16 verdict #3): phase 1 partial-scores the PREFIX
+    // rows in-plan for θ — the forward table (and with it the driver-
+    // side candidate collect + In(doc_id) push) must NOT appear
+    // anywhere in the WAND plan; phases 2+3 share the token-pruned
+    // postings scan — In(t, …) pushed on every postings-family read;
+    // never a cartesian
+    val prefixScan = p.linesIterator
+      .find(l => l.contains("/postings_pruned]") && l.contains("FileScan"))
+    prefixScan should not be None
+    prefixScan.get should include("In(t, [")
     p.linesIterator
       .filter(l => l.contains("/postings]") && l.contains("FileScan"))
       .foreach(l => l should include("PushedFilters: [In(t, ["))
+    p should not include "/forward]"
     p should not include "CartesianProduct"
     p should not include "/dlen]"
   }
@@ -719,16 +723,14 @@ class PlanSpec extends SparkSpec {
     // plain postings; EVERY postings-family scan (inverted, pruned
     // prefix, delta) must carry the probe's bounded In(t, …) pushdown —
     // the fold reordering this would silently break is exactly what
-    // the gate exists for. The base forward scan additionally prunes
-    // by the bounded candidate-doc set.
+    // the gate exists for. The forward table must not appear (round
+    // 17: θ derives from prefix partial sums, not forward scoring).
     val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
     val postingScans = scans.filter(l =>
       l.contains("/postings]") || l.contains("/postings_pruned]"))
     postingScans should not be empty
     postingScans.foreach(l => l should include("In(t, ["))
-    val fwdScans = scans.filter(_.contains("/forward]"))
-    fwdScans should not be empty
-    fwdScans.foreach(l => l should include("In(doc_id, ["))
+    p should not include "/forward]"
     p should not include "/dlen]"
     p should not include "CartesianProduct"
   }
