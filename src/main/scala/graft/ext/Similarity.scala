@@ -836,8 +836,10 @@ object Similarity {
     * Shared with the oracle SQL so both engines sample identically. */
   val GraphEntryStride: Int = 4
 
-  /** Entry-layer non-emptiness verdicts by (canonicalized corpus PLAN,
-    * stride) — see the guard in [[graphSearchOn]]. The key is the plan
+  /** Entry-layer non-emptiness verdicts — keyed (corpus plan, stride)
+    * for stride layers and (layer plan, corpus plan) for custom entry
+    * layers, since the effective entry set depends on both — see the
+    * guard in [[graphSearchOn]]. The key is the plan
     * itself (structural equality), NOT its 32-bit hashCode: a hash
     * collision on an Int key would silently skip the very fail-fast
     * this exists to enforce (review finding, round 14). Path-keying
@@ -853,11 +855,11 @@ object Similarity {
     * verdict — the guard is per-plan, not per-data. */
   private val checkedEntryLayers = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
-        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any),
         java.lang.Boolean](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
-            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any),
             java.lang.Boolean]): Boolean = size() > 64
     })
 
@@ -957,20 +959,38 @@ object Similarity {
     // micro-batch) memoize the verdict instead of re-proving it with a
     // fresh Spark job each time (canonicalized-plan keying: two reads
     // of the same files share one probe).
-    // custom entry layers key on THEIR OWN plan (stride is meaningless
-    // for them; −1 keeps the key space disjoint from stride layers)
-    val layerKey = entryLayer match {
-      case Some(el) => (el.queryExecution.logical.canonicalized, -1)
-      case None => (corpus.queryExecution.logical.canonicalized, entryStride)
+    // custom entry layers key on (layer plan, corpus plan) — the
+    // EFFECTIVE entry set below depends on both, so a tier rewrite or
+    // corpus swap under the same layer re-probes instead of reusing a
+    // stale verdict (r16 ADVICE #2); stride layers derive from the
+    // corpus, so (corpus plan, stride) still identifies them
+    val layerKey: (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Any) =
+      entryLayer match {
+        case Some(el) => (el.queryExecution.logical.canonicalized,
+          corpus.queryExecution.logical.canonicalized)
+        case None => (corpus.queryExecution.logical.canonicalized, entryStride)
+      }
+    // the EFFECTIVE entry set, not the raw layer frame (r16 ADVICE #2):
+    // topOf inner-joins the layer to the corpus vectors, so a persisted
+    // layer whose node ids are absent from the current corpus (stale
+    // generation, re-keyed ids) is non-empty yet enters NOWHERE — the
+    // exact silent-zero failure this guard exists to catch. Stride
+    // layers are a corpus filter (already effective by construction).
+    val effectiveEntry = entryLayer match {
+      case Some(_) => layer.join(
+        v.select(col("__id").as("node")), Seq("node"), "left_semi")
+      case None => layer
     }
     // get(), not containsKey(): only get() counts as an ACCESS in an
     // access-order LinkedHashMap — containsKey would leave eviction
     // pure-FIFO and evict the most-re-checked plan first (r15 review)
     if (checkedEntryLayers.get(layerKey) == null) {
-      require(!layer.isEmpty,
+      require(!effectiveEntry.isEmpty,
         if (entryLayer.isDefined)
-          "graphSearchOn: the supplied entry layer is empty — every walk " +
-            "would silently return zero neighbors"
+          "graphSearchOn: the supplied entry layer shares no ids with the " +
+            "corpus (stale generation or re-keyed id space) — every walk " +
+            "would silently return zero neighbors; rebuild the entry tier " +
+            "for this corpus generation"
         else
           s"graphSearchOn: coarse entry layer is empty — no corpus id is " +
             s"divisible by entryStride=$entryStride; re-key the id space or " +

@@ -232,18 +232,37 @@ object SimilarityQueries {
     * full-corpus centroid aggregation + top-k cut, so recomputing it per
     * serve/arrival re-pays exactly the corpus-linear work the bounded
     * layer exists to remove — the layer is a build-time cost, like the
-    * graph it enters). Marker-gated beside the other tier roots; the
-    * persisted rows are the deterministic layer verbatim, so readers are
-    * hash-identical to the recompute-each-time form. */
+    * graph it enters). Marker-gated beside the other tier roots with a
+    * FINGERPRINTED marker (r16 ADVICE #3, the [[graft.ext.Markers]]
+    * discipline): [[TierRoots]] keys the path by corpus identity, and
+    * the marker content pins how the layer was computed, so a re-cut of
+    * the entry construction reads as "no tier" instead of serving heads
+    * cut the old way. The persisted rows are the deterministic layer
+    * verbatim, so readers are hash-identical to the recompute form.
+    *
+    * STALENESS CONTRACT (r16 verdict #5, stated not implied): the layer
+    * is keyed to the BASE corpus generation. When the GRAPH tier
+    * upserts, arrivals do not enter the layer — they are reachable only
+    * via graph hops from base-corpus entry heads (exactly Lucene's
+    * small-segment convention on the lex tier: delta segments skip the
+    * heavy layouts until compaction). Entry-layer refresh rides the
+    * corpus generation (a new [[TierRoots]] key → a fresh layer), and
+    * entry QUALITY under the stale layer is graded every round by
+    * `ann_graph_clustered_recall`, never assumed. SimilaritySpec pins
+    * the reachability half of this contract. */
+  private val EntryTierFingerprint =
+    s"entry:cluster-heads:h$ClusterHeads:cosine-topk:v1"
   private def ensureEntryTier(spark: SparkSession, dir: String): String = {
     val path = s"${indexRoot("graft_graph_entry", dir)}_h$ClusterHeads"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/${Similarity.GraphCompleteMarker}")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) {
+    val markerPath = s"$path/${Similarity.GraphCompleteMarker}"
+    if (!graft.ext.Markers.matches(spark, markerPath, EntryTierFingerprint)) {
+      graft.ext.Markers.delete(spark, markerPath)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/layer"), true)
       Similarity.clusterEntryLayer(Tables.embeddings(spark, dir), ClusterHeads)
         .write.mode("overwrite").parquet(s"$path/layer")
-      fs.create(marker, true).close()
+      graft.ext.Markers.write(spark, markerPath, EntryTierFingerprint)
     }
     path
   }

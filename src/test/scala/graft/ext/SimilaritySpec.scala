@@ -471,7 +471,63 @@ class SimilaritySpec extends SparkSpec {
       Similarity.graphSearchOn(g, df, probesDf, k = 5, beam = 10, hops = 2,
         entryLayer = Some(df.filter(col("vec_id") < 0).select("vec_id")))
     }
-    boom.getMessage should include("entry layer is empty")
+    boom.getMessage should include("shares no ids with the corpus")
+  }
+
+  test("stale entry layer contract: arrivals absent from the layer stay hop-reachable; a layer disjoint from the corpus fails fast") {
+    // The r16 verdict #5 contract, pinned: the persisted cluster-head
+    // entry layer is keyed to the BASE corpus generation — a graph
+    // upsert does NOT refresh it, so arrivals are reachable only via
+    // graph hops from base entry heads (the lex tier's small-segment
+    // convention). This proves the reachability half; the recall twin
+    // grades entry quality under staleness every round.
+    val rng = new scala.util.Random(53)
+    val dim = 32
+    val bases = Seq.fill(2)(Array.fill(dim)(rng.nextGaussian().toFloat * 2f))
+    val baseRows = for {
+      (b, ci) <- bases.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 100L + j, b.map(x => x + 0.05f * rng.nextGaussian().toFloat).toSeq, ci)
+    val base = baseRows.toDF("vec_id", "embedding", "label")
+    // arrivals join cluster 0 TIGHTLY (σ half the base's): the probe's
+    // true nearest neighbors are dominated by arrivals, so a serve that
+    // could not hop into them would visibly miss
+    val batch = (0 until 6).map(j =>
+      (1000L + j, bases(0).map(x => x + 0.025f * rng.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-stale-entry").toString
+    Similarity.buildGraphIndex(base.drop("label"), root, graphK = 5,
+      graphRounds = 2, dim = dim)
+    val staleLayer = Similarity.clusterEntryLayer(base, topPerList = 3)
+      .localCheckpoint(true) // freeze: the layer predates the upsert
+    Similarity.upsertGraphIndex(spark, root, batch, k = 5, beam = 10,
+      hops = 2, entryLayer = Some(staleLayer))
+    val merged = spark.read.parquet(s"$root/graph_edges")
+      .select("vec_id", "neighbor_id")
+      .unionByName(Similarity.graphDeltaEdges(spark, root)
+        .getOrElse(fail("no completed delta generation after upsert"))
+        .select("vec_id", "neighbor_id"))
+    val corpus = base.drop("label").unionByName(batch)
+    val probe = base.filter(col("vec_id") === 0L).drop("label")
+    val got = Similarity.graphSearchOn(merged, corpus, probe, k = 5,
+      beam = 10, hops = 2, entryLayer = Some(staleLayer))
+      .select("neighbor_id").as[Long].collect().toSet
+    // the stale layer holds only base ids, yet arrivals are served:
+    // they enter via the symmetrized hop expansion (arrival→base delta
+    // edges walk backwards), never via the entry stage
+    staleLayer.as[Long].collect().forall(_ < 1000L) shouldBe true
+    got.count(_ >= 1000L) should be >= 1
+    // and a layer sharing NO ids with the corpus (a fully stale
+    // generation / re-keyed id space) fails fast instead of silently
+    // returning zero neighbors — the effective-entry probe, not a raw
+    // non-emptiness check (r16 ADVICE #2)
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.graphSearchOn(merged, corpus, probe, k = 5, beam = 10,
+        hops = 2, entryLayer = Some(
+          staleLayer.select((col(staleLayer.columns.head) + 100000L).as("node"))))
+    }
+    boom.getMessage should include("shares no ids with the corpus")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   test("filtered graph search: results within the allowed set, near-exact on allowed-cluster probes, deterministic") {
