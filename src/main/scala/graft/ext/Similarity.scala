@@ -623,10 +623,17 @@ object Similarity {
     // seeds them and the NN-Descent rounds recover their neighborhoods
     // through two-hop propagation (that recovery is the algorithm's
     // whole premise).
-    val bkt = v.withColumn("__b", srpBucket(col("__v"), planes))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__b")))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
+    // bucket sizes via groupBy + BROADCAST join, not a count() window
+    // (round 17): the window shuffles every corpus row into per-bucket
+    // partitions — with 2^nPlanes buckets that is ≤ 16 tasks holding
+    // the WHOLE corpus at deployment scale, a parallelism collapse the
+    // cap itself exists to avoid. The per-bucket counts are ≤ 2^nPlanes
+    // rows (an ordinary partial-aggregated groupBy), broadcast back to
+    // the map side; identical rows survive the cap either way.
+    val vb = v.withColumn("__b", srpBucket(col("__v"), planes))
+    val bktSizes = vb.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("__b")
+    val bkt = vb.join(broadcast(bktSizes), "__b")
     val bucketInit = bkt.select(col("__id").as("src"), col("__v").as("__sv"), col("__b"))
       .join(bkt.select(col("__id").as("dst"), col("__v").as("__dv"), col("__b")), "__b")
       .filter(col("src") =!= col("dst"))
@@ -658,14 +665,21 @@ object Similarity {
         .select(col("src"), col("__e.id").as("dst"), col("__e.score").as("__s"))
     }
     // round 1 exactly as before — everything is "new" vs the unscored
-    // init graph, so every candidate pays the scoring join once
-    val g0 = bucketInit.unionByName(ring).distinct()
+    // init graph, so every candidate pays the scoring join once.
+    // NO distinct on g0 (round 17): bucketInit and ring are each
+    // duplicate-free by construction (exploded top-k per src; two
+    // arithmetic successors), so the only duplicates are bucket∩ring
+    // overlaps — which u1's own distinct removes identically one
+    // exchange later. Bit-identical, one fewer shuffle per build.
+    val g0 = bucketInit.unionByName(ring)
     val u1 = g0.unionByName(g0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       // lineage truncation per round: u is referenced twice below and g
       // references the prior round — the CC discipline (analysis cost
-      // grows multiplicatively otherwise); edge lists are n·2k rows
-      .localCheckpoint(true)
+      // grows multiplicatively otherwise); edge lists are n·2k rows.
+      // LAZY (round 17): materialization folds into the first consuming
+      // job instead of paying a dedicated synchronization job per round
+      .localCheckpoint(false)
     val twoHop1 = u1.select(col("src"), col("dst").as("__mid"))
       .join(u1.select(col("src").as("__mid"), col("dst")), "__mid")
       .select(col("src"), col("dst"))
@@ -933,18 +947,28 @@ object Similarity {
     // beam < k it fills the k result slots from candidates the narrow
     // frontier already paid to score instead of truncating at `beam`
     val kk = math.max(k, beam)
+    // Each ranked stage explodes (pos, node, SCORE) — round 17: the
+    // best-seen set carries the hop-time scores, and every aggregation
+    // is the id-DEDUPLICATING heap ([[BoundedTopK.topkDedup]] — sound
+    // here because the score is a pure function of (probe, node):
+    // cosine of two fixed vectors), so no stage needs a distinct()
+    // exchange and the final re-rank needs no vector/probe joins or
+    // cosine recompute at all. See the materialization note below for
+    // the measured effect.
     def topOf(cands: DataFrame, n: Int): DataFrame = cands
       .join(v.select(col("__id").as("node"), col("__v")), "node")
       .join(broadcast(p), "probe_id")
       .filter(col("node") =!= col("probe_id"))
       .groupBy("probe_id")
-      .agg(BoundedTopK.topk(cosine(col("__pv"), col("__v")), col("node"), n).as("__nn"))
-      .select(col("probe_id"),
-        posexplode(col("__nn").getField("id")).as(Seq("__pos", "node")))
+      .agg(BoundedTopK.topkDedup(
+        cosine(col("__pv"), col("__v")), col("node"), n).as("__nn"))
+      .select(col("probe_id"), posexplode(col("__nn")).as(Seq("__pos", "__e")))
+      .select(col("probe_id"), col("__pos"),
+        col("__e.id").as("node"), col("__e.score").as("__s"))
     // hierarchical entry: per-probe top-of-the-coarse-sampled-layer —
-    // beam state stays (probe_id, node), scores recomputed per hop
-    // against the broadcast probe vectors (cheaper than carrying
-    // doubles through the distinct, and keeps frontier rows fixed-width)
+    // frontier state stays (probe_id, node) fixed-width; the best-seen
+    // union carries the score alongside (one double per row, paid so
+    // the final re-rank never rejoins the vector tables)
     val layer = entryLayer match {
       case Some(el) => el.select(col(el.columns.head).as("node"))
       case None => v.filter(pmod(col("__id"), lit(entryStride)) === 0)
@@ -1006,11 +1030,21 @@ object Similarity {
     // co-located equi-join.
     val gSym = g.unionByName(
       g.select(col("__dst").as("__src"), col("__src").as("__dst")))
+    // NO distinct() on the expanded candidate multiset (round 17 —
+    // re-measured for the WALK, distinct from the knnGraph round body's
+    // measured keep): walk candidates repeat with multiplicity bounded
+    // by the frontier's common-neighbor overlap (≤ 2k̄, typically ~2),
+    // each duplicate pays one fused single-pass cosine MAP-SIDE, and
+    // the dedup happens inside the partial aggregation's per-probe
+    // heap ([[BoundedTopK.topkDedup]]) — so the distinct's whole
+    // exchange disappears while the shuffle still carries ≤ kk
+    // rows/probe/partition. The BUILD keeps its distinct: two-hop
+    // multiplicity there reaches 2k per pair and every duplicate would
+    // pay the TWO-SIDED vector join, the measured 26% regression.
     def expandVia(frontier: DataFrame): DataFrame =
       frontier.unionByName(
           frontier.join(gSym, frontier("node") === gSym("__src"))
             .select(col("probe_id"), col("__dst").as("node")))
-        .distinct()
     // ENTRY SEED WIDTH = max(k, beam), not beam (round 14, the actual
     // fix behind r13 verdict #3's low-beam recall ask): a walk seeded
     // with only `beam` < k entry nodes structurally caps recall@k — the
@@ -1025,54 +1059,65 @@ object Similarity {
     // WORSE (0.58 at beam 4): at narrow beams entry QUALITY dominates,
     // and an exact top-of-the-stride-layer cut beats a coarser scan
     // plus constrained refinement.
-    var ranked = topOf(p.select(col("probe_id")).crossJoin(layer), kk)
-    var best = ranked.select("probe_id", "node")
+    //
+    // Each ranked stage MATERIALIZES (eager localCheckpoint — the
+    // knnGraph/CC per-round discipline applied to the serve): the walk
+    // is an iterative loop whose stage outputs are tiny
+    // (≤ |probes|·kk fixed-width rows) but whose composed lazy plan
+    // re-analyzes and re-plans every prior stage per hop under AQE.
+    // Round-17 A/B on a quiet box (1600 probes, 2k corpus, warm JVM,
+    // GraphProfile): shipped lazy walk 7.8 s median → carried-score +
+    // dedup-heap + per-stage materialization 4.5 s, output-identical
+    // (set-equality checked in the same run). At deployment scale the
+    // checkpoint is |probes|·kk rows — arrival-batch-sized state, the
+    // same footprint the frontier already is.
+    def materialize(df: DataFrame): DataFrame = {
+      if (captureWalkPlans)
+        lastWalkStagePlans = lastWalkStagePlans :+
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      df.localCheckpoint(true)
+    }
+    if (captureWalkPlans) lastWalkStagePlans = Nil
+    var ranked = materialize(
+      topOf(p.select(col("probe_id")).crossJoin(layer), kk))
+    var best = ranked.select("probe_id", "node", "__s")
     var frontier = ranked.select("probe_id", "node")
     for (_ <- 1 to hops) {
-      // distinct() before scoring (inside expandVia) is a measured keep
-      // (same finding as the knnGraph round body): beam parents
-      // converge on shared neighbors, and deduping candidates map-side
-      // is cheaper than letting each duplicate pay the vector join +
-      // cosine
-      ranked = topOf(expandVia(frontier), kk)
-      // no per-hop distinct on the best-seen union: each hop's ranked
-      // set is ≤ kk rows/probe, so the union stays O(hops·kk) per probe
-      // and ONE distinct before the final re-rank dedups it — hop-count
-      // fewer shuffles, identical set (distinct ∘ union is associative)
-      best = best.unionByName(ranked.select("probe_id", "node"))
+      ranked = materialize(topOf(expandVia(frontier), kk))
+      best = best.unionByName(ranked.select("probe_id", "node", "__s"))
       frontier = ranked.filter(col("__pos") < beam).select("probe_id", "node")
     }
-    // final re-rank as a BoundedTopK heap, not a row_number window: the
-    // window SORTS every best-seen candidate per probe and its exchange
-    // carries them all; the heap keeps k entries per group through
-    // partial aggregation, so the final shuffle carries ≤ k rows/probe
-    // instead of ≤ hops·kk. Identical output — the heap's comparator
-    // (score desc, id asc) is the window's ORDER BY, over the same
-    // distinct candidate set and the same fused-cosine scores. Honest
-    // measurement: at fixture scale (5k corpus, 1600-probe batch) both
-    // trims are NEUTRAL (warm walk 3.7–4.1 s either way — the phases
-    // are stage-count bound and hop distincts over kk-bounded sets are
-    // tiny); they're kept for the shuffle-count and shuffle-volume
-    // argument above, which prices at probe-batch scale, not fixture
-    // scale.
+    // final re-rank = ONE dedup-heap aggregation over the carried
+    // scores: no distinct exchange (the heap skips seen ids — same set,
+    // score is pure in (probe, node)), no vector/probe joins, no cosine
+    // recompute; the shuffle carries ≤ k rows/probe. Identical output
+    // to distinct + re-score + plain heap — the comparator (score desc,
+    // id asc) ranks the same candidate set by the same scores.
     val candidates = allowedIds match {
       // filter BEFORE the rank: filtered top-k ranks among survivors
       // (rank-then-filter would under-fill k whenever an excluded node
       // out-scored a survivor). left_semi — the allowed set can be
       // corpus-sized, never widen the row
-      case Some(ok) => best.distinct().join(
+      case Some(ok) => best.join(
         ok.select(col(ok.columns.head).as("node")), Seq("node"), "left_semi")
-      case None => best.distinct()
+      case None => best
     }
     candidates
-      .join(v.select(col("__id").as("node"), col("__v")), "node")
-      .join(broadcast(p), "probe_id")
       .groupBy("probe_id")
-      .agg(BoundedTopK.topk(cosine(col("__pv"), col("__v")), col("node"), k).as("__nn"))
+      .agg(BoundedTopK.topkDedup(col("__s"), col("node"), k).as("__nn"))
       .select(col("probe_id"), explode(col("__nn")).as("__e"))
       .select(col("probe_id"), col("__e.id").as("neighbor_id"),
         col("__e.score").as("cos_sim"))
   }
+
+  /** TEST-FACING plan capture (PlanSpec): the per-stage
+    * materialization above makes the serve's end-to-end plan opaque —
+    * the returned frame is rooted at checkpointed RDDs — so the gates
+    * that audit join/heap shapes read the STAGE plans recorded here.
+    * Off by default (zero cost); no production caller flips it. */
+  @volatile private[graft] var captureWalkPlans: Boolean = false
+  @volatile private[graft] var lastWalkStagePlans: Seq[String] = Nil
 
   /** Completion marker for the persisted kNN-graph tier — the
     * [[IndexCompleteMarker]] discipline: a crash between the edge and

@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * "Best" = highest score; ties broken toward the smaller id so results
   * are deterministic. O(k) memory regardless of input size.
   */
-final class TopKHeap(val k: Int) {
+class TopKHeap(val k: Int) {
   // head = the entry to evict first: lowest score, then largest id
-  private val evictFirst: Ordering[(Double, Long)] =
+  protected val evictFirst: Ordering[(Double, Long)] =
     Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
   private[functions] val q = scala.collection.mutable.PriorityQueue.empty(evictFirst)
 
@@ -32,11 +32,34 @@ final class TopKHeap(val k: Int) {
     q.toSeq.sortBy { case (s, i) => (-s, i) }
 }
 
+/** [[TopKHeap]] with AT MOST ONE ENTRY PER ID — the walk's dedup-free
+  * aggregation (round 17): SOUND ONLY when the score is a pure function
+  * of (group, id), so every duplicate of an id carries the identical
+  * score and "skip if present" equals "distinct() then heap". The id
+  * set tracks evictions, so memory stays O(k). See
+  * [[BoundedTopK.topkDedup]] for the contract. */
+final class TopKDedupHeap(k: Int) extends TopKHeap(k) {
+  private val ids = scala.collection.mutable.HashSet.empty[Long]
+  override def insert(score: Double, id: Long): Unit =
+    if (!ids.contains(id)) {
+      if (q.size < k) { q.enqueue((score, id)); ids += id }
+      else if (evictFirst.compare((score, id), q.head) < 0) {
+        ids -= q.dequeue()._2
+        q.enqueue((score, id)); ids += id
+      }
+    }
+}
+
 /** Top-k by score as a native Catalyst aggregate — the scale-path
   * replacement for `orderBy(desc).limit(k)` *per group*: a window
   * row_number ranks every candidate (full sort of each partition), while
   * this keeps a k-entry heap per group through the normal partial/final
   * aggregation flow, so the shuffle carries at most k pairs per group.
+  *
+  * `dedupIds = true` uses [[TopKDedupHeap]]: at most one entry per id —
+  * equivalent to `distinct()` on (group, id, score) followed by the
+  * plain heap WHEN the score is a pure function of (group, id), without
+  * the distinct's exchange. The caller owns that purity contract.
   *
   * Output: array<struct<score double, id bigint>>, best-first,
   * deterministic (ties → smaller id).
@@ -45,6 +68,7 @@ case class BoundedTopK(
     score: Expression,
     id: Expression,
     k: Int,
+    dedupIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKHeap] with ImplicitCastInputTypes {
@@ -69,7 +93,8 @@ case class BoundedTopK(
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+  override def createAggregationBuffer(): TopKHeap =
+    if (dedupIds) new TopKDedupHeap(k) else new TopKHeap(k)
 
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val s = score.eval(input)
@@ -99,7 +124,7 @@ case class BoundedTopK(
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val h = new TopKHeap(k)
+    val h = createAggregationBuffer()
     (0 until n).foreach(_ => h.insert(bb.getDouble, bb.getLong))
     h
   }
@@ -120,4 +145,19 @@ object BoundedTopK {
         GraftColumnBridge.expression(score),
         GraftColumnBridge.expression(id),
         k).toAggregateExpression())
+
+  /** [[topk]] with AT MOST ONE HEAP ENTRY PER ID — replaces
+    * `distinct()` + [[topk]] WITHOUT the distinct's exchange.
+    * CONTRACT (caller-owned, unenforceable at this layer): the score
+    * must be a PURE FUNCTION of (group, id) — every duplicate of an id
+    * within a group carries the bit-identical score — so skipping a
+    * seen id equals deduplicating first. The graph walk qualifies
+    * (cosine of two fixed vectors); a stream of re-scored ids does
+    * NOT. */
+  def topkDedup(score: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      BoundedTopK(
+        GraftColumnBridge.expression(score),
+        GraftColumnBridge.expression(id),
+        k, dedupIds = true).toAggregateExpression())
 }
