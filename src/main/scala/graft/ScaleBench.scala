@@ -117,7 +117,8 @@ object ScaleBench {
       // what the token-range-sorted layout + In(t) pushdown buys here:
       // the scan skips every row group of the (nd - 4000)-token rest.
       val divPath = s"/tmp/graft-scale/divx$k"
-      if (on("lex_probe_diverse") || on("lex_wand_pruning")) {
+      if (on("lex_probe_diverse") || on("lex_probe_wand_diverse") ||
+          on("lex_wand_pruning")) {
         spark.range(nd).select(col("id").as("doc_id"),
           concat_ws(" ", transform(sequence(lit(0), lit(39)),
             i => concat(lit("tok"),
@@ -320,6 +321,26 @@ object ScaleBench {
           graft.ext.Lex.queryLexIndex(spark, tierPath, arrivals,
             graft.queries.SimilarityQueries.MaxDfPct)
         }),
+        // the WAND serve on the Heaps-law corpus (round 17 — r16
+        // verdict #4: the r16 artifact had wand TIME rows only at 1×
+        // while the other serves got 100× rows): THIS is the corpus
+        // shape where WAND's boundedness claim lives — bounds
+        // discriminate, survivors θ-collapse, so wall time must stay
+        // ~flat like the pruned serve while remaining EXACT
+        // (hash-pinned to the exact serve's oracle in the registry).
+        // The flat-vocab wand op above stays the honest worst case.
+        "lex_probe_wand_diverse" -> (() => {
+          val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
+          val tierPath = s"/tmp/graft-scale/lexdiv_x$k"
+          val ddocs = spark.read.parquet(divPath)
+          if (!graft.ext.Lex.lexServes(spark, tierPath, fp))
+            graft.ext.Lex.buildLexIndex(spark, tierPath, ddocs, fp)
+          val arrivals = ddocs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("text"))
+          graft.ext.Lex.queryLexIndexWand(spark, tierPath, arrivals,
+            graft.queries.SimilarityQueries.MaxDfPct, topK = 20)
+        }),
         "lex_probe_pruned" -> (() => {
           val fp = s"scale:lex:v5:m${graft.ext.Lex.LexPrunedM}:retok1"
           val tierPath = s"/tmp/graft-scale/lex_x$k"
@@ -491,7 +512,11 @@ object ScaleBench {
         val g = graft.ext.Similarity.knnGraph(vecs, k = 8, rounds = 2, dim = 16)
           .localCheckpoint(true)
         val probes = vecs.filter(col("vec_id") < 32)
-        val gqSec = timeOp(graft.ext.Similarity.graphSearchOn(
+        // timeOpFull (round 17): the walk materializes its ranked
+        // stages eagerly at construction, so timeOp's
+        // construct-outside-the-timer protocol would time only the
+        // final aggregation
+        val gqSec = timeOpFull(graft.ext.Similarity.graphSearchOn(
           g, vecs, probes, k = 8, beam = 16, hops = 2))
         org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(g)
         println(f"""{"metric":"scale","op":"graph_search","scale":$k,"docs":$nd,"probes":32,"sec":$gqSec%.3f,"us_per_doc":${gqSec * 1e6 / nd}%.2f}""")
@@ -520,7 +545,7 @@ object ScaleBench {
         val layer = graft.ext.Similarity.clusterEntryLayer(vecs, topPerList = 4)
           .localCheckpoint(true)
         val probes = vecs.filter(col("vec_id") < 32)
-        val gcSec = timeOp(graft.ext.Similarity.graphSearchOn(
+        val gcSec = timeOpFull(graft.ext.Similarity.graphSearchOn(
           g, vecs, probes, k = 8, beam = 16, hops = 2,
           entryLayer = Some(layer)))
         org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(g)
