@@ -592,6 +592,38 @@ object SimilarityQueries {
       .orderBy("probe_id", "method")
   }
 
+  /** recall@K of the PREDICATE-FILTERED graph walk
+    * ([[graphSearchFilteredQ]]) against the EXACT FILTERED top-K
+    * (`knn_filtered`'s brute force over the allowed corpus) — round
+    * 17's completion of the recall-twin discipline: every approximate
+    * serving arm ships with its evaluator (`search_pruned_recall`,
+    * `ann_graph_clustered_recall`, …), and post-filter over-retrieval
+    * is the one arm that had none. The walk runs at [[FilteredBeam]]
+    * ≈ K/selectivity; whether that over-fetch actually fills the K
+    * slots with the true filtered neighbors is GRADED here per probe,
+    * never assumed (SimilaritySpec pins ≥ 0.9 on planted clusters —
+    * this query prices the real fixture every round). */
+  def annGraphFilteredRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val p = probes(spark, dir)
+    val allowed = e.filter(pmod(col("label"), lit(3)) === 0)
+    val exact = Similarity.knnTopKAgg(allowed, p, K)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = Similarity.graphSearchOn(tierGraph(spark, dir), e, p, K,
+      beam = FilteredBeam, hops = GraphHops,
+      allowedIds = Some(allowed.select("vec_id")))
+    val hits = exact
+      .join(approx.select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_hit"))
+    p.select(col("vec_id").as("probe_id"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), lit("graph_filtered").as("method"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / K).as("recall_at_k"))
+      .orderBy("probe_id")
+  }
+
   /** Graph-based SemDedup ([[Similarity.semDedupGraph]]): the
     * cell-based `emb_semdedup`'s scale twin — candidates are the kNN
     * graph's bounded out-degree instead of within-cluster all-pairs.
@@ -2899,6 +2931,42 @@ object SimilarityQueries {
                              UNION ALL SELECT 'stride') m
       LEFT JOIN h ON h.probe_id = p.probe_id AND h.method = m.method
       ORDER BY p.probe_id, m.method"""
+    }),
+    // recall of the filtered walk vs the exact filtered top-K — the
+    // oracle replays the FilteredBeam walk, applies the predicate at
+    // the re-rank (the engine's filter-before-rank contract), and
+    // grades it against brute force over the allowed corpus
+    GQuery("ann_graph_filtered_recall", annGraphFilteredRecall, Some {
+      val ctes = graphSearchCtesOver("full", s"vec_id < $NProbes",
+        beams = Seq((FilteredBeam, "")))
+      s"""
+      ${graphTempPrefix("full", "embeddings")}
+      WITH $ctes,
+      fwalk AS (SELECT probe_id, node AS neighbor_id FROM (
+          SELECT f.probe_id, f.node,
+                 row_number() OVER (PARTITION BY f.probe_id
+                   ORDER BY list_cosine_similarity(p.pe, n.e) DESC, f.node) AS rk
+          FROM gbest f JOIN vv n ON n.vec_id = f.node
+               JOIN gpr p ON p.probe_id = f.probe_id
+          WHERE f.node IN (SELECT vec_id FROM embeddings WHERE label % 3 = 0))
+        WHERE rk <= $K),
+      xfil AS (SELECT probe_id, neighbor_id FROM (
+          SELECT p.probe_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.probe_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.pe) DESC,
+                            e.vec_id) AS rk
+          FROM embeddings e, gpr p
+          WHERE e.vec_id <> p.probe_id AND e.label % 3 = 0)
+        WHERE rk <= $K),
+      h AS (SELECT x.probe_id, count(*) AS n_hit
+            FROM xfil x JOIN fwalk w
+              ON w.probe_id = x.probe_id AND w.neighbor_id = x.neighbor_id
+            GROUP BY 1)
+      SELECT p.probe_id, 'graph_filtered' AS method,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / $K AS recall_at_k
+      FROM gpr p LEFT JOIN h ON h.probe_id = p.probe_id
+      ORDER BY p.probe_id"""
     }),
     // the PERSISTED graph tier must serve byte-identically to the
     // in-query build — same oracle, the ann_index_pq pattern
