@@ -31,9 +31,10 @@ import graft.core.Tables
   *    mid-rep; after all passes it is re-executed (bounded budget) and
   *    priced at the min of its attempts — contention only inflates, so
   *    the min is the honest uncontended estimate. `quiet_run` then
-  *    certifies the whole run (quiet launch + no in-run load burst
-  *    above the self-load gate + no unresolved outlier), a strictly
-  *    stronger claim than `quiet_launch`.
+  *    certifies the whole run (quiet launch + no unresolved outlier),
+  *    a strictly stronger claim than `quiet_launch`; in-run loadavg is
+  *    recorded (`load_inrun_max`) but never part of the verdict — on
+  *    local[32] it is self-load-dominated (see the inline note).
   *
   * Evidence-vs-engine split (round-6 verdict fix #2): queries in
   * `EvidenceQueries` exist to keep A/B evidence honest (they pin
@@ -317,16 +318,23 @@ object Bench {
     // "quiet at launch" and "quiet throughout" are DIFFERENT claims
     // (r16 verdict: quiet_launch=true on a run whose in-run load hit
     // 9.91 invited exactly the misreading the field guards against).
-    // quiet_run certifies the RUN: quiet launch, no in-run sample
-    // (pre- OR post-exec) bursting above the self-load gate, and no
-    // outlier rep left unresolved by the re-run budget. null when the
-    // platform reports no loadavg.
+    // quiet_run certifies the RUN: quiet launch AND no outlier rep
+    // left unresolved by the re-run budget. The in-run loadavg is
+    // deliberately NOT part of the verdict — on local[32] it is
+    // SELF-load-dominated (the bench's own NN-Descent/build stages
+    // push the 1-min average to 12+ while light segments sit at 2, so
+    // any self-relative load bar re-creates the r15 trap of flagging
+    // the bench's own work as contention; measured: a fully idle box
+    // still peaks load 12.6 vs self-median 4.0 mid-run). The
+    // spread-based outlier protocol above is the in-run contention
+    // detector — it keys on the query's own best rep, which self-load
+    // cannot shift — and load_inrun_max rides in the JSON as the
+    // attribution record. null when the platform reports no loadavg.
     val inRunMax = (loads.flatten ++ loadsAfter.flatten)
       .filter(_ >= 0).foldLeft(-1.0)(math.max)
     val quietRunJson: String =
-      if (loadGate < 0) "null"
-      else (quietAmbient && inRunMax <= loadGate &&
-        outlierUnresolved == 0).toString
+      if (ambientLoad < 0) "null"
+      else (quietAmbient && outlierUnresolved == 0).toString
     val (engineQuiet: Option[Double], quietReason: String) =
       if (ambientLoad < 0)
         // the platform reports no loadavg at all — "unknown" is neither
