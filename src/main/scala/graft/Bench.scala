@@ -13,6 +13,13 @@ import graft.core.Tables
   *    projections and output sorts (round-1 verdict fix);
   *  - a warm-up pass (flagship, untimed) absorbs one-time
   *    JVM/codegen/parquet-footer cost;
+  *  - a fixed CALIBRATION probe (round 18 — r17 verdict #4) runs next:
+  *    four canonical queries — scan-bound (`value_stats`),
+  *    shuffle-bound (`flagship`), similarity inner-loop (`knn_exact`),
+  *    stream replay (`stream_flagship_replay`) — each 1 warm + 2 timed
+  *    reps, min recorded. The vector rides in BOTH artifacts
+  *    (`calibration`), so cross-round box-speed claims cite a fixed
+  *    same-protocol probe instead of an ad-hoc query pair;
   *  - each query runs SPARK_GRAFT_REPS times (default 3) and reports the
   *    MEDIAN, with per-query min/max spread in the JSON — single-shot
   *    numbers varied ~2× run-to-run, making round deltas meaningless
@@ -25,16 +32,39 @@ import graft.core.Tables
   *    wall-times and 1-min system loadavg samples taken immediately
   *    before AND after each execution go into BENCH_DETAIL.json, so a
   *    contended rep is attributable from the artifact alone;
+  *  - A PRELIMINARY summary line prints (and BENCH_DETAIL.json is
+  *    written) IMMEDIATELY after the main passes, BEFORE the outlier
+  *    re-run phase (round 18 — r17 verdict #1: BENCH_r17 was rc 124 /
+  *    parsed null because the rerun phase on a contended box blew the
+  *    driver's wall budget and the summary never printed). The rerun
+  *    phase is then SILENT on both streams (its log goes to the detail
+  *    artifact only — any line printed after the prelim summary would
+  *    push it out of the consumer's ~2000-char stdout tail), and the
+  *    refined line re-prints after it: whichever line the driver
+  *    captures, a number of record exists;
   *  - OUTLIER REPS ARE RE-RUN (round 17 — r16 verdict #1): a rep
   *    > 3× the query's own best (and > 0.3 s over it) is a contention
   *    casualty the load-sample marker cannot see when the burst lands
   *    mid-rep; after all passes it is re-executed (bounded budget) and
   *    priced at the min of its attempts — contention only inflates, so
-  *    the min is the honest uncontended estimate. `quiet_run` then
-  *    certifies the whole run (quiet launch + no unresolved outlier),
-  *    a strictly stronger claim than `quiet_launch`; in-run loadavg is
-  *    recorded (`load_inrun_max`) but never part of the verdict — on
-  *    local[32] it is self-load-dominated (see the inline note).
+  *    the min is the honest uncontended estimate. Round 18 (r17 ADVICE):
+  *    the per-query baseline min is RECOMPUTED after each rescue (a
+  *    rescued rep can drop below the old min, exposing siblings the
+  *    stale baseline missed), original rep times stay untouched in
+  *    `reps_detail` with rescued values in the parallel `reps_rescued`
+  *    field, and every rerun records its own before/after load samples;
+  *  - the WHOLE post-pass phase is WALL-DEADLINED (round 18 — r17
+  *    verdict #1b): `SPARK_GRAFT_BENCH_DEADLINE` (seconds of total
+  *    process wall, default 2100) bounds reruns AND the quiet re-price —
+  *    on a contended box the bench stops re-running when the next
+  *    attempt could cross the deadline, reports the remainder
+  *    unresolved, and EXITS with a parseable artifact instead of being
+  *    killed mid-phase (r17: 93 outliers × ≤ 2 attempts on a box 2×
+  *    slower ran the driver's budget out). `quiet_run` then certifies
+  *    the whole run (quiet launch + no unresolved outlier), a strictly
+  *    stronger claim than `quiet_launch`; in-run loadavg is recorded
+  *    (`load_inrun_max`) but never part of the verdict — on local[32]
+  *    it is self-load-dominated (see the inline note).
   *
   * Evidence-vs-engine split (round-6 verdict fix #2): queries in
   * `EvidenceQueries` exist to keep A/B evidence honest (they pin
@@ -60,7 +90,8 @@ import graft.core.Tables
   * per-family median sums at 2 dp + loadavg range — kept well under
   * ~1500 chars. Full 3-dp medians, min/max spreads, per-rep
   * times, per-rep load samples, and per-pass run order go to
-  * `BENCH_DETAIL.json` in the working directory (path echoed earlier).
+  * `BENCH_DETAIL.json` in the working directory (path echoed at the
+  * final print).
   */
 object Bench {
 
@@ -68,6 +99,14 @@ object Bench {
     * engine pricing. The set is owned by DedupQueries, beside the pin
     * definitions, so a rename there cannot desync this split. */
   val EvidenceQueries: Set[String] = graft.queries.DedupQueries.EvidencePins
+
+  /** The fixed box-speed calibration vector (round 18 — r17 verdict
+    * #4): one scan-bound, one shuffle-bound, one similarity inner-loop,
+    * one stream replay. Names must stay in the registry; a rename here
+    * without one there only costs the calibration row (logged), never
+    * the bench. */
+  val CalibrationQueries: Seq[String] =
+    Seq("value_stats", "flagship", "knn_exact", "stream_flagship_replay")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -108,6 +147,13 @@ object Bench {
     }.getOrElse(default)
 
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+    // total-process wall budget (round 18 — r17 verdict #1b): the
+    // default sits comfortably inside the driver's observed kill window
+    // (r17 was killed somewhere past ~40 min of main passes + reruns);
+    // every post-pass phase checks it before spending
+    val deadlineSec = envLong("SPARK_GRAFT_BENCH_DEADLINE", 2100L).toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = envInt("SPARK_GRAFT_REPS", 3)
@@ -166,6 +212,35 @@ object Bench {
     try exec(SparkEntry.queries("flagship")(spark, sfDir)) // warm-up, untimed
     catch { case _: Throwable => () }
 
+    // CALIBRATION PROBE (round 18 — r17 verdict #4): fixed canonical
+    // queries, 1 warm + 2 timed reps each, min recorded. Runs against
+    // the FULL registry's functions (not the `only` subset) so a
+    // filtered local iteration still calibrates identically; a missing
+    // name (renamed query) logs and skips rather than failing the run.
+    val calibration: Seq[(String, Double)] = CalibrationQueries.flatMap { name =>
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"[bench] calibration query '$name' not in registry - skipped")
+          None
+        case Some(fn) =>
+          try {
+            exec(fn(spark, sfDir)) // warm
+            val ts = (1 to 2).map { _ =>
+              val t0 = System.nanoTime(); exec(fn(spark, sfDir))
+              (System.nanoTime() - t0) / 1e9
+            }
+            Some(name -> ts.min)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] calibration '$name' FAILED: ${e.getClass.getSimpleName}")
+            None
+          }
+      }
+    }
+    val calibJson = calibration
+      .map { case (n, t) => s"\"$n\":${fmt(t)}" }.mkString("{", ",", "}")
+    val calibJson2 = calibration
+      .map { case (n, t) => s"\"$n\":${fmt2(t)}" }.mkString("{", ",", "}")
+
     // reps × full-registry passes; each pass a different seeded shuffle.
     // times/loads are indexed [query][rep] in PASS order (rep 0 first) —
     // NOT sorted — so the detail file shows what happened when.
@@ -201,107 +276,247 @@ object Bench {
       loadsAfter(i)(r) = osBean.getSystemLoadAverage
     }
 
-    // OUTLIER-REP RE-RUN (round 17 — r16 verdict #1): the load-sample
-    // contention marker is blind to bursts arriving MID-rep, but the
-    // query's own rep spread is not — with interleaved passes, a rep
-    // > 3× the query's own best is a contention casualty, not the code
-    // (r16: a 75.5 s rep on a 3 s query sat unflagged in the median).
-    // Such reps are RE-RUN after all passes complete (the burst has
-    // usually moved on) and the rep's time becomes the MIN of its
-    // attempts: contention only ever INFLATES a full-plan execution,
-    // so the min is the honest estimate of that rep's uncontended
-    // cost. The 0.3 s absolute guard skips timer/GC noise on
-    // sub-second queries where a 3× spread cannot move the total.
-    // Budget-bounded (SPARK_GRAFT_RERUN_CAP re-executions, ≤ 2 per
-    // rep); reps still > 3× after the budget are reported UNRESOLVED
-    // rather than silently kept.
-    val rerunCap = envInt("SPARK_GRAFT_RERUN_CAP", 80)
-    def isOutlier(t: Double, mn: Double): Boolean =
-      t > 3.0 * mn && t - mn > 0.3
-    var rerunsUsed = 0
-    var outlierReps = 0
-    var outlierUnresolved = 0
-    val rerunLog = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (i <- 0 until nq) {
-      val okReps = (0 until reps).filterNot(failedRep(i))
-      if (okReps.length >= 2) {
-        val mn = okReps.map(times(i)).min
-        for (r <- okReps if isOutlier(times(i)(r), mn)) {
-          outlierReps += 1
-          val orig = times(i)(r)
-          var attempts = 0
-          while (isOutlier(times(i)(r), mn) && attempts < 2 && rerunsUsed < rerunCap) {
-            attempts += 1; rerunsUsed += 1
-            val t0 = System.nanoTime()
-            try {
-              exec(queries(i)._2(spark, sfDir))
-              val t = (System.nanoTime() - t0) / 1e9
-              times(i)(r) = math.min(times(i)(r), t)
-            } catch { case _: Throwable => () } // original rep stands
-          }
-          if (isOutlier(times(i)(r), mn)) outlierUnresolved += 1
-          System.err.println(s"[bench] ${queries(i)._1} rep $r outlier " +
-            s"${fmt(orig)}s vs min ${fmt(mn)}s - rerun -> ${fmt(times(i)(r))}s")
-          rerunLog += s"""["${queries(i)._1}",$r,${fmt(orig)},${fmt(times(i)(r))}]"""
-        }
-      }
-    }
+    // ORIGINAL rep times never change past this point (r17 ADVICE #2:
+    // reps_detail must record what actually happened); rescued values
+    // live in the parallel array and `eff` merges the two views.
+    val rescuedT = Array.fill(nq, reps)(-1.0)
+    def eff(i: Int, r: Int): Double =
+      if (rescuedT(i)(r) >= 0) rescuedT(i)(r) else times(i)(r)
 
     def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.length / 2)
     val failed = (0 until nq).map(i => failedRep(i).forall(identity))
     val failedNames = queries.zipWithIndex.collect { case ((n, _), i) if failed(i) => n }
     val failedJson = failedNames.map(n => s"\"$n\"").mkString("[", ",", "]")
-    // fully-failed queries are excluded from ALL totals (their recorded
-    // times are time-to-exception, not work) and listed in `failed`;
-    // per-query stats below use only the SUCCESSFUL reps' times
-    val results = queries.zipWithIndex
-      .filterNot { case (_, i) => failed(i) }
-      .map { case ((name, _), i) =>
-        val okTimes = (0 until reps).collect { case r if !failedRep(i)(r) => times(i)(r) }
-        (name, okTimes, loads(i).toSeq, i)
+
+    val rerunCap = envInt("SPARK_GRAFT_RERUN_CAP", 80)
+    def isOutlier(t: Double, mn: Double): Boolean =
+      t > 3.0 * mn && t - mn > 0.3
+    var rerunsUsed = 0
+    var rerunsSkippedDeadline = 0
+    val flaggedOutliers = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+    val rerunLog = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // ---- shared stats/artifact builder: runs once for the PRELIM
+    // snapshot (before the rerun phase — r17 verdict #1a: a bench killed
+    // mid-rerun must still leave a number of record) and once FINAL ----
+    def okEffTimes(i: Int): Seq[Double] =
+      (0 until reps).collect { case r if !failedRep(i)(r) => eff(i, r) }
+    def countUnresolved(): Int = (0 until nq).map { i =>
+      val ok = okEffTimes(i)
+      if (ok.length >= 2) ok.count(t => isOutlier(t, ok.min)) else 0
+    }.sum
+
+    def emit(phase: String, engineQuiet: Option[Double], quietReason: String,
+             writeDetail: Boolean, printPerQuery: Boolean): Unit = {
+      val results = queries.zipWithIndex
+        .filterNot { case (_, i) => failed(i) }
+        .map { case ((name, _), i) => (name, okEffTimes(i), loads(i).toSeq, i) }
+      val engineResults = results.filterNot(r => EvidenceQueries.contains(r._1))
+      val engineTotal = engineResults.map(r => median(r._2)).sum
+      // the least-contended engine floor (round-7 verdict #3): the sum of
+      // each query's BEST rep. On a quiet box best ≈ median; under external
+      // load the medians inflate while the best reps keep the committed
+      // floor — publishing both makes contention quantifiable from the
+      // artifact alone (value / value_best ≈ the load inflation factor).
+      val engineBest = engineResults.map(r => r._2.min).sum
+      val evidenceSec = results.filter(r => EvidenceQueries.contains(r._1))
+        .map(r => median(r._2)).sum
+      val allLoads = loads.flatten.filter(_ >= 0).sorted
+      val loadRange =
+        if (allLoads.isEmpty) "[-1,-1,-1]"
+        else s"[${fmt2(allLoads.head)},${fmt2(allLoads(allLoads.length / 2))},${fmt2(allLoads.last)}]"
+      // Contention advisory (round-9 verdict #7; gate RECUT round 16 per
+      // r15 verdict #3): on local[32] the bench IS the box's dominant
+      // load, so any gate anchored to the pre-run ambient counts the
+      // bench's own steady-state self-load — r15 flagged 271/501 reps
+      // "contended" on a quiet launch, pure noise. The self-calibrating
+      // marker: the run's own in-run loadavg MEDIAN is the self-load
+      // baseline, and a rep is flagged only when its pre-exec sample
+      // sits in a BURST above that steady state (≥ max(2× median,
+      // median + 4)) — i.e. external load landing on top of the bench,
+      // which is the only thing the flag was ever meant to catch.
+      // ADVISORY, not exclusion: the honest quietness gate remains
+      // load_ambient plus the quiet-launch protocol.
+      val selfBaseline =
+        if (allLoads.isEmpty) -1.0 else allLoads(allLoads.length / 2)
+      val loadGate =
+        if (selfBaseline < 0) -1.0
+        else math.max(2.0 * selfBaseline, selfBaseline + 4.0)
+      val contended = results
+        .map { case (k, _, l, _) =>
+          k -> (0 until reps).filter(r => loadGate >= 0 && l(r) > loadGate)
+        }.filter(_._2.nonEmpty)
+      val nContendedReps = contended.map(_._2.size).sum
+      val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
+      val outlierUnresolved = countUnresolved()
+      // "quiet at launch" and "quiet throughout" are DIFFERENT claims
+      // (r16 verdict: quiet_launch=true on a run whose in-run load hit
+      // 9.91 invited exactly the misreading the field guards against).
+      // quiet_run certifies the RUN: quiet launch AND no outlier rep
+      // left unresolved by the re-run budget/deadline. In-run loadavg is
+      // deliberately NOT part of the verdict — on local[32] it is
+      // SELF-load-dominated (the bench's own NN-Descent/build stages
+      // push the 1-min average to 12+ while light segments sit at 2, so
+      // any self-relative load bar re-creates the r15 trap; measured: a
+      // fully idle box still peaks load 12.6 vs self-median 4.0
+      // mid-run). The spread-based outlier protocol is the in-run
+      // contention detector — it keys on the query's own best rep,
+      // which self-load cannot shift — and load_inrun_max rides in the
+      // JSON as the attribution record. null when no loadavg.
+      val inRunMax = (loads.flatten ++ loadsAfter.flatten)
+        .filter(_ >= 0).foldLeft(-1.0)(math.max)
+      val quietRunJson: String =
+        if (ambientLoad < 0) "null"
+        else (quietAmbient && outlierUnresolved == 0 && phase == "final").toString
+      val quietJson = engineQuiet.map(fmt2).getOrElse("null")
+      val quietJson3 = engineQuiet.map(fmt).getOrElse("null")
+
+      if (writeDetail) {
+        val qs = results.map { case (k, t, _, _) => s"\"$k\":${fmt(median(t))}" }
+          .mkString("{", ",", "}")
+        val spread = results
+          .map { case (k, t, _, _) => s"\"$k\":[${fmt(t.min)},${fmt(t.max)}]" }
+          .mkString("{", ",", "}")
+        // per-rep times: ALL reps in pass order, failed reps included
+        // (marked in failed_reps) — ORIGINALS, never rescue-overwritten
+        val perRep = results
+          .map { case (k, _, _, i) => s"\"$k\":[${times(i).map(fmt).mkString(",")}]" }
+          .mkString("{", ",", "}")
+        // rescued values (r17 ADVICE #2), parallel to reps_detail:
+        // only queries with ≥ 1 rescue appear; -1 marks untouched reps
+        val perRescued = results
+          .collect { case (k, _, _, i) if rescuedT(i).exists(_ >= 0) =>
+            s"\"$k\":[${rescuedT(i).map(v => if (v >= 0) fmt(v) else "-1").mkString(",")}]"
+          }.mkString("{", ",", "}")
+        val perLoad = results
+          .map { case (k, _, l, _) => s"\"$k\":[${l.map(fmt2).mkString(",")}]" }
+          .mkString("{", ",", "}")
+        val perLoadAfter = results
+          .map { case (k, _, _, i) => s"\"$k\":[${loadsAfter(i).map(fmt2).mkString(",")}]" }
+          .mkString("{", ",", "}")
+        val rerunsJson = rerunLog.mkString("[", ",", "]")
+        val repFails = queries.zipWithIndex
+          .collect { case ((k, _), i) if failedRep(i).exists(identity) =>
+            s"\"$k\":[${(0 until reps).filter(failedRep(i)).mkString(",")}]"
+          }.mkString("{", ",", "}")
+        val contendedJson = contended
+          .map { case (k, rs) => s"\"$k\":[${rs.mkString(",")}]" }
+          .mkString("{", ",", "}")
+        val orderJson = passOrder
+          .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+        val detail =
+          s"""{"metric":"total","phase":"$phase","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":$quietJson3,"quiet_launch":$quietAmbient,"quiet_run":$quietRunJson,"quiet_reason":"$quietReason","evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"calibration":$calibJson,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"n_outlier_reps":${flaggedOutliers.size},"n_reruns":$rerunsUsed,"n_reruns_skipped_deadline":$rerunsSkippedDeadline,"n_outlier_unresolved":$outlierUnresolved,"reruns":$rerunsJson,"deadline_sec":${deadlineSec.toLong},"elapsed_sec":${fmt(elapsedSec)},"queries":$qs,"spread":$spread,"reps_detail":$perRep,"reps_rescued":$perRescued,"load_per_rep":$perLoad,"load_after_per_rep":$perLoadAfter,"load_inrun_max":${fmt2(inRunMax)},"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
+        val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
+        java.nio.file.Files.write(detailPath,
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-    val engineResults = results.filterNot(r => EvidenceQueries.contains(r._1))
-    val engineTotal = engineResults.map(r => median(r._2)).sum
-    // the least-contended engine floor (round-7 verdict #3): the sum of
-    // each query's BEST rep. On a quiet box best ≈ median; under external
-    // load the medians inflate while the best reps keep the committed
-    // floor — publishing both makes contention quantifiable from the
-    // artifact alone (value / value_best ≈ the load inflation factor).
-    val engineBest = engineResults.map(r => r._2.min).sum
-    val evidenceSec = results.filter(r => EvidenceQueries.contains(r._1)).map(r => median(r._2)).sum
-    val allLoads = loads.flatten.filter(_ >= 0).sorted
-    val loadRange =
-      if (allLoads.isEmpty) "[-1,-1,-1]"
-      else s"[${fmt2(allLoads.head)},${fmt2(allLoads(allLoads.length / 2))},${fmt2(allLoads.last)}]"
-    // Contention advisory (round-9 verdict #7; gate RECUT round 16 per
-    // r15 verdict #3): on local[32] the bench IS the box's dominant
-    // load, so any gate anchored to the pre-run ambient counts the
-    // bench's own steady-state self-load — r15 flagged 271/501 reps
-    // "contended" on a quiet launch, pure noise. The self-calibrating
-    // marker: the run's own in-run loadavg MEDIAN is the self-load
-    // baseline, and a rep is flagged only when its pre-exec sample
-    // sits in a BURST above that steady state (≥ max(2× median,
-    // median + 4)) — i.e. external load landing on top of the bench,
-    // which is the only thing the flag was ever meant to catch.
-    // ADVISORY, not exclusion: the honest quietness gate remains
-    // load_ambient plus the quiet-launch protocol.
-    val selfBaseline =
-      if (allLoads.isEmpty) -1.0 else allLoads(allLoads.length / 2)
-    // loadGate is emitted in the JSON: -1 = "no loadavg, marker off"
-    val loadGate =
-      if (selfBaseline < 0) -1.0
-      else math.max(2.0 * selfBaseline, selfBaseline + 4.0)
-    val contended = results
-      .map { case (k, _, l, _) =>
-        k -> (0 until reps).filter(r => loadGate >= 0 && l(r) > loadGate)
-      }.filter(_._2.nonEmpty)
-    val nContendedReps = contended.map(_._2.size).sum
-    // value_quiet (round-10 verdict #4, protocol re-cut round 13 after
-    // r11 verdict #7): the headline must be defensible from the JSON
-    // alone — "the launch-loadavg-verified median". The LAUNCH ambient
-    // is the only uncontaminated external-contention signal (every
-    // in-run sample carries the bench's own 32-thread self-load, so a
-    // per-rep load filter on a contended launch just passes the
+      if (printPerQuery) {
+        // full per-query compact medians (2 dp), second-to-last
+        val qs2 = results.map { case (k, t, _, _) => s"\"$k\":${fmt2(median(t))}" }
+          .mkString("{", ",", "}")
+        println(s"bench detail (medians 3dp + spreads + per-rep times/loads + pass order): ${java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath}")
+        println(s"""{"metric":"total","phase":"$phase","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_failed":${failedNames.size},"queries":$qs2,"sf":"$sfDir"}""")
+      }
+      // the GUARANTEED-SHORT machine-parse target (round-5 verdict #4):
+      // engine total + evidence total + per-family median sums + loadavg
+      // [min,med,max] + the calibration vector. The per-query line above
+      // will eventually outgrow the consumer's ~2000-char stdout tail as
+      // the registry grows; this one cannot (family count is bounded by
+      // name prefixes, not registry size).
+      val fams = results
+        .groupBy { case (k, _, _, _) =>
+          if (EvidenceQueries.contains(k)) "evidence" else k.takeWhile(_ != '_')
+        }
+        .toSeq.sortBy(_._1)
+        .map { case (f, rs) => s"\"$f\":${fmt2(rs.map(r => median(r._2)).sum)}" }
+        .mkString("{", ",", "}")
+      // n_queries counts ENGINE queries only, matching what `value` sums
+      // (round-7 advisor: value/n_queries must reconcile); the pins are
+      // priced and counted separately as evidence
+      println(s"""{"metric":"total","phase":"$phase","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"quiet_launch":$quietAmbient,"quiet_run":$quietRunJson,"quiet_reason":"$quietReason","evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"n_outlier_reps":${flaggedOutliers.size},"n_reruns":$rerunsUsed,"n_reruns_skipped_deadline":$rerunsSkippedDeadline,"n_outlier_unresolved":$outlierUnresolved,"load_gate":${fmt2(loadGate)},"load_inrun_max":${fmt2(inRunMax)},"interleaved":true,"calibration":$calibJson2,"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+      System.out.flush()
+    }
+
+    // ---- PRELIM snapshot: the number of record exists from here on,
+    // whatever happens to the phases below (r17 verdict #1a) ----
+    val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
+    val prelimQuiet: (Option[Double], String) =
+      if (ambientLoad < 0)
+        (None, "loadavg unavailable on this platform - quietness unverifiable")
+      else if (quietAmbient) {
+        // value_quiet = engine total under a quiet launch — recompute
+        // inline here (emit derives its totals itself; this mirrors it)
+        val tot = queries.zipWithIndex
+          .filterNot { case ((n, _), i) => failed(i) || EvidenceQueries.contains(n) }
+          .map { case (_, i) => median(okEffTimes(i)) }.sum
+        (Some(tot), "prelim: quiet launch, pre-rerun snapshot")
+      } else
+        (None, "prelim: contended launch - re-price deferred to the final line")
+    emit("prelim", prelimQuiet._1, prelimQuiet._2,
+      writeDetail = true, printPerQuery = false)
+
+    // ---- OUTLIER-REP RE-RUN (round 17 — r16 verdict #1): the
+    // load-sample contention marker is blind to bursts arriving MID-rep,
+    // but the query's own rep spread is not — with interleaved passes, a
+    // rep > 3× the query's own best is a contention casualty, not the
+    // code (r16: a 75.5 s rep on a 3 s query sat unflagged in the
+    // median). Such reps are RE-RUN (the burst has usually moved on) and
+    // priced at the MIN of their attempts: contention only ever INFLATES
+    // a full-plan execution. The 0.3 s absolute guard skips timer/GC
+    // noise on sub-second queries where a 3× spread cannot move the
+    // total. Budget-bounded (SPARK_GRAFT_RERUN_CAP re-executions, ≤ 2
+    // per rep) AND deadline-bounded (round 18); the per-query baseline
+    // min is recomputed after each rescue (r17 ADVICE #2 — a rescued rep
+    // dropping below the old min exposes siblings the stale baseline
+    // missed); reps still > 3× at the end are reported UNRESOLVED rather
+    // than silently kept. SILENT on both streams: any line printed here
+    // would push the prelim summary out of the consumer's stdout tail —
+    // the rerun log goes to BENCH_DETAIL.json only. ----
+    def deadlineLeft: Double = deadlineSec - elapsedSec
+    for (i <- 0 until nq) {
+      val okReps = (0 until reps).filterNot(failedRep(i))
+      if (okReps.length >= 2) {
+        val attempts = Array.fill(reps)(0)
+        var rescan = true
+        while (rescan) {
+          rescan = false
+          val mn = okReps.map(r => eff(i, r)).min
+          for (r <- okReps if isOutlier(eff(i, r), mn) && attempts(r) < 2) {
+            flaggedOutliers += ((i, r))
+            if (rerunsUsed >= rerunCap) { attempts(r) = 2 }
+            // an attempt is expected to cost ~mn (the uncontended
+            // estimate); refuse it when even 1.5× that would cross the
+            // deadline — exiting with unresolved outliers beats rc 124
+            else if (deadlineLeft < mn * 1.5 + 30.0) {
+              rerunsSkippedDeadline += 1; attempts(r) = 2
+            } else {
+              attempts(r) += 1; rerunsUsed += 1
+              val orig = times(i)(r)
+              val lb = osBean.getSystemLoadAverage
+              val t0 = System.nanoTime()
+              val t = try {
+                exec(queries(i)._2(spark, sfDir))
+                (System.nanoTime() - t0) / 1e9
+              } catch { case _: Throwable => Double.MaxValue } // rep stands
+              val la = osBean.getSystemLoadAverage
+              if (t < eff(i, r)) {
+                rescuedT(i)(r) = t
+                if (t < mn) rescan = true // new baseline — rescan siblings
+              }
+              rerunLog += s"""["${queries(i)._1}",$r,${fmt(orig)},${fmt(eff(i, r))},${fmt2(lb)},${fmt2(la)}]"""
+            }
+          }
+        }
+      }
+    }
+
+    // ---- value_quiet (round-10 verdict #4, protocol re-cut round 13
+    // after r11 verdict #7): the headline must be defensible from the
+    // JSON alone — "the launch-loadavg-verified median". The LAUNCH
+    // ambient is the only uncontaminated external-contention signal
+    // (every in-run sample carries the bench's own 32-thread self-load,
+    // so a per-rep load filter on a contended launch just passes the
     // contaminated medians through — measured 170.8 ≈ 170.0 at ambient
     // 4.3). The honest protocol is therefore BOUNDED RE-RUNS, not
     // filtering: on a quiet launch (ambient < 1.5, the round-8/10
@@ -311,40 +526,26 @@ object Bench {
     // (SPARK_GRAFT_QUIET_SETTLE_MS, default 100 s), re-samples, and if
     // the box has gone quiet re-prices the ENGINE queries with
     // SPARK_GRAFT_QUIET_REPS fresh passes; if after
-    // SPARK_GRAFT_QUIET_RETRIES settles the box never went quiet,
-    // value_quiet is NULL — no number beats a fabricated one — and
-    // quiet_reason says exactly what was observed either way.
-    val quietAmbient = ambientLoad >= 0 && ambientLoad < 1.5
-    // "quiet at launch" and "quiet throughout" are DIFFERENT claims
-    // (r16 verdict: quiet_launch=true on a run whose in-run load hit
-    // 9.91 invited exactly the misreading the field guards against).
-    // quiet_run certifies the RUN: quiet launch AND no outlier rep
-    // left unresolved by the re-run budget. The in-run loadavg is
-    // deliberately NOT part of the verdict — on local[32] it is
-    // SELF-load-dominated (the bench's own NN-Descent/build stages
-    // push the 1-min average to 12+ while light segments sit at 2, so
-    // any self-relative load bar re-creates the r15 trap of flagging
-    // the bench's own work as contention; measured: a fully idle box
-    // still peaks load 12.6 vs self-median 4.0 mid-run). The
-    // spread-based outlier protocol above is the in-run contention
-    // detector — it keys on the query's own best rep, which self-load
-    // cannot shift — and load_inrun_max rides in the JSON as the
-    // attribution record. null when the platform reports no loadavg.
-    val inRunMax = (loads.flatten ++ loadsAfter.flatten)
-      .filter(_ >= 0).foldLeft(-1.0)(math.max)
-    val quietRunJson: String =
-      if (ambientLoad < 0) "null"
-      else (quietAmbient && outlierUnresolved == 0).toString
+    // SPARK_GRAFT_QUIET_RETRIES settles the box never went quiet — or
+    // the wall deadline no longer affords the settle + re-price
+    // (round 18) — value_quiet is NULL: no number beats a fabricated
+    // one, and quiet_reason says exactly what was observed. ----
+    def engineTotalNow(): Double = queries.zipWithIndex
+      .filterNot { case ((n, _), i) => failed(i) || EvidenceQueries.contains(n) }
+      .map { case (_, i) => median(okEffTimes(i)) }.sum
+    def engineBestNow(): Double = queries.zipWithIndex
+      .filterNot { case ((n, _), i) => failed(i) || EvidenceQueries.contains(n) }
+      .map { case (_, i) => okEffTimes(i).min }.sum
     val (engineQuiet: Option[Double], quietReason: String) =
       if (ambientLoad < 0)
         // the platform reports no loadavg at all — "unknown" is neither
         // quiet nor contended, and settling on it would burn the whole
         // post-run retry budget learning nothing (r15 second-pass
-        // review, the launch-loop fix's sibling): no number beats a
-        // fabricated one, and the reason must not claim contention
+        // review): no number beats a fabricated one, and the reason
+        // must not claim contention
         (None, "loadavg unavailable on this platform - quietness unverifiable")
       else if (quietAmbient)
-        (Some(engineTotal),
+        (Some(engineTotalNow()),
           if (launchSamples.isEmpty)
             s"quiet launch: ambient ${fmt2(ambientLoad)} < 1.5"
           else
@@ -358,108 +559,72 @@ object Bench {
         val maxRetries = envInt("SPARK_GRAFT_QUIET_RETRIES", 2)
         val settleMs = envLong("SPARK_GRAFT_QUIET_SETTLE_MS", 100000L)
         val qReps = envInt("SPARK_GRAFT_QUIET_REPS", 3)
-        val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
-        while (samples.length < maxRetries &&
-               !samples.lastOption.exists(s => s >= 0 && s < 1.5)) {
-          System.err.println(s"[bench] post-run settle ${settleMs / 1000}s " +
-            s"(${samples.length + 1}/$maxRetries) before quiet re-price")
-          Thread.sleep(settleMs)
-          samples += osBean.getSystemLoadAverage
-        }
-        val sampleStr = samples.map(fmt2).mkString("[", ",", "]")
-        if (samples.lastOption.exists(s => s >= 0 && s < 1.5)) {
-          // quiet re-price: fresh interleaved passes over ENGINE queries
-          // only (evidence pins are priced separately and never feed
-          // value_quiet); a query whose quiet reps all fail falls back
-          // to its main-run median so the total stays comparable
-          val qTimes = Array.fill(nq, qReps)(-1.0)
-          for (r <- 0 until qReps;
-               i <- new scala.util.Random(0xBEEF + r).shuffle((0 until nq).toList)
-               if !failed(i) && !EvidenceQueries.contains(queries(i)._1)) {
-            val t0 = System.nanoTime()
-            try {
-              exec(queries(i)._2(spark, sfDir))
-              qTimes(i)(r) = (System.nanoTime() - t0) / 1e9
-            } catch { case _: Throwable => () }
-          }
-          // defensibility: a query whose quiet reps ALL failed falls
-          // back to its contended main-run median so the total stays
-          // comparable — but the reason string must SAY so, or the JSON
-          // presents contaminated numbers as loadavg-verified
-          var fellBack = List.empty[String]
-          val total = engineResults.map { case (name, okT, _, i) =>
-            val ok = qTimes(i).filter(_ >= 0).toSeq
-            if (ok.nonEmpty) median(ok)
-            else { fellBack ::= name; median(okT) }
-          }.sum
-          val fallbackNote =
-            if (fellBack.isEmpty) ""
-            else s"; ${fellBack.size} queries fell back to contended " +
-              s"medians (quiet reps failed): ${fellBack.sorted.mkString(",")}"
-          (Some(total),
-            s"re-priced engine after settle: ambient ${fmt2(ambientLoad)} -> $sampleStr, $qReps quiet reps$fallbackNote")
-        } else
+        // round 18: the settle + re-price must FIT the wall deadline —
+        // one settle plus qReps × the least-contended engine floor,
+        // with slack. If it can't, say so and ship NULL.
+        val repriceEstimate = settleMs / 1000.0 + qReps * engineBestNow() + 60.0
+        if (deadlineLeft < repriceEstimate)
           (None,
-            s"contended launch (ambient ${fmt2(ambientLoad)}) and box never settled < 1.5 after $maxRetries x ${settleMs / 1000}s: samples $sampleStr")
+            s"contended launch (ambient ${fmt2(ambientLoad)}) and the wall " +
+              s"deadline (${deadlineSec.toLong}s, ${fmt2(elapsedSec)}s elapsed) cannot " +
+              s"afford a settle + re-price (~${fmt2(repriceEstimate)}s)")
+        else {
+          val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (samples.length < maxRetries &&
+                 !samples.lastOption.exists(s => s >= 0 && s < 1.5) &&
+                 deadlineLeft > settleMs / 1000.0 + qReps * engineBestNow() + 30.0) {
+            System.err.println(s"[bench] post-run settle ${settleMs / 1000}s " +
+              s"(${samples.length + 1}/$maxRetries) before quiet re-price")
+            Thread.sleep(settleMs)
+            samples += osBean.getSystemLoadAverage
+          }
+          val sampleStr = samples.map(fmt2).mkString("[", ",", "]")
+          if (samples.lastOption.exists(s => s >= 0 && s < 1.5)) {
+            // quiet re-price: fresh interleaved passes over ENGINE queries
+            // only (evidence pins are priced separately and never feed
+            // value_quiet); a query whose quiet reps all fail falls back
+            // to its main-run median so the total stays comparable
+            val qTimes = Array.fill(nq, qReps)(-1.0)
+            for (r <- 0 until qReps;
+                 i <- new scala.util.Random(0xBEEF + r).shuffle((0 until nq).toList)
+                 if !failed(i) && !EvidenceQueries.contains(queries(i)._1)) {
+              val t0 = System.nanoTime()
+              try {
+                exec(queries(i)._2(spark, sfDir))
+                qTimes(i)(r) = (System.nanoTime() - t0) / 1e9
+              } catch { case _: Throwable => () }
+            }
+            // defensibility: a query whose quiet reps ALL failed falls
+            // back to its contended main-run median so the total stays
+            // comparable — but the reason string must SAY so, or the JSON
+            // presents contaminated numbers as loadavg-verified
+            var fellBack = List.empty[String]
+            val total = queries.zipWithIndex
+              .filterNot { case ((n, _), i) => failed(i) || EvidenceQueries.contains(n) }
+              .map { case ((name, _), i) =>
+                val ok = qTimes(i).filter(_ >= 0).toSeq
+                if (ok.nonEmpty) median(ok)
+                else { fellBack ::= name; median(okEffTimes(i)) }
+              }.sum
+            val fallbackNote =
+              if (fellBack.isEmpty) ""
+              else s"; ${fellBack.size} queries fell back to contended " +
+                s"medians (quiet reps failed): ${fellBack.sorted.mkString(",")}"
+            (Some(total),
+              s"re-priced engine after settle: ambient ${fmt2(ambientLoad)} -> $sampleStr, $qReps quiet reps$fallbackNote")
+          } else if (samples.length < maxRetries)
+            (None,
+              s"contended launch (ambient ${fmt2(ambientLoad)}); settles stopped " +
+                s"at the wall deadline (${deadlineSec.toLong}s): samples $sampleStr")
+          else
+            (None,
+              s"contended launch (ambient ${fmt2(ambientLoad)}) and box never settled < 1.5 after $maxRetries x ${settleMs / 1000}s: samples $sampleStr")
+        }
       }
-    val quietJson = engineQuiet.map(fmt2).getOrElse("null")
-    val quietJson3 = engineQuiet.map(fmt).getOrElse("null")
 
-    val detail = {
-      val qs = results.map { case (k, t, _, _) => s"\"$k\":${fmt(median(t))}" }
-        .mkString("{", ",", "}")
-      val spread = results
-        .map { case (k, t, _, _) => s"\"$k\":[${fmt(t.min)},${fmt(t.max)}]" }
-        .mkString("{", ",", "}")
-      // per-rep times: ALL reps in pass order, failed reps included
-      // (marked in failed_reps) so the artifact shows what happened when
-      val perRep = results
-        .map { case (k, _, _, i) => s"\"$k\":[${times(i).map(fmt).mkString(",")}]" }
-        .mkString("{", ",", "}")
-      val perLoad = results
-        .map { case (k, _, l, _) => s"\"$k\":[${l.map(fmt2).mkString(",")}]" }
-        .mkString("{", ",", "}")
-      val perLoadAfter = results
-        .map { case (k, _, _, i) => s"\"$k\":[${loadsAfter(i).map(fmt2).mkString(",")}]" }
-        .mkString("{", ",", "}")
-      val rerunsJson = rerunLog.mkString("[", ",", "]")
-      val repFails = queries.zipWithIndex
-        .collect { case ((k, _), i) if failedRep(i).exists(identity) =>
-          s"\"$k\":[${(0 until reps).filter(failedRep(i)).mkString(",")}]"
-        }.mkString("{", ",", "}")
-      val contendedJson = contended
-        .map { case (k, rs) => s"\"$k\":[${rs.mkString(",")}]" }
-        .mkString("{", ",", "}")
-      val orderJson = passOrder
-        .map(p => p.map(i => s"\"${queries(i)._1}\"").mkString("[", ",", "]"))
-        .mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(engineTotal)},"value_best":${fmt(engineBest)},"value_quiet":$quietJson3,"quiet_launch":$quietAmbient,"quiet_run":$quietRunJson,"quiet_reason":"$quietReason","evidence_sec":${fmt(evidenceSec)},"unit":"sec","reps":$reps,"interleaved":true,"n_failed":${failedNames.size},"failed":$failedJson,"failed_reps":$repFails,"load_gate":${fmt2(loadGate)},"contended_reps":$contendedJson,"n_outlier_reps":$outlierReps,"n_reruns":$rerunsUsed,"n_outlier_unresolved":$outlierUnresolved,"reruns":$rerunsJson,"queries":$qs,"spread":$spread,"reps_detail":$perRep,"load_per_rep":$perLoad,"load_after_per_rep":$perLoadAfter,"load_inrun_max":${fmt2(inRunMax)},"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"pass_order":$orderJson,"sf":"$sfDir"}"""
-    }
-    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath
-    java.nio.file.Files.write(detailPath,
-      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"bench detail (medians 3dp + spreads + per-rep times/loads + pass order): $detailPath")
-    // full per-query compact medians (2 dp), second-to-last
-    val qs2 = results.map { case (k, t, _, _) => s"\"$k\":${fmt2(median(t))}" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_failed":${failedNames.size},"queries":$qs2,"sf":"$sfDir"}""")
-    // LAST line (round-5 verdict #4): GUARANTEED-SHORT machine-parse
-    // target — engine total + evidence total + per-family median sums +
-    // loadavg [min,med,max] + the detail pointer. The per-query line
-    // above will eventually outgrow the consumer's ~2000-char stdout
-    // tail as the registry grows; this one cannot (family count is
-    // bounded by name prefixes, not registry size).
-    val fams = results
-      .groupBy { case (k, _, _, _) =>
-        if (EvidenceQueries.contains(k)) "evidence" else k.takeWhile(_ != '_')
-      }
-      .toSeq.sortBy(_._1)
-      .map { case (f, rs) => s"\"$f\":${fmt2(rs.map(r => median(r._2)).sum)}" }
-      .mkString("{", ",", "}")
-    // n_queries counts ENGINE queries only, matching what `value` sums
-    // (round-7 advisor: value/n_queries must reconcile); the pins are
-    // priced and counted separately as evidence
-    println(s"""{"metric":"total","value":${fmt2(engineTotal)},"value_best":${fmt2(engineBest)},"value_quiet":$quietJson,"quiet_launch":$quietAmbient,"quiet_run":$quietRunJson,"quiet_reason":"$quietReason","evidence_sec":${fmt2(evidenceSec)},"unit":"sec","reps":$reps,"n_queries":${engineResults.size},"n_evidence":${results.size - engineResults.size},"n_failed":${failedNames.size},"failed":$failedJson,"n_rep_failures":${(0 until nq).map(i => failedRep(i).count(identity)).sum},"n_contended_reps":$nContendedReps,"n_outlier_reps":$outlierReps,"n_reruns":$rerunsUsed,"n_outlier_unresolved":$outlierUnresolved,"load_gate":${fmt2(loadGate)},"load_inrun_max":${fmt2(inRunMax)},"interleaved":true,"load_ambient":${fmt2(ambientLoad)},"launch_settle":$launchSettleJson,"load":$loadRange,"families":$fams,"queries_detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // ---- FINAL: refined artifact + per-query line + summary line ----
+    emit("final", engineQuiet, quietReason,
+      writeDetail = true, printPerQuery = true)
     spark.stop()
   }
 }
