@@ -654,9 +654,14 @@ object Similarity {
     // top-k per src ALONGSIDE already-scored rows — the one scoring
     // stage every round funnels through
     def topkScored(freshPairs: DataFrame, scored: Option[DataFrame]): DataFrame = {
+      // dst-vector join FIRST, src-vector join LAST (round 18): the
+      // second join leaves the frame hash-partitioned on src, which is
+      // exactly what the groupBy below requires — EnsureRequirements
+      // then skips the aggregation exchange (src-first ordering paid a
+      // third full shuffle of the scored pairs). Same rows either way.
       val freshScored = freshPairs
-        .join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
         .join(v.select(col("__id").as("dst"), col("__v").as("__dv")), "dst")
+        .join(v.select(col("__id").as("src"), col("__v").as("__sv")), "src")
         .select(col("src"), col("dst"), cosine(col("__sv"), col("__dv")).as("__s"))
       scored.map(_.unionByName(freshScored)).getOrElse(freshScored)
         .groupBy("src")
@@ -703,15 +708,28 @@ object Similarity {
     // path must not pay it)
     lazy val nVec: Long = v.count()
     for (_ <- 2 to rounds if !converged) {
+      // symmetrize-dedup via groupBy(src, dst), NOT distinct() (round
+      // 18): duplicate rows differ only in __s, and both copies carry
+      // the SAME bits — cosine's product/sum chain is elementwise
+      // commutative, so cos(a,b) ≡ cos(b,a) — making max() an exact
+      // dedup. distinct() hashed on (src, dst, __s), so the very next
+      // join on (src, dst) re-shuffled everything; the groupBy leaves
+      // the frame partitioned on exactly the join keys and the flag
+      // join (and the prevU side, whose checkpoint preserved the same
+      // partitioning) runs exchange-free.
       val u = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst"),
           col("__s")))
-        .distinct()
+        .groupBy("src", "dst").agg(max(col("__s")).as("__s"))
         // flag CHANGED edges vs the previous round's symmetrized graph;
         // checkpoint carries edges + scores + flags, n·2k fixed-width
         .join(prevU.select(col("src"), col("dst"), lit(true).as("__old")),
           Seq("src", "dst"), "left")
         .withColumn("__new", col("__old").isNull).drop("__old")
-        .localCheckpoint(true)
+        // LAZY (round 18, completing the round-17 u1 change): the
+        // materialization folds into the δ probe / count that
+        // immediately consumes u, instead of paying a dedicated
+        // synchronization job per round
+        .localCheckpoint(false)
       val newEdges = u.filter(col("__new"))
       // δ = 0: the zero-new fixed point only (isEmpty is a limit-1
       // probe, cheaper than a count). δ > 0: exact integer comparison
