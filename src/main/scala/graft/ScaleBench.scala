@@ -390,11 +390,30 @@ object ScaleBench {
           // the full-BM25 exact-scoring work ratio.
           val ptok = arrivals.select(col("doc_id").as("probe_id"),
             explode(Text.tokens(col("text"))).as("t")).distinct()
-          val nPrefixRows = spark.read.parquet(s"$tPath/postings_pruned")
-            .join(ptok, "t").filter(col("doc_id") =!= col("probe_id")).count()
+          // phase-1 input mirrored exactly (r17 ADVICE #4): the base ∪
+          // completed-generation prefixes under the SAME max-df
+          // admission filter the serve applies — the prior row
+          // overcounted (no admission cut) and read base-only (silently
+          // wrong against an upserted tier)
+          val (dfT, stats) = graft.ext.Lex.lexTierStats(spark, tPath)
+          val admitted = dfT.crossJoin(broadcast(stats.select("n")))
+            .filter(expr(s"df * 100 <= $maxDf * n")).select("t")
+          val nPrefixRows = graft.ext.Lex.lexGens(spark, tPath)
+            .map(g => spark.read.parquet(s"$tPath/lex_delta/gen=$g/postings_pruned"))
+            .foldLeft(spark.read.parquet(s"$tPath/postings_pruned"))(_ unionByName _)
+            .join(ptok, "t").join(admitted, "t")
+            .filter(col("doc_id") =!= col("probe_id")).count()
+          // survivor counts come from the FORCED wand path — this row
+          // measures PRUNING POWER; the shipped serve's own routing
+          // (round 18: degenerate shapes dispatch to the exact serve)
+          // is reported beside it, decided by the same driver-side
+          // estimate the production serve runs
           val nSurvivors = graft.ext.Lex.queryLexIndexWand(
-            spark, tPath, arrivals, maxDf, topK = 20).count()
-          println(f"""{"metric":"scale","op":"lex_wand_pruning","shape":"$shape","scale":$k,"docs":$nd,"exact_pairs":$nAll,"wand_prefix_rows":$nPrefixRows,"wand_survivor_pairs":$nSurvivors,"scored_ratio":${nSurvivors.toDouble / math.max(nAll, 1)}%.4f}""")
+            spark, tPath, arrivals, maxDf, topK = 20, dispatch = false).count()
+          graft.ext.Lex.queryLexIndexWand(
+            spark, tPath, arrivals, maxDf, topK = 20) // decision only
+          val route = graft.ext.Lex.lastWandRoute
+          println(f"""{"metric":"scale","op":"lex_wand_pruning","shape":"$shape","scale":$k,"docs":$nd,"exact_pairs":$nAll,"wand_prefix_rows":$nPrefixRows,"wand_survivor_pairs":$nSurvivors,"scored_ratio":${nSurvivors.toDouble / math.max(nAll, 1)}%.4f,"dispatch_route":"$route"}""")
         }
       }
 

@@ -444,6 +444,14 @@ object Lex {
     * become the unbounded driver state it exists to avoid. */
   val MaxProbeVocab = 1 << 20
 
+  /** TEST/EVIDENCE-FACING route record (the `captureWalkPlans`
+    * convention): which path the last [[queryLexIndexWand]] call chose
+    * — "wand" (bounds discriminate), "exact" (degenerate-shape
+    * dispatch fired), or "wand:forced" (`dispatch = false`). Specs pin
+    * the routing on both corpus shapes; ScaleBench reports it beside
+    * the pruning-power rows. Never read by the serve itself. */
+  @volatile private[graft] var lastWandRoute: String = ""
+
   /** Driver-memory cap on the collected prefix-candidate pair frame.
     * The STRUCTURAL bound is M·|probe (probe_id, token) pairs|·segments
     * — computed per call from the actual inputs, because a static cap
@@ -669,7 +677,8 @@ object Lex {
     * `lex_wand_pruning` measures the ratio). */
   def queryLexIndexWand(spark: org.apache.spark.sql.SparkSession, path: String,
                         probeDocs: DataFrame, maxDfPct: Int, topK: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        dispatch: Boolean = true): DataFrame = {
     val gens = completedGens(spark, path) // ONE snapshot for all tables
     val (ptok, toks, _) = probeTokens(probeDocs, idCol, textCol)
     val (dfT, stats0) = lexTierStatsAt(spark, path, gens)
@@ -713,6 +722,67 @@ object Lex {
     // descaled through the same monotone division as the score, so
     // boundScore ≥ exactScore pairwise
     val ub = bm25UpperBounds(dfT, stats, ptok, maxDfPct)
+    // ---- DEGENERATE-SHAPE DISPATCH (round 18 — r17 verdict #3) ----
+    // WAND only WINS when per-pair bounds can fall below θ; on a flat
+    // vocabulary every doc shares every probed token at near-identical
+    // lengths, bounds are near-uniform, survivors ≈ all pairs, and the
+    // serve pays the ub aggregation + survivor join ON TOP of the exact
+    // scoring it cannot avoid (measured 1.94× the exact serve at 30×,
+    // SCALEBENCH_r17). The dispatch estimates prunability BEFORE paying
+    // phases 2-3, per probe, from bounded frames only (the MaxScore
+    // feasibility argument — Turtle & Flood 1995): sort the probe's
+    // admitted tokens by descaled upper-bound contribution; a pair
+    // missing the top-j tokens is prunable only where the remaining
+    // tail sum < θ, and the number of docs missing ALL top-j tokens is
+    // ≥ n − Σ_{i≤j} df_i (union bound). A probe is "prunable" when at
+    // least half its LARGEST posting list is provably prunable at some
+    // cut; when fewer than half the probes are prunable, the whole
+    // batch serves the EXACT path. Output is hash-identical BY
+    // CONSTRUCTION whichever way the heuristic lands — pruning is
+    // lossless (survivors ⊇ the true top-k) and both routes score
+    // through the shared [[bm25Scores]] form — so the dispatch can only
+    // be suboptimal, never wrong; the registry oracle keeps proving
+    // that every round. Decision cost: one aggregate over phase 1's
+    // bounded prefix rows plus a window over the ≤ MaxProbeVocab
+    // (probe, token) impact rows — paid once per serve, corpus-free.
+    val route: String =
+      if (!dispatch) "wand:forced"
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val nDocs = stats.select(col("n")).head.getLong(0)
+        val wOrd = Window.partitionBy("probe_id")
+          .orderBy(col("__u").desc, col("t"))
+        val wAll = Window.partitionBy("probe_id")
+        val cut = ub
+          .join(dfT.select(col("t"), col("df")), "t")
+          .join(broadcast(ptok), "t")
+          .withColumn("__u", expr(Bm25ScoreOf("__ub")))
+          .withColumn("__cum", sum(col("__u")).over(wOrd))
+          .withColumn("__tot", sum(col("__u")).over(wAll))
+          .withColumn("__cumDf", sum(col("df")).over(wOrd))
+          .withColumn("__maxDf", max(col("df")).over(wAll))
+          .join(broadcast(theta), "probe_id")
+          .filter(col("__theta") =!= lit(Double.NegativeInfinity) &&
+            (col("__tot") - col("__cum")) < col("__theta"))
+          .groupBy("probe_id")
+          .agg(min(col("__cumDf")).as("__dfCut"),
+            first(col("__maxDf")).as("__listMax"))
+        val d = theta.join(cut, Seq("probe_id"), "left")
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("__dfCut").isNotNull &&
+              (lit(nDocs) - col("__dfCut")) >=
+                col("__listMax") / lit(2), 1L).otherwise(0L)).as("npr"))
+          .head
+        val np = d.getLong(0)
+        val npr = if (d.isNullAt(1)) 0L else d.getLong(1)
+        if (npr * 2 < np) "exact" else "wand"
+      }
+    lastWandRoute = route
+    if (route == "exact")
+      // the exact serve verbatim ([[queryLexIndex]]'s body over the
+      // snapshot already in hand): no ub pass, no survivor join
+      return bm25Scores(tokPruned, dlen, ptok, maxDfPct, idCol,
+        dfStats = Some((dfT, stats0)))
     val survivors = tokPruned
       .join(broadcast(ptok), "t")
       .filter(col(idCol) =!= col("probe_id"))

@@ -154,6 +154,50 @@ class LexSpec extends SparkSpec {
     rows(Lex.queryLexIndexWand(spark, path, probe, 100, topK = 20)) shouldBe exact
   }
 
+  test("WAND degenerate-shape dispatch: flat vocabulary routes exact, discriminating bounds route wand, served top-k identical either way") {
+    // the dispatch is a PERF heuristic — output is hash-identical by
+    // construction whichever way it lands (pruning is lossless and both
+    // routes score through the shared bm25Scores form); this test pins
+    // (a) the ROUTING on the two canonical shapes and (b) the top-k
+    // equivalence the losslessness argument promises
+    def topk(df: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Seq[(Long, Double)]] =
+      df.select("probe_id", "cand_id", "__score")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (p, rs) =>
+          p -> rs.sortBy(r => (-r._3, r._2)).take(k).map(r => (r._2, r._3)).toSeq
+        }
+
+    // FLAT: every doc carries the whole probed vocabulary — no bound
+    // can fall below θ, survivors would be all pairs, the serve must
+    // fall through to the exact path
+    val flatPath = s"target/test_lex_disp_flat_${System.nanoTime()}"
+    val vocab = (0 until 12).map(j => s"w$j").mkString(" ")
+    Lex.buildLexIndex(spark, flatPath,
+      (0L until 50L).map(i => (i, vocab)).toDF("doc_id", "text"), fp)
+    val probeF = Seq((1000L, vocab)).toDF("doc_id", "text")
+    val dispF = topk(Lex.queryLexIndexWand(spark, flatPath, probeF, 100, topK = 3), 3)
+    Lex.lastWandRoute shouldBe "exact"
+    val forcF = topk(Lex.queryLexIndexWand(spark, flatPath, probeF, 100,
+      topK = 3, dispatch = false), 3)
+    Lex.lastWandRoute shouldBe "wand:forced"
+    dispF shouldBe forcF
+
+    // SKEWED: two docs share the probe's rare high-idf tokens while the
+    // rest share only the stopword-ish tail — θ seeds above the tail
+    // bound and nearly the whole corpus is provably prunable
+    val skewPath = s"target/test_lex_disp_skew_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, skewPath,
+      ((0L until 198L).map(i => (i, s"u${i}x common")) ++
+        Seq((198L, "r1 r2 common"), (199L, "r1 r2 common")))
+        .toDF("doc_id", "text"), fp)
+    val probeS = Seq((1000L, "r1 r2 common")).toDF("doc_id", "text")
+    val dispS = topk(Lex.queryLexIndexWand(spark, skewPath, probeS, 100, topK = 2), 2)
+    Lex.lastWandRoute shouldBe "wand"
+    val forcS = topk(Lex.queryLexIndexWand(spark, skewPath, probeS, 100,
+      topK = 2, dispatch = false), 2)
+    dispS shouldBe forcS
+  }
+
   test("empty-vocabulary probe batches serve empty results through every path (the isin-empty edge)") {
     val path = s"target/test_lex_empty_${System.nanoTime()}"
     Lex.buildLexIndex(spark, path, docs, fp)

@@ -705,16 +705,55 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
-  test("search_bm25_wand: phase structure — prefix partial sums for theta, one ub pass, survivors exact-scored; no forward scan, no collect") {
+  test("search_bm25_wand: dispatch-aware plan — wand keeps the phase structure, exact fallback keeps the pushdown discipline") {
     val df = SimilarityQueries.searchBm25Wand(spark, dir)
     df.collect()
+    val route = graft.ext.Lex.lastWandRoute
     val p = plan(df).split("== Initial Plan ==").head
-    // round 17 (r16 verdict #3): phase 1 partial-scores the PREFIX
-    // rows in-plan for θ — the forward table (and with it the driver-
-    // side candidate collect + In(doc_id) push) must NOT appear
-    // anywhere in the WAND plan; phases 2+3 share the token-pruned
-    // postings scan — In(t, …) pushed on every postings-family read;
-    // never a cartesian
+    route should (be("wand") or be("exact"))
+    if (route == "wand") {
+      // round 17 (r16 verdict #3): phase 1 partial-scores the PREFIX
+      // rows in-plan for θ — the forward table (and with it the driver-
+      // side candidate collect + In(doc_id) push) must NOT appear
+      // anywhere in the WAND plan; phases 2+3 share the token-pruned
+      // postings scan — In(t, …) pushed on every postings-family read
+      val prefixScan = p.linesIterator
+        .find(l => l.contains("/postings_pruned]") && l.contains("FileScan"))
+      prefixScan should not be None
+      prefixScan.get should include("In(t, [")
+      p.linesIterator
+        .filter(l => l.contains("/postings]") && l.contains("FileScan"))
+        .foreach(l => l should include("PushedFilters: [In(t, ["))
+      p should not include "/forward]"
+      p should not include "/dlen]"
+    } else {
+      // round 18 (r17 verdict #3): the degenerate-shape dispatch fired
+      // (the fixture vocabulary is flat — bounds cannot discriminate),
+      // so the served plan is the EXACT serve verbatim: token-pruned
+      // postings with the In(t, …) pushdown, none of the prefix/ub/
+      // survivor machinery, no forward scan, no In(doc_id) push
+      p.linesIterator
+        .filter(l => l.contains("/postings]") && l.contains("FileScan"))
+        .foreach(l => l should include("PushedFilters: [In(t, ["))
+      p should not include "/forward]"
+      p should not include "/postings_pruned]"
+      p should not include "In(doc_id, ["
+    }
+    p should not include "CartesianProduct"
+  }
+
+  test("search_bm25_wand forced: the phase structure survives on any corpus shape (dispatch must route around the machinery, never erode it)") {
+    import graft.ext.Lex
+    val fpath = s"target/test_plan_wand_forced_${System.nanoTime()}"
+    Lex.buildLexIndex(spark, fpath,
+      graft.core.Tables.documents(spark, dir).limit(200), "plan:wand:v1")
+    val fdf = Lex.queryLexIndexWand(spark, fpath,
+      graft.core.Tables.documents(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 3),
+      100, topK = 5, dispatch = false)
+    fdf.collect()
+    Lex.lastWandRoute shouldBe "wand:forced"
+    val p = plan(fdf).split("== Initial Plan ==").head
     val prefixScan = p.linesIterator
       .find(l => l.contains("/postings_pruned]") && l.contains("FileScan"))
     prefixScan should not be None
@@ -723,27 +762,29 @@ class PlanSpec extends SparkSpec {
       .filter(l => l.contains("/postings]") && l.contains("FileScan"))
       .foreach(l => l should include("PushedFilters: [In(t, ["))
     p should not include "/forward]"
-    p should not include "CartesianProduct"
     p should not include "/dlen]"
+    p should not include "CartesianProduct"
   }
 
   test("search_bm25_wand_upsert: pushdown discipline holds across base + delta segments") {
     val df = SimilarityQueries.searchBm25WandUpsert(spark, dir)
     df.collect() // ensures tier (base + one generation), drives AQE
+    val route = graft.ext.Lex.lastWandRoute
     val p = plan(df).split("== Initial Plan ==").head
     // the multi-generation serve scans base layouts AND the delta's
     // plain postings; EVERY postings-family scan (inverted, pruned
     // prefix, delta) must carry the probe's bounded In(t, …) pushdown —
     // the fold reordering this would silently break is exactly what
-    // the gate exists for. The forward table must not appear (round
-    // 17: θ derives from prefix partial sums, not forward scoring).
+    // the gate exists for. The forward table must not appear on EITHER
+    // route (wand: θ derives from prefix partial sums, round 17;
+    // exact dispatch: the inverted layout scores directly, round 18).
     val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
     val postingScans = scans.filter(l =>
       l.contains("/postings]") || l.contains("/postings_pruned]"))
     postingScans should not be empty
     postingScans.foreach(l => l should include("In(t, ["))
     p should not include "/forward]"
-    p should not include "/dlen]"
+    if (route == "wand") p should not include "/dlen]"
     p should not include "CartesianProduct"
   }
 
