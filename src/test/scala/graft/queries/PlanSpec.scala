@@ -203,18 +203,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_graph_filtered: allowed set applies as a semi join at the re-rank, rows never widen") {
-    val df = SimilarityQueries.graphSearchFilteredQ(spark, dir)
-    df.collect()
-    val p = plan(df)
+    graft.ext.Similarity.captureWalkPlans = true
+    val stagePlans = try {
+      SimilarityQueries.graphSearchFilteredQ(spark, dir).collect()
+      graft.ext.Similarity.lastWalkStagePlans
+    } finally graft.ext.Similarity.captureWalkPlans = false
     // post-filter over-retrieval: the predicate lands as a LeftSemi on
     // the best-seen set before the final heap — an inner join here
     // would widen rows with the allowed table's columns, and a missing
-    // join would silently serve excluded neighbors. Both live in the
-    // FINAL plan (the re-rank is not checkpointed), so no capture
-    // needed here.
-    p should include("LeftSemi")
-    p should not include "CartesianProduct"
-    "bounded_top_k".r.findAllIn(p).size should be >= 1
+    // join would silently serve excluded neighbors. Round 18: the
+    // re-rank is checkpointed too (the serve returns one checkpoint and
+    // frees the stage blocks), so both live in the LAST captured stage
+    // plan rather than the returned frame's.
+    val finalStage = stagePlans.last
+    finalStage should include("LeftSemi")
+    stagePlans.foreach(_ should not include "CartesianProduct")
+    "bounded_top_k".r.findAllIn(finalStage).size should be >= 1
   }
 
   test("ann_index_pq: code scan prunes list partitions dynamically and reads codes, not vectors") {
