@@ -149,7 +149,11 @@ object GraphProfile {
       graphK = GraphK, graphRounds = GraphRounds)
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+      // the registry query's dumpSorted shape: one-partition sort,
+      // single execution (orderBy's range sampling re-runs the child)
+      .repartition(1)
+      .sortWithinPartitions(col("vec_id"), col("cos_sim").desc,
+        col("neighbor_id"))
       .write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
     val jCompact = jobsNow() - jBuild - jUpsert

@@ -387,7 +387,7 @@ object SimilarityQueries {
         .withColumn("tier", lit("delta")))
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"), col("tier"))
-      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+      .transform(dumpSorted)
   }
 
   /** STREAMING graph maintenance WITH the auto-compaction policy in the
@@ -439,7 +439,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("neighbor_id"),
         round(col("cos_sim"), 6).as("cos_sim"),
         lit(fired.get).as("n_compactions"))
-      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+      .transform(dumpSorted)
   }
 
   /** The beam grid for [[annGraphBeamSweep]] (public so the spec drives
@@ -508,11 +508,10 @@ object SimilarityQueries {
     Similarity.upsertGraphIndex(spark, path,
       e.filter(col("vec_id") >= UpsertSplit),
       k = GraphK, beam = GraphBeam, hops = GraphHops)
-    Similarity.compactGraphIndex(spark, path,
+    dumpSorted(Similarity.compactGraphIndex(spark, path,
       graphK = GraphK, graphRounds = GraphRounds)
       .select(col("vec_id"), col("neighbor_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
-      .orderBy(col("vec_id"), col("cos_sim").desc, col("neighbor_id"))
+        round(col("cos_sim"), 6).as("cos_sim")))
   }
 
   /** recall@K of the graph search against the exact top-K — the
