@@ -1058,8 +1058,18 @@ object Dedup {
                         idCol: String = "doc_id"): Unit = {
     Markers.delete(spark, s"$path/$NdiCompleteMarker")
     DeltaGens.drop(spark, ndiDeltaRoot(path))
-    keyRows.select(col(idCol), col("key"))
-      .write.mode("overwrite").parquet(s"$path/bands")
+    // BASE segment gets the heavy layout (the Lex `base = true`
+    // convention, ported round 18): range-sorted by band key, so every
+    // parquet row group's key min/max is tight and a probe's bounded
+    // `In(key, …)` pushdown skips the (corpus − probed-buckets) rest.
+    // Without it the probe join scans the WHOLE band table — measured
+    // as the 1000× ladder knee (8.97 s at 5M docs vs 1.3 s at 500k;
+    // SCALEBENCH_r18). Delta generations stay plain writes: they are
+    // arrival-batch-sized, and compaction folds them into the laid-out
+    // base. Same rows either way — serves are hash-identical.
+    graft.core.Layout.writeRangeSorted(
+      keyRows.select(col(idCol), col("key")), s"$path/bands", "key",
+      math.min(32, math.max(1, spark.sparkContext.defaultParallelism)))
     Markers.write(spark, s"$path/$NdiCompleteMarker", fingerprint)
   }
 
@@ -1120,7 +1130,22 @@ object Dedup {
   def queryNearDupIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         probeKeys: DataFrame,
                         idCol: String = "doc_id"): DataFrame = {
-    val tier = nearDupTierBands(spark, path, idCol)
+    // bounded probe-key collect for the scan pushdown (the Lex
+    // `tokenScanFilter` discipline, round 18): an arrival batch bands
+    // to |batch|·nBands distinct keys — limit-capped at
+    // [[KeyInFilterCap]] + 1, so the driver never materializes more
+    // than the cap regardless of batch size; past the cap the filter
+    // is skipped and the broadcast join alone restricts the same rows
+    // (hash-identical either way). With the range-sorted base layout
+    // the `In(key, …)` filter is what lets the reader skip every row
+    // group outside the probed buckets — the difference between a
+    // probe-bounded serve and a corpus-sized scan at 5M+ docs.
+    val probeKeySet = probeKeys.select(col("key")).distinct()
+      .limit(KeyInFilterCap + 1).collect().map(_.getString(0)).toSeq
+    val tier0 = nearDupTierBands(spark, path, idCol)
+    val tier = (if (probeKeySet.length <= KeyInFilterCap)
+        tier0.filter(col("key").isin(probeKeySet: _*))
+      else tier0)
       .select(col(idCol).as("__cand"), col("key"))
     broadcast(probeKeys.select(col(idCol), col("key")))
       .join(tier, "key")
@@ -1129,6 +1154,14 @@ object Dedup {
       .agg(min(col("__cand")).as("dup_of"),
         countDistinct(col("__cand")).as("n_cand"))
   }
+
+  /** Past this many distinct probe band keys the `In(key, …)` scan
+    * pushdown is skipped — the [[graft.ext.Lex.InFilterCap]] rationale
+    * verbatim: a huge In literal costs driver-side canonicalization
+    * while the broadcast probe join already restricts the same rows,
+    * and the row-group-skipping win evaporates once the probed buckets
+    * approach the whole tier. */
+  val KeyInFilterCap = 4096
 
   /** COMPACT: fold every completed generation into the base band table
     * and drop the generations. Band rows are immutable facts, so unlike
