@@ -24,6 +24,40 @@ import graft.stream.Pipeline
   */
 object StreamReplayQueries {
 
+  /** Shuffle/state partition count while a bounded STATEFUL replay's
+    * streaming query runs — round 18, guide §2.2
+    * ("fewer, larger reduce partitions") + §2 ("derive partitioning
+    * from input size"): every replay harness is CAPPED BY CONSTRUCTION
+    * (`requireBoundedReplay`, ≤ a few thousand rows), yet its stateful
+    * exchanges inherited the session's scan-parallelism setting (32 on
+    * the bench), so each micro-batch paid 32 state-store instances ×
+    * N stateful stages of near-empty tasks, and every state partition
+    * wrote its own per-batch delta file. Deriving the partition count
+    * from the BOUNDED REPLAY SIZE instead of the box is the
+    * scale-adaptive fix: the replays stay identical in semantics
+    * (every stateful op here is per-group with in-group sorting, so
+    * results are partition-count-independent — the oracle hashes prove
+    * it), only the per-batch task/state-file count shrinks. The
+    * PRODUCTION streaming pipeline (`stream/Pipeline` behind real
+    * sources) keeps the session default — this knob is scoped to the
+    * bounded replay harnesses alone, env-overridable for deployments
+    * that replay bigger windows. */
+  private[queries] val ReplayPartitions: Int =
+    sys.env.get("SPARK_GRAFT_REPLAY_PARTITIONS").flatMap(_.toIntOption)
+      .getOrElse(8)
+
+  /** Run `f` with [[ReplayPartitions]] shuffle partitions, restoring
+    * the session value after — the streaming query reads the conf at
+    * START, so the override must span `start()`; the final memory-sink
+    * read-back executes after restore and keeps the session setting. */
+  private[queries] def withReplayPartitions[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, ReplayPartitions.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Shared driver for every chunked MemoryStream replay: feed `chunks`
     * as REAL micro-batches (one `processAllAvailable` barrier per
     * chunk, so cross-batch state/tier effects are genuinely exercised)
@@ -31,7 +65,17 @@ object StreamReplayQueries {
     * drain-per-chunk, stop-in-finally — lives HERE once; the six tier
     * replays had grown six copies of it. An empty chunk produces no
     * micro-batch (MemoryStream emits no offsets for it), which is the
-    * degenerate edge when a mid-split window holds a single arrival. */
+    * degenerate edge when a mid-split window holds a single arrival.
+    *
+    * Deliberately NOT under [[withReplayPartitions]] (round 18,
+    * measured): the whole pipeline here is stateless passthrough into
+    * `foreachBatch`, whose body runs REAL BATCH jobs against
+    * corpus-sized tiers (beam walks, index rebuilds) — their
+    * parallelism must track the session/scan setting, not the bounded
+    * replay cap. A/B at sf0.1: wrapping moved the tier replays only
+    * ±2-8% (noise) vs 40-60% saved on the stateful replays, so the
+    * override is scoped to where the win is and the scale story is
+    * right. */
   private[queries] def replayChunks[T](
       spark: org.apache.spark.sql.SparkSession,
       chunks: Seq[Seq[T]], cols: Seq[String])(
@@ -148,22 +192,24 @@ object StreamReplayQueries {
       sample.filter(_._1 >= 100L).toSeq,
       twins.toSeq)
 
-    val source = MemoryStream[(Long, String)]
-    val flags = Pipeline.nearDupStream(
-      source.toDF().toDF("doc_id", "text"),
-      maxHamming = maxHamming, maxPerBucket = maxPerBucket, hashFn = hashFn)
     val table = s"replay_near_dup_${runId.incrementAndGet()}"
-    val q = flags.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .start()
-    try {
-      chunks.foreach { c =>
-        source.addData(c)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val source = MemoryStream[(Long, String)]
+      val flags = Pipeline.nearDupStream(
+        source.toDF().toDF("doc_id", "text"),
+        maxHamming = maxHamming, maxPerBucket = maxPerBucket, hashFn = hashFn)
+      val q = flags.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(table)
       .orderBy("doc_id", "dup_of", "hamming")
   }
@@ -199,21 +245,23 @@ object StreamReplayQueries {
       sample.slice(n / 3, 2 * n / 3).toSeq,
       sample.slice(2 * n / 3, n).toSeq)
 
-    val source = MemoryStream[(Long, String)]
-    val decisions = Pipeline.curateStream(
-      source.toDF().toDF("doc_id", "text"))
     val table = s"replay_curate_${runId.incrementAndGet()}"
-    val q = decisions.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .start()
-    try {
-      chunks.foreach { c =>
-        source.addData(c)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val source = MemoryStream[(Long, String)]
+      val decisions = Pipeline.curateStream(
+        source.toDF().toDF("doc_id", "text"))
+      val q = decisions.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(table)
       .orderBy("doc_id")
   }
@@ -243,21 +291,23 @@ object StreamReplayQueries {
     val per = math.max(1, sample.length / 3 + 1)
     val chunks = sample.grouped(per).toSeq
 
-    val source = MemoryStream[(String, String, java.sql.Timestamp)]
-    val agg = Pipeline.flagship(
-      source.toDF().toDF("user_id", "emoji_type", "event_time"))
     val table = s"replay_flagship_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("complete")
-      .start()
-    try {
-      chunks.foreach { c =>
-        source.addData(c)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val source = MemoryStream[(String, String, java.sql.Timestamp)]
+      val agg = Pipeline.flagship(
+        source.toDF().toDF("user_id", "emoji_type", "event_time"))
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(table)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -292,21 +342,23 @@ object StreamReplayQueries {
     val per = math.max(1, sample.length / 3 + 1)
     val chunks = sample.grouped(per).toSeq
 
-    val source = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
-    val out = Pipeline.latestPerKeyStream(
-      source.toDF().toDF("user_id", "event_id", "event_type", "value", "ts"))
     val table = s"replay_latest_${runId.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("complete")
-      .start()
-    try {
-      chunks.foreach { c =>
-        source.addData(c)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val source = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+      val out = Pipeline.latestPerKeyStream(
+        source.toDF().toDF("user_id", "event_id", "event_type", "value", "ts"))
+      val q = out.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(table).orderBy("user_id")
   }
 
@@ -347,22 +399,24 @@ object StreamReplayQueries {
       .map { case (id, u, t, v, ts) => (id, u, t, v + 1000.0, ts) }
     val chunks = base.dropRight(1) :+ (base.last ++ redelivered)
 
-    val source = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
-    val out = Pipeline.dedupKeysWithinWatermark(
-      source.toDF().toDF("event_id", "user_id", "event_type", "value", "ts"),
-      keyCols = Seq("event_id"), tsCol = "ts", delay = "365 days")
     val table = s"replay_dedup_ttl_${runId.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .start()
-    try {
-      chunks.foreach { c =>
-        source.addData(c)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val source = MemoryStream[(Long, Long, String, Double, java.sql.Timestamp)]
+      val out = Pipeline.dedupKeysWithinWatermark(
+        source.toDF().toDF("event_id", "user_id", "event_type", "value", "ts"),
+        keyCols = Seq("event_id"), tsCol = "ts", delay = "365 days")
+      val q = out.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(table)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("ts_us"))
@@ -394,21 +448,23 @@ object StreamReplayQueries {
     val per = math.max(1, sample.length / 3 + 1)
     val chunks = sample.grouped(per).toSeq
 
-    val source = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
-    val out = Pipeline.scd2Stream(
-      source.toDF().toDF("user_id", "event_type", "ts", "event_id"))
     val table = s"replay_scd2_${runId.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(table)
-      .outputMode("append")
-      .start()
-    try {
-      chunks.foreach { c =>
-        source.addData(c)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(spark) {
+      val source = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+      val out = Pipeline.scd2Stream(
+        source.toDF().toDF("user_id", "event_type", "ts", "event_id"))
+      val q = out.writeStream
+        .format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .start()
+      try {
+        chunks.foreach { c =>
+          source.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     spark.table(table)
       .select(col("user_id"), col("version"), col("event_type"),
         col("valid_from_us"), col("valid_to_us"), col("is_current"))
