@@ -314,9 +314,15 @@ object Similarity {
   def pqTrain(corpus: DataFrame, mSub: Int = 4, subDim: Int = 16, ks: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
+    // referenced THREE times below (seed assign, codebook update, final
+    // assign) — lazy-checkpoint so the corpus scan + residual zip +
+    // subvector slice compute once per train instead of once per
+    // reference (round 18; corpus×mSub fixed-width rows, the same
+    // bounded-frame class as the CC loop checkpoints)
     val sub = pqSubvectors(
       Dedup.rebalance(corpus.select(col(idCol), col(vecCol)), idCol),
       mSub, subDim, idCol, vecCol)
+      .localCheckpoint(false)
     val seeds = pqSubvectors(
       corpus.orderBy(col(idCol)).limit(ks).select(col(idCol), col(vecCol)),
       mSub, subDim, idCol, vecCol)
@@ -414,7 +420,13 @@ object Similarity {
                mSub: Int = 4, subDim: Int = 16, ks: Int = 8, candMult: Int = 3,
                idCol: String = "vec_id", vecCol: String = "embedding",
                listCol: String = "label"): DataFrame = {
-    val cent = coarseCentroids(corpus, listCol, vecCol)
+    // the exact-decimal centroid aggregation feeds FOUR consumers
+    // (probe routing, residual centering, the ⟨p, μ_list⟩ term, and —
+    // through the residuals — the whole PQ train): lazy-checkpoint the
+    // nlists-row result so the full-corpus mean aggregation runs once
+    // (round 18; exchange reuse under AQE is runtime-lucky, this makes
+    // it structural)
+    val cent = coarseCentroids(corpus, listCol, vecCol).localCheckpoint(false)
     val pv = probes.select(col(idCol).as("probe_id"),
       transform(col(vecCol), x => x.cast("double")).as("__pv"))
     val probed = pv

@@ -468,8 +468,10 @@ object SimilarityQueries {
     // every arm reads the shared persisted tier (round-14 amortization)
     // — no localCheckpoint lifecycle to manage, parquet IS the cache
     val g = tierGraph(spark, dir)
+    // joined once per sweep arm — lazy-checkpoint (the annRecall rule)
     val exact = Similarity.knnTopKAgg(e, p, K)
       .select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(false)
     val probeIds = p.select(col("vec_id").as("probe_id"))
     val sweep = GraphBeamSweep.map { b =>
       val res = Similarity.graphSearchOn(g, e, p, K, beam = b,
@@ -922,8 +924,15 @@ object SimilarityQueries {
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val p = probes(spark, dir)
+    // the exact ground truth is joined by EVERY method arm (4 here):
+    // lazy-checkpoint it so the full-corpus exact kNN computes once and
+    // the 4 arms reuse the ≤ probes·K-row result instead of carrying 4
+    // copies of the subtree through one giant plan (round 18, guide
+    // §2.4 — exchange reuse is runtime-lucky under AQE; the checkpoint
+    // makes the reuse structural and cuts the analyzed plan ~4×)
     val exact = Similarity.knnTopKAgg(e, p, K)
       .select(col("probe_id"), col("neighbor_id"))
+      .localCheckpoint(false)
     val probeIds = p.select(col("vec_id").as("probe_id"))
     def evalMethod(approx: DataFrame, method: String): DataFrame = {
       val hits = exact
@@ -2190,12 +2199,16 @@ object SimilarityQueries {
     val lexScores =
       if (prunedLex) Lex.queryLexIndexPruned(spark, lexPath, probeDocs, MaxDfPct)
       else Lex.queryLexIndex(spark, lexPath, probeDocs, MaxDfPct)
-    val textRank = rrfRanksOf(lexScores, "__tr")
+    // each arm's ranked list is referenced TWICE (fused + its per-arm
+    // hit flags) — lazy-checkpoint both (≤ probes·RrfDepth rows each)
+    // so the lex scoring / graph-walk re-rank compute once instead of
+    // per reference (round 18, the annRecall rule)
+    val textRank = rrfRanksOf(lexScores, "__tr").localCheckpoint(false)
     val vecRank = rrfRanksOf(
       Similarity.graphSearchIndexed(spark, graphPath, probes(spark, dir),
           k = RrfDepth, beam = GraphBeam, hops = GraphHops)
         .select(col("probe_id"), col("neighbor_id").as("cand_id"),
-          col("cos_sim").as("__score")), "__vr")
+          col("cos_sim").as("__score")), "__vr").localCheckpoint(false)
     val fused = rrfFuse(textRank, vecRank).select("probe_id", "cand_id")
     val exact = Similarity.knnTopKAgg(Tables.embeddings(spark, dir),
         probes(spark, dir), K)
