@@ -807,6 +807,12 @@ object Dedup {
     grams
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__key")))
       .filter(col("__n") <= dfCap)
+      // every consumer SELF-JOINS this table (a-side vs b-side), and the
+      // two sides' differing projections defeat canonical exchange
+      // reuse — without truncation the gram explode + the full-shuffle
+      // occurrence-cap window run TWICE per query (round 18, the
+      // annRecall rule; fixed-width (id, pos, md5) rows)
+      .localCheckpoint(false)
   }
 
   /** WITHIN-DOC repeated spans — the self-similarity member of the
@@ -857,7 +863,10 @@ object Dedup {
                         toksCol: String = "toks", k: Int = 8,
                         minSpan: Int = 16, dfCap: Long = 16L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // referenced twice below (a-side + b-side intervals) —
+    // lazy-checkpoint so the whole span machinery runs once (round 18)
     val spans = substringSpans(docs, idCol, toksCol, k, minSpan, dfCap)
+      .localCheckpoint(false)
     // DISTINCT is load-bearing, not an optimization: a doc duplicated in
     // two partners yields the IDENTICAL interval twice, and with tied
     // (s, e) rows the two window passes below (running max, then the
