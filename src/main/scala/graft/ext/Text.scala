@@ -395,11 +395,21 @@ object Text {
   def lmScore(docsDf: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     import graft.functions.DetMathExpr
-    val bg = docsDf
-      .withColumn("toks", tokens(col(textCol)))
+    // exchange barrier between the tokenizer and the n-gram explode
+    // (round 18, the Dedup.bandTable rule): ngrams(toks, n) references
+    // `toks` n+1 times (size + n slices), and CollapseProject would
+    // inline the regexp tokenizer into each — the barrier materializes
+    // the token array once per row
+    val toksDf = docsDf.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bg = toksDf
+      .repartition(toksDf.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol), explode(ngrams(col("toks"))).as("bg"))
+    // the bigram type table feeds THREE consumers (head totals, vocab
+    // count, the model join) — lazy-checkpoint (the annRecall rule)
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .localCheckpoint(false)
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = c2.agg(
       countDistinct(split(col("bg"), " ").getItem(1)).as("v"))
@@ -474,16 +484,25 @@ object Text {
   def lmScoreKn(docsDf: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     import graft.functions.DetMathExpr
-    val tg = docsDf
-      .withColumn("toks", tokens(col(textCol)))
+    // same barrier as [[lmScore]]: trigram ngrams references `toks` 4×
+    val toksDf = docsDf.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tg = toksDf
+      .repartition(toksDf.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol), explode(ngrams(col("toks"), 3)).as("tg"))
+    // the trigram type table feeds THREE consumers (hi, midNum, the
+    // model join) and midNum itself feeds FOUR (midDen, low, nbt,
+    // model join) — lazy-checkpoint both vocab-bounded tables so each
+    // aggregation runs once (round 18, the annRecall rule)
     val c3 = tg.groupBy("tg").agg(count(lit(1)).as("c3"))
       .withColumn("w1", split(col("tg"), " ").getItem(0))
       .withColumn("w2", split(col("tg"), " ").getItem(1))
       .withColumn("w3", split(col("tg"), " ").getItem(2))
+      .localCheckpoint(false)
     val hi = c3.groupBy("w1", "w2")
       .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n1p_mid"))
     val midNum = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n1p_l23"))
+      .localCheckpoint(false)
     val midDen = midNum.groupBy("w2")
       .agg(sum(col("n1p_l23")).as("n1p_l2d"), count(lit(1)).as("n1p_2s"))
     val low = midNum.groupBy("w3").agg(count(lit(1)).as("n1p_r3"))
@@ -559,11 +578,18 @@ object Text {
       .withColumn("label",
         (col("n_tokens") >= 40 && col("stop_ratio") < 0.3).cast("int"))
       .select(col(idCol), col("toks"), col("label"))
+      // referenced THREE times (token explode, prior, final projection)
+      // — lazy-checkpoint so the regexp tokenizer + stopword filter run
+      // once per doc instead of once per reference (round 18, the
+      // annRecall rule)
+      .localCheckpoint(false)
     val tok = lab.select(col(idCol), col("label"),
       explode(col("toks")).as("token"))
+    // vocab-sized, consumed by the class totals AND the weight table
     val cc = tok.groupBy("token").agg(
       sum(when(col("label") === 1, 1L).otherwise(0L)).as("cp"),
       sum(when(col("label") === 0, 1L).otherwise(0L)).as("cn"))
+      .localCheckpoint(false)
     val tot = cc.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
       count(lit(1)).as("v"))
     val w = cc.crossJoin(broadcast(tot))
