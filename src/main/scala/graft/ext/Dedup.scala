@@ -710,8 +710,10 @@ object Dedup {
     // distinct, never a per-(doc, key) pre-distinct (that shuffle is as
     // large as this one and feeds straight into it)
     val trainKeys = shingleKeys(train).select(col("__key")).distinct()
-    // test side: per-doc distinct so an in-doc repeated shingle counts once
-    val testKeys = shingleKeys(test).distinct()
+    // test side: per-doc distinct so an in-doc repeated shingle counts
+    // once; referenced twice below (overlap + denominator counts) —
+    // lazy-checkpoint so the shingle explode + distinct run once
+    val testKeys = shingleKeys(test).distinct().localCheckpoint(false)
     val overlap = testKeys.join(trainKeys, "__key")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))

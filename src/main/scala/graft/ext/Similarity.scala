@@ -2021,8 +2021,12 @@ object Similarity {
                threshold: Double = 0.95,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = kmeans(corpus, k, iters, idCol, vecCol)
+    // referenced THREE times (both self-join sides + the final spine):
+    // without truncation each reference re-runs the whole iterative
+    // kmeans assignment — lazy-checkpoint (round 18, the annRecall rule)
     val v = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
       .join(assigned, idCol)
+      .localCheckpoint(false)
     val denom = col("x.__n") * col("y.__n")
     val close = v.as("x").join(v.as("y"),
         col("x.cluster") === col("y.cluster") && col(s"x.$idCol") > col(s"y.$idCol"))
