@@ -1793,19 +1793,22 @@ object Similarity {
       case Some(d) =>
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // no leading underscore: Hadoop's hidden-path filter skips
-        // `_*`/`.*` names during file listing, and a staging dir that
-        // lists as empty would silently rebuild an EMPTY index
-        val staging = s"$indexPath/compact-staging"
-        spark.read.parquet(s"$indexPath/lists")
+        // EAGER checkpoint instead of a staging parquet round-trip
+        // (round 18 — the [[compactGraphIndex]] discipline): the merged
+        // frame reads from `lists`, which [[buildIvfIndex]] overwrites,
+        // so it must be materialized first — but in memory, not as a
+        // full disk write + re-read of the corpus (the old
+        // compact-staging dir cost one extra corpus write AND read per
+        // compaction). Eager, not lazy: a lazy checkpoint would
+        // materialize mid-overwrite.
+        val all = spark.read.parquet(s"$indexPath/lists")
           .select(col(idCol), col(vecCol), col(listCol))
           .join(broadcast(d.select(col(idCol))), Seq(idCol), "left_anti")
           .unionByName(d)
-          .write.mode("overwrite").parquet(staging)
-        val cent = buildIvfIndex(spark.read.parquet(staging), indexPath,
-          idCol, vecCol, listCol)
+          .localCheckpoint(true)
+        val cent = buildIvfIndex(all, indexPath, idCol, vecCol, listCol)
         fs.delete(new org.apache.hadoop.fs.Path(deltaRoot(indexPath)), true)
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+        org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(all)
         cent
     }
 
