@@ -1194,7 +1194,15 @@ object Dedup {
     // compactGraphIndex discipline)
     val all = nearDupTierBands(spark, path, idCol).localCheckpoint(true)
     Markers.delete(spark, s"$path/$NdiCompleteMarker")
-    all.write.mode("overwrite").parquet(s"$path/bands")
+    // the compacted base IS the new base segment — it gets the same
+    // range-sorted-by-key layout [[buildNearDupIndex]] writes (round 18
+    // consistency fix: the layout landed on the build path only, so the
+    // first compaction silently degraded every later probe back to the
+    // corpus-sized scan the layout exists to avoid; the Lex twin
+    // re-writes `base = true` layouts on compaction for the same
+    // reason). One range shuffle per compaction, same rows.
+    graft.core.Layout.writeRangeSorted(all, s"$path/bands", "key",
+      math.min(32, math.max(1, spark.sparkContext.defaultParallelism)))
     dropNdiDeltas(spark, path)
     org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(all)
     Markers.write(spark, s"$path/$NdiCompleteMarker", fingerprint)

@@ -135,6 +135,13 @@ object Lex {
                  textCol: String = "text"): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("t"))
+    // NOTE (round 18, measured): deriving dl from a lazily-checkpointed
+    // postings frame (dl = Σ tf — exact) to tokenize once instead of
+    // twice REGRESSED the lex lifecycle (+1.2 s on the autocompact
+    // replay, stash A/B): the extra checkpoint materialization costs
+    // more than the saved tokenizer pass here, and the generation write
+    // path already truncates both frames via genTableFrames. Left as
+    // two independent aggregations deliberately.
     (toks.groupBy(idCol, "t").agg(count(lit(1)).as("tf")),
       toks.groupBy(idCol).agg(count(lit(1)).as("dl")))
   }
