@@ -795,6 +795,15 @@ object Dedup {
       .withColumn("__diag", col("a_pos") - col("b_pos"))
   }
 
+  /** TEST-FACING plan capture (PlanSpec — the [[graft.ext.Similarity]]
+    * `captureWalkPlans` pattern): the checkpoint below makes the capped
+    * gram table an opaque RDD leaf in every downstream plan, so the
+    * gates that audit its scan pruning and exchange keys read the plan
+    * recorded here at construction. Off by default; no production
+    * caller flips it. */
+  @volatile private[graft] var captureGramPlan: Boolean = false
+  @volatile private[graft] var lastGramPlan: String = ""
+
   /** (id, __pos, __key) gram table with the corpus-wide occurrence cap
     * applied — stages 1–2 of the substring-span machinery, shared by
     * the cross-doc and within-doc pair builders. */
@@ -806,15 +815,19 @@ object Dedup {
         posexplode(Text.ngrams(col(toksCol), k)).as(Seq("__pos", "__g")))
       .select(col(idCol), col("__pos").cast("long").as("__pos"),
         md5(col("__g").cast("binary")).as("__key"))
-    grams
+    val capped = grams
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__key")))
       .filter(col("__n") <= dfCap)
-      // every consumer SELF-JOINS this table (a-side vs b-side), and the
-      // two sides' differing projections defeat canonical exchange
-      // reuse — without truncation the gram explode + the full-shuffle
-      // occurrence-cap window run TWICE per query (round 18, the
-      // annRecall rule; fixed-width (id, pos, md5) rows)
-      .localCheckpoint(false)
+    if (captureGramPlan)
+      lastGramPlan = capped.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // every consumer SELF-JOINS this table, and while runtime exchange
+    // reuse deduplicates the exchange INPUT (scan→tokenize→md5), the
+    // occurrence-cap WINDOW sits ABOVE the exchange and ran once per
+    // join side. The lazy checkpoint runs the whole stage exactly once
+    // (round 18; measured −29% across the substring family at sf0.1;
+    // fixed-width (id, pos, md5) rows)
+    capped.localCheckpoint(false)
   }
 
   /** WITHIN-DOC repeated spans — the self-similarity member of the

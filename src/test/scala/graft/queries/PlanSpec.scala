@@ -430,29 +430,41 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_substring_spans: gram-key equi-join, no all-pairs, text never shuffles") {
-    val df = DedupQueries.substringSpansQ(spark, dir)
-    df.collect() // drive AQE to the final plan on this same handle
-    val p = plan(df)
-    // the capped gram table feeds BOTH sides of the self-join from ONE
-    // planned exchange — without runtime stage reuse the scan→tokenize→
-    // md5→window pipeline would execute twice
-    p.toLowerCase should include("reused")
-    // the pair stage must be an equi-join on the fixed-width md5 key —
-    // a cartesian/nested-loop over the gram table is the n² failure mode
-    // this operator is designed to avoid
-    p should not include "CartesianProduct"
-    p should not include "NestedLoopJoin"
-    // equi-join keyed on the md5 gram key (broadcast at fixture scale,
-    // sort-merge at corpus scale — both key on the fixed-width hash)
-    "(SortMergeJoin|BroadcastHashJoin) \\[__key".r.findFirstIn(p) should not be None
-    // every exchange keys on the gram key or the pair-window/group keys —
-    // raw n-gram strings and document text must never be partition keys
-    val keyCols = "Exchange (?:hash|range)partitioning\\(([^)]*)\\)".r
-      .findAllMatchIn(p).map(_.group(1)).mkString(" ")
-    keyCols should not include "__g"
-    keyCols should not include "text"
-    // the scan reads only (doc_id, text)
-    "ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(p) should not be None
+    // the capped gram table is CHECKPOINTED (round 18): both self-join
+    // sides consume one materialized RDD — structural reuse, stronger
+    // than the runtime "reused"-exchange this gate used to look for.
+    // Its internal plan (scan pruning, exchange keys) is audited via
+    // the captureGramPlan hook, since the checkpoint makes it an opaque
+    // leaf in the serve plan.
+    graft.ext.Dedup.captureGramPlan = true
+    try {
+      val df = DedupQueries.substringSpansQ(spark, dir)
+      df.collect() // drive AQE to the final plan on this same handle
+      val p = plan(df)
+      // both join sides read the ONE checkpointed gram table — no
+      // parquet scan (and no re-tokenize) can appear in the serve plan
+      p.toLowerCase should include("existingrdd")
+      p should not include "Scan parquet"
+      // the pair stage must be an equi-join on the fixed-width md5 key —
+      // a cartesian/nested-loop over the gram table is the n² failure
+      // mode this operator is designed to avoid
+      p should not include "CartesianProduct"
+      p should not include "NestedLoopJoin"
+      // equi-join keyed on the md5 gram key (broadcast at fixture scale,
+      // sort-merge at corpus scale — both key on the fixed-width hash)
+      "(SortMergeJoin|BroadcastHashJoin) \\[__key".r.findFirstIn(p) should not be None
+      // every exchange keys on the gram key or the pair-window/group
+      // keys — raw n-gram strings and document text must never be
+      // partition keys (checked in BOTH plans)
+      val gp = graft.ext.Dedup.lastGramPlan
+      gp should not be ""
+      val keyCols = "Exchange (?:hash|range)partitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(p + "\n" + gp).map(_.group(1)).mkString(" ")
+      keyCols should not include "__g"
+      keyCols should not include "text"
+      // the gram table's scan reads only (doc_id, text)
+      "ReadSchema: struct<doc_id:bigint,text:string>".r.findFirstIn(gp) should not be None
+    } finally graft.ext.Dedup.captureGramPlan = false
   }
 
   test("documents scans prune to the referenced columns only") {
